@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the batch analog of a Kafka-Streams
+  * stream-table join: for each left row, the single latest right row with
+  * `rightTime <= leftTime` for the same key.
+  *
+  * Spark has no built-in as-of join. Rather than a naive range join +
+  * row_number (which materializes every (left, candidate) pair — quadratic
+  * in matches per key), this uses the union/merge trick: tag both sides,
+  * union, and carry the last-seen right value forward over a single
+  * per-key time sort. Cost is one shuffle + one sort over |L|+|R| rows —
+  * the plan a 1000-executor cluster wants, since each key's timeline sorts
+  * locally within its hash partition and nothing is ever quadratic.
+  *
+  * Right rows sort BEFORE left rows at equal timestamps, so `<=` (inclusive
+  * as-of) semantics match DuckDB's `ASOF JOIN`. The right side must be
+  * unique per (key, time) — dedup it first or ties are nondeterministic.
+  */
+object AsOf {
+  /** @param left       left (probe) side
+    * @param right      right (reference) side, unique per (key, time)
+    * @param leftKey    join key column name on the left
+    * @param rightKey   join key column name on the right
+    * @param leftTime   event-time column on the left (any orderable type)
+    * @param rightTime  event-time column on the right (same type)
+    * @param rightVals  right columns to carry onto matching left rows
+    * @return left rows + carried right columns (null when no prior right row)
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(col("__k"), col("__t"), col("__side"))): _*)
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col) ++
+        Seq(col("__k"), col("__t"), col("__side"))): _*)
+
+    // Right rows (side=0) order before left rows (side=1) at equal time →
+    // inclusive as-of. One hash-partition by key, one local sort.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols ++ rightVals).map(col): _*)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.WeightedMean
+import graft.sources.Tables
+import graft.util.Det._
+
+/** Aggregations — SURVEY.md §2.4. Hash agg with map-side partials,
+  * distinct + approx-distinct, HAVING, rollup/cube/grouping sets,
+  * a custom typed Aggregator UDAF, and a high-cardinality group-by that
+  * exercises the sort/spill path.
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary — 6 groups, 2-phase HashAggregate.
+    "q_agg_hash" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc).as("sum_disc_price"),
+          dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_agg_having" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("o_totalprice")).as("sum_price"),
+             count(lit(1)).as("n_orders"))
+        .filter(col("sum_price") > 1000000.0)
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+             dsum(col("s_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    }),
+
+    // Custom typed Aggregator (Kafka-Streams Aggregator analog):
+    // mean discount weighted by quantity.
+    "q_agg_udaf" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(WeightedMean(col("l_discount"), col("l_quantity")), 6)
+               .as("wmean_disc"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // High-cardinality group-by (one group per order) — partial agg still
+    // helps (avg 4 items/order) and the final agg exercises spill paths at
+    // scale; output folded to a histogram to keep the result small.
+    "q_agg_sort_fallback" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("items"), dsum(col("l_quantity")).as("qty"))
+        .groupBy("items")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("qty")).as("sum_qty"))
+        .orderBy("items")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_hash" -> {
+      val disc = "l_extendedprice * (1.0 - l_discount)"
+      s"""SELECT l_returnflag, l_linestatus,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          ${sqlDsum("l_extendedprice")} AS sum_base_price,
+          ${sqlDsum(disc)} AS sum_disc_price,
+          ${sqlDsum(s"($disc) * (1.0 + l_tax)")} AS sum_charge,
+          ${sqlDavg("l_quantity")} AS avg_qty,
+          ${sqlDavg("l_extendedprice")} AS avg_price,
+          ${sqlDavg("l_discount")} AS avg_disc,
+          COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus"""
+    },
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_having" ->
+      s"""SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS sum_price,
+          COUNT(*) AS n_orders
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_mktsegment
+          HAVING ${sqlDsum("o_totalprice")} > 1000000.0
+          ORDER BY c_mktsegment""",
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+          ${sqlDsum("s_acctbal")} AS sum_acctbal
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          JOIN supplier ON n_nationkey = s_nationkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+          GROUPING(o_orderstatus, o_orderpriority) AS gid,
+          COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderstatus), ())
+          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_agg_udaf" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wmean_disc,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_sort_fallback" ->
+      s"""SELECT items, COUNT(*) AS n_orders,
+          CAST(SUM(qty) AS DOUBLE) AS sum_qty FROM (
+            SELECT l_orderkey, COUNT(*) AS items,
+                   SUM(CAST(l_quantity AS DECIMAL(28,4))) AS qty
+            FROM lineitem GROUP BY l_orderkey)
+          GROUP BY items ORDER BY items"""
+  )
+}

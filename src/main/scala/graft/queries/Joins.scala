@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.AsOf
+import graft.sources.Tables
+import graft.util.Det._
+
+/** Joins — SURVEY.md §2.3, the heart of the reference (a Kafka-Streams
+  * join example). Every flavor: inner/left/right/full/semi/anti/cross,
+  * theta (non-equi residual), interval (the flagship stream-stream-join
+  * batch twin), as-of (stream-table), broadcast (GlobalKTable), multiway,
+  * and FK-join + re-aggregate.
+  *
+  * Scale notes: dimension joins (nation/region/customer at dim scale) stay
+  * broadcast-able — Catalyst's JoinSelection picks BroadcastHashJoin under
+  * the 10 MB threshold and AQE re-plans at runtime; fact-fact joins shuffle
+  * on their equi keys only. The interval join keeps its equi key (user_id)
+  * as the shuffle key so the time-range residual evaluates within a
+  * sort-merge join, never as a cross product.
+  */
+object Joins {
+  /** 10 minutes in microseconds — flagship join window. */
+  private val TenMinUs = 600000000L
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_right" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"),
+              "full_outer")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"),
+                col("s_name"))
+        .orderBy(col("n_nationkey").asc_nulls_first,
+                 col("s_suppkey").asc_nulls_first)
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+              "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+              "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_cross" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    "q_join_theta" -> ((s, d) => {
+      // Equi key (partkey) carries the shuffle; the band predicate on
+      // quantity-vs-size stays a cheap residual inside the join.
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity").between(col("p_size") - 5.0, col("p_size") + 5.0))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Flagship — batch twin of the reference's stream-stream windowed join
+    // (view→purchase attribution within 10 minutes, per user). Streaming
+    // twin: graft.streaming.Streams.viewPurchaseJoin.
+    "q_join_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+                epochUs(col("ts")).as("view_ts_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+                epochUs(col("ts")).as("purchase_ts_us"),
+                col("value").as("purchase_value"))
+      v.join(p, col("v_user") === col("p_user") &&
+          col("purchase_ts_us") >= col("view_ts_us") &&
+          col("purchase_ts_us") <= col("view_ts_us") + TenMinUs)
+        .select(col("v_user").as("user_id"), col("view_id"),
+                col("purchase_id"), col("view_ts_us"), col("purchase_ts_us"),
+                col("purchase_value"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
+    // As-of join (stream-table semantics): latest order at-or-before each
+    // event's time, per user/customer key. Right side deduped to one row
+    // per (key, time) for determinism; see graft.operators.AsOf.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), epochMs(col("o_orderdate")).as("odate_ms"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .select(col("o_custkey"), (col("odate_ms") * 1000L).as("ots_us"),
+                col("o_orderkey"))
+      AsOf.join(ev, ord, "user_id", "o_custkey", "ts_us", "ots_us",
+                Seq("o_orderkey", "ots_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("o_orderkey").as("asof_orderkey"),
+                col("ots_us").as("asof_odate_us"))
+        .orderBy("event_id")
+    }),
+
+    "q_join_bcast" -> ((s, d) => {
+      // GlobalKTable analog: explicit broadcast of the dim side.
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+             dsum(col("s_acctbal")).as("sum_acctbal"))
+        .orderBy("n_name")
+    }),
+
+    "q_join_multiway" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q_join_fk_agg" -> ((s, d) => {
+      // KIP-213 foreign-key join analog: supplier→nation→region, then
+      // re-aggregate per region.
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+             dsum(col("s_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q_join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+          ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS sum_price
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_join_right" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+          ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS sum_price
+          FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+         FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+         ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+    "q_join_theta" ->
+      s"""SELECT p_brand, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+           AND l_quantity BETWEEN p_size - 5.0 AND p_size + 5.0
+          GROUP BY p_brand ORDER BY p_brand""",
+    "q_join_interval" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+         epoch_us(v.ts) AS view_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+         p.value AS purchase_value
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND epoch_us(p.ts) >= epoch_us(v.ts)
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + 600000000
+         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+         ORDER BY view_id, purchase_id""",
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts_us,
+         o.o_orderkey AS asof_orderkey, o.ots_us AS asof_odate_us
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) e
+         ASOF LEFT JOIN (
+           SELECT o_custkey, epoch_ms(o_orderdate) * 1000 AS ots_us,
+                  MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)) o
+           ON e.user_id = o.o_custkey AND e.ts_us >= o.ots_us
+         ORDER BY event_id""",
+    "q_join_bcast" ->
+      s"""SELECT n_name, COUNT(*) AS n_suppliers,
+          ${sqlDsum("s_acctbal")} AS sum_acctbal
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_multiway" ->
+      s"""SELECT n_name,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_fk_agg" ->
+      s"""SELECT r_name, COUNT(*) AS n_suppliers,
+          ${sqlDsum("s_acctbal")} AS sum_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name ORDER BY r_name"""
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+import graft.util.Det._
+
+/** Scans, projection/filter, sinks — SURVEY.md §2.1–2.2.
+  *
+  * All of these compile to a single vectorized parquet scan with Catalyst
+  * column pruning + predicate pushdown; at cluster scale they read only the
+  * row groups and columns the query needs (verified by plan-shape tests).
+  */
+object Scans {
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_full" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("l_shipdate_ms", epochMs(col("l_shipdate")))
+        .drop("l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_scan_prune" -> ((s, d) => {
+      // 3 of 11 columns — ColumnPruning pushes the projection into the
+      // parquet reader (ReadSchema shows only these three).
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_scan_filter_pushdown" -> ((s, d) => {
+      // Timestamp range predicate reaches the scan (PushedFilters) and
+      // skips row groups via parquet min/max stats.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-07-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                epochMs(col("l_shipdate")).as("l_shipdate_ms"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_project_arith" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      // Per-row IEEE double arithmetic — bit-identical across engines, no
+      // rounding needed (Det contract).
+      li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          ((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    }),
+
+    "q_filter_pred" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(
+          (col("l_returnflag").isin("A", "R") || col("l_linestatus") === "O")
+            && col("l_quantity").between(5.0, 30.0)
+            && col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") <  lit("2000-01-01").cast("timestamp")
+            && col("l_orderkey").cast("string").like("%7"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_filter_null" -> ((s, d) => {
+      // Fixtures contain no NULLs — derive them with nullif, then exercise
+      // three-valued logic + coalesce.
+      Tables.lineitem(s, d)
+        .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("d")).as("n_discounted"),
+          sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_zero_disc"),
+          dsum(coalesce(col("d"), lit(0.0))).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_case_when" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("band",
+          when(col("o_totalprice") < 50000.0, "small")
+            .when(col("o_totalprice") < 150000.0, "medium")
+            .when(col("o_totalprice") < 300000.0, "large")
+            .otherwise("jumbo"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    "q_sink_roundtrip" -> ((s, d) => {
+      // Write a filtered slice to parquet, re-read it, aggregate. Oracle
+      // runs the equivalent SQL over the ORIGINAL table — the round-trip
+      // must be lossless.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_full" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         epoch_ms(l_shipdate) AS l_shipdate_ms
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS l_shipdate_ms
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-07-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue,
+         (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE (l_returnflag IN ('A','R') OR l_linestatus = 'O')
+           AND l_quantity BETWEEN 5.0 AND 30.0
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '2000-01-01'
+           AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_null" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+          COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+          SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+          ${sqlDsum("COALESCE(NULLIF(l_discount, 0.0), 0.0)")} AS sum_disc
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_case_when" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                      WHEN o_totalprice < 150000.0 THEN 'medium'
+                      WHEN o_totalprice < 300000.0 THEN 'large'
+                      ELSE 'jumbo' END AS band,
+          COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1 ORDER BY band""",
+    "q_sink_roundtrip" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+          FROM lineitem WHERE l_returnflag = 'R'
+          GROUP BY l_linestatus ORDER BY l_linestatus"""
+  )
+}
