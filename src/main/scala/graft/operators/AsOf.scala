@@ -35,28 +35,34 @@ object AsOf {
            leftTime: String, rightTime: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Carry the right values as ONE struct so a matched right row is taken
+    // atomically: a legitimately-NULL right field stays NULL instead of
+    // being back-filled from an older right row.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select((leftCols.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col("__k"), col("__t"), col("__side"))): _*)
+      .select((leftCols.map(col) ++ Seq(
+        lit(null).cast(rvType).as("__rv"),
+        col("__k"), col("__t"), col("__side"))): _*)
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select((leftCols.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col) ++
-        Seq(col("__k"), col("__t"), col("__side"))): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        struct(rightVals.map(col): _*).as("__rv"),
+        col("__k"), col("__t"), col("__side"))): _*)
 
     // Right rows (side=0) order before left rows (side=1) at equal time →
-    // inclusive as-of. One hash-partition by key, one local sort.
+    // inclusive as-of. One hash-partition by key, one local sort. Left
+    // rows' __rv is NULL, so ignoreNulls carries the latest right struct.
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select((leftCols ++ rightVals).map(col): _*)
+    l.unionByName(r)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightVals.map(c => col(s"__rv.$c").as(c))): _*)
   }
 }

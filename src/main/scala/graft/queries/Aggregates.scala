@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Q
 import graft.functions.WeightedMean
 import graft.sources.Tables
@@ -15,15 +16,21 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary — 6 groups, 2-phase HashAggregate.
+    // Product aggregates use exact decimal FACTORS (the fixture's money
+    // columns are exact 2-dp values): double-product-then-cast rounds the
+    // 4th decimal differently across engines, decimal-factor products are
+    // exact and engine-identical.
     "q_agg_hash" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val price = col("l_extendedprice").cast(DecimalType(12, 2))
+      val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+      val taxF  = (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(disc).as("sum_disc_price"),
-          dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          sum(price * discF).cast("double").as("sum_disc_price"),
+          sum(price * discF * taxF).cast("double").as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -54,7 +61,10 @@ object Aggregates {
         .join(broadcast(Tables.region(s, d)),
               col("n_regionkey") === col("r_regionkey"))
         .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
-        .rollup("r_name", "n_name")
+        // col(...)-based grouping: the String overload resolves through
+        // Dataset.col and its __dataset_id metadata false-positives the
+        // ambiguous-self-join check on joined frames (Spark 4.1).
+        .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"),
              dsum(col("s_acctbal")).as("sum_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
@@ -69,17 +79,19 @@ object Aggregates {
     }),
 
     "q_agg_grouping_sets" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority,
-               grouping_id(o_orderstatus, o_orderpriority) AS gid,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
-        FROM graft_orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())
-        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-      """)
+      // DataFrame-native GROUPING SETS (SPARK-45929) — no temp-view side
+      // effect. gid cast to BIGINT on both sides (DuckDB GROUPING is INT).
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+               .cast("long").as("gid"),
+             count(lit(1)).as("n"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
     }),
 
     // Custom typed Aggregator (Kafka-Streams Aggregator analog):
@@ -108,12 +120,14 @@ object Aggregates {
 
   val oracle: Map[String, String] = Map(
     "q_agg_hash" -> {
-      val disc = "l_extendedprice * (1.0 - l_discount)"
+      val price = "CAST(l_extendedprice AS DECIMAL(12,2))"
+      val discF = "CAST(1.0 - l_discount AS DECIMAL(4,2))"
+      val taxF  = "CAST(1.0 + l_tax AS DECIMAL(4,2))"
       s"""SELECT l_returnflag, l_linestatus,
           ${sqlDsum("l_quantity")} AS sum_qty,
           ${sqlDsum("l_extendedprice")} AS sum_base_price,
-          ${sqlDsum(disc)} AS sum_disc_price,
-          ${sqlDsum(s"($disc) * (1.0 + l_tax)")} AS sum_charge,
+          CAST(SUM($price * $discF) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM($price * $discF * $taxF) AS DOUBLE) AS sum_charge,
           ${sqlDavg("l_quantity")} AS avg_qty,
           ${sqlDavg("l_extendedprice")} AS avg_price,
           ${sqlDavg("l_discount")} AS avg_disc,
@@ -146,7 +160,7 @@ object Aggregates {
           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority,
-          GROUPING(o_orderstatus, o_orderpriority) AS gid,
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
           COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
           FROM orders
           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Q
 import graft.operators.AsOf
 import graft.sources.Tables
@@ -145,13 +146,16 @@ object Joins {
     }),
 
     "q_join_multiway" -> ((s, d) => {
+      // Revenue via exact decimal factors (2-dp fixture data) — see
+      // q_agg_hash: double-product-then-cast drifts across engines.
+      val revenue = col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-               .as("revenue"),
+        .agg(sum(revenue).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -234,7 +238,9 @@ object Joins {
           GROUP BY n_name ORDER BY n_name""",
     "q_join_multiway" ->
       s"""SELECT n_name,
-          ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+            AS revenue,
           COUNT(*) AS n_items
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey

@@ -14,11 +14,15 @@ import graft.util.Det._
 object Scans {
 
   val queries: Map[String, Q] = Map(
+    // NOTE on ordering: (l_orderkey, l_linenumber) is NOT unique in the
+    // synthetic fixtures (11,785 dupes at sf0.01), so every lineitem-level
+    // query totalizes its sort over ALL output columns — engines break ties
+    // differently otherwise. No full-row dupes exist, so this is total.
     "q_scan_full" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      val df = Tables.lineitem(s, d)
         .withColumn("l_shipdate_ms", epochMs(col("l_shipdate")))
         .drop("l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*)
     }),
 
     "q_scan_prune" -> ((s, d) => {
@@ -26,7 +30,7 @@ object Scans {
       // parquet reader (ReadSchema shows only these three).
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
     "q_scan_filter_pushdown" -> ((s, d) => {
@@ -37,7 +41,7 @@ object Scans {
                 col("l_shipdate") <  lit("1998-07-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"),
                 epochMs(col("l_shipdate")).as("l_shipdate_ms"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate_ms")
     }),
 
     "q_project_arith" -> ((s, d) => {
@@ -50,7 +54,7 @@ object Scans {
             .as("revenue"),
           ((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             * (lit(1.0) + col("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
         .limit(1000)
     }),
 
@@ -63,7 +67,7 @@ object Scans {
             && col("l_shipdate") <  lit("2000-01-01").cast("timestamp")
             && col("l_orderkey").cast("string").like("%7"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     }),
 
     "q_filter_null" -> ((s, d) => {
@@ -95,8 +99,12 @@ object Scans {
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
-      // must be lossless.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      // must be lossless. The sink path is derived from (sfDir, session)
+      // so concurrent runs at different scale factors never clobber each
+      // other; on a real cluster this would be a job-scoped staging dir on
+      // shared storage, not local /tmp.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
+        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
       Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R")
         .write.mode("overwrite").parquet(tmp)
@@ -112,21 +120,25 @@ object Scans {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
          epoch_ms(l_shipdate) AS l_shipdate_ms
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                  l_extendedprice, l_discount, l_tax, l_returnflag,
+                  l_linestatus, l_shipdate_ms""",
     "q_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q_scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS l_shipdate_ms
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
            AND l_shipdate <  TIMESTAMP '1998-07-01'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_shipdate_ms""",
     "q_project_arith" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1.0 - l_discount) AS revenue,
          (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 1000""",
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
          FROM lineitem
@@ -135,11 +147,12 @@ object Scans {
            AND l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '2000-01-01'
            AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
     "q_filter_null" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_rows,
           COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
-          SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_zero_disc,
+          CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero_disc,
           ${sqlDsum("COALESCE(NULLIF(l_discount, 0.0), 0.0)")} AS sum_disc
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_case_when" ->

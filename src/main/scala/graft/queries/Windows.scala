@@ -20,19 +20,21 @@ object Windows {
     .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
 
   val queries: Map[String, Q] = Map(
+    // rank outputs cast to BIGINT: Spark's row_number/rank are INT, DuckDB's
+    // are BIGINT, and the hash compare is type-sensitive at the parquet level.
     "q_win_rank" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(byCust).as("rn"),
-          rank().over(byCust).as("rk"),
-          dense_rank().over(byCust).as("drk"))
+          row_number().over(byCust).cast("long").as("rn"),
+          rank().over(byCust).cast("long").as("rk"),
+          dense_rank().over(byCust).cast("long").as("drk"))
         .filter(col("rn") <= 5)
         .orderBy("o_custkey", "rn")
     }),
 
     "q_win_topk_group" -> ((s, d) => {
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(byCust))
+        .withColumn("rn", row_number().over(byCust).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")

@@ -21,7 +21,18 @@ object Tables {
   def part(s: SparkSession, d: String)       = load(s, d, "part")
   def orders(s: SparkSession, d: String)     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String)     = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless the legacy conf maps it to a long. Read
+    * the raw ns-since-epoch long, then integer-divide to µs (identical
+    * truncation to DuckDB's epoch_us; `div` is exact on int64 where a
+    * double division would lose ULPs at 1.7e18). Exposed `ts` is a regular
+    * µs TIMESTAMP, so window()/session_window()/epochUs work unchanged. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String)  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 }

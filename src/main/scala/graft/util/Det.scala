@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 /** Determinism helpers — the SURVEY.md §7.6 contract in code.
   *
@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.DecimalType
   * engines with different summation order and timestamp precision:
   *
   *  - Double sums drift by ULPs with partition order. Summing after a cast
-  *    to DECIMAL(18,4) makes addition exact and order-independent; casting
+  *    to DECIMAL(28,4) makes addition exact and order-independent; casting
   *    the final decimal back to double is then identical on both engines
-  *    (values ≪ 2^53). DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+  *    (values ≪ 2^53). DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE)`.
   *  - `events.ts` is ns in parquet; Spark truncates to µs, DuckDB keeps ns.
   *    All timestamp outputs/comparisons go through epoch integers
   *    (`unix_micros`/`unix_millis` ≙ DuckDB `epoch_us`/`epoch_ms`), which
@@ -39,9 +39,12 @@ object Det {
   def sqlDavg(x: String, dp: Int = 4): String =
     s"ROUND(${sqlDsum(x)} / COUNT(*), $dp)"
 
-  /** Timestamp → epoch microseconds (truncates ns identically to DuckDB epoch_us). */
-  def epochUs(c: Column): Column = unix_micros(c)
+  /** Timestamp → epoch microseconds (DuckDB twin: epoch_us).
+    * Fixtures are TIMESTAMP_NTZ (pyarrow writes no tz); unix_micros only
+    * accepts TIMESTAMP, so cast first — value-preserving under the UTC
+    * session timezone the harness pins. */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Timestamp → epoch milliseconds (DuckDB twin: epoch_ms). */
-  def epochMs(c: Column): Column = unix_millis(c)
+  def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
 }
