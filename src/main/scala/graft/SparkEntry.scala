@@ -10,10 +10,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
-      Windows.queries ++ SortsSets.queries
+      Windows.queries ++ SortsSets.queries ++ Scalars.queries ++
+      LlmOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
-      Windows.oracle ++ SortsSets.oracle
+      Windows.oracle ++ SortsSets.oracle ++ Scalars.oracle ++
+      LlmOps.oracle
 }

@@ -38,6 +38,18 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // HLL++ approximate distinct — mergeable sketch, one shuffle of
+    // fixed-size sketches instead of the full distinct expand at 100 TB.
+    // No SQL oracle (DuckDB's HLL estimates differ); bounds vs the exact
+    // count are asserted in ScalaTest, driver records a rows-only check.
+    "q_agg_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
