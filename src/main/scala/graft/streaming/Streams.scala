@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.util.Det._
+
+/** Event row as fed through MemoryStream in tests (mirrors the `events`
+  * fixture minus `props`). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Running per-user state emitted by [[Streams.statefulCounter]]. */
+case class UserCount(user_id: Long, n_events: Long, sum_value: Double,
+                     last_ts_us: Long)
+
+/** Structured Streaming operators — SURVEY.md §2.9, the reference's native
+  * semantics (a Kafka Streams join example → Spark Structured Streaming).
+  *
+  * Every transform is written against a plain DataFrame so the SAME code
+  * path serves the batch twin (DuckDB-oracled in graft.queries.Windows /
+  * Joins) and the incremental streaming run (ScalaTest batch-equivalence,
+  * the TopologyTestDriver analog). Watermarks are no-ops in batch mode,
+  * so one definition serves both.
+  *
+  * Scale: stateful operators partition by their grouping/join key — state
+  * lives in per-partition StateStores (RocksDB on a real cluster), exactly
+  * the layout a 1000-executor job wants. Nothing below collects to the
+  * driver or assumes a single JVM.
+  */
+object Streams {
+
+  /** KS TimeWindows analog: 1-hour tumbling count+sum per event_type. */
+  def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** KS hopping-window analog: 10-minute windows sliding every 5. */
+  def sliding(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** KS SessionWindows analog: per-user sessions, 30-min inactivity gap. */
+  def session(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+              epochUs(col("session_window.start")).as("session_start_us"),
+              epochUs(col("session_window.end")).as("session_end_us"),
+              col("n_events"), col("sum_value"))
+
+  /** THE reference operator (KStream#join with JoinWindows): view→purchase
+    * attribution within 10 minutes per user, watermarked both sides.
+    * Batch twin: graft.queries.Joins q_join_interval — identical plan,
+    * StreamingSymmetricHashJoinExec instead of SortMergeJoin. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "20 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "20 minutes")
+    v.join(p, col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+              epochUs(col("v_ts")).as("view_ts_us"),
+              epochUs(col("p_ts")).as("purchase_ts_us"),
+              col("purchase_value"))
+  }
+
+  /** KS KStream⋈KTable analog: streaming events against a static dim —
+    * the static side is (re)read per micro-batch, no state store needed. */
+  def streamStatic(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(customers, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+              col("event_type"), col("value"))
+
+  /** Exactly-once-per-key within the watermark: KS reduce-to-first analog. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** KS Processor-API analog (state store + per-record process): running
+    * per-user count/sum/last-seen via flatMapGroupsWithState. */
+  def statefulCounter(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserCount, UserCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0, 0L))
+          // fold in event-id order so replays are deterministic
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
+                      math.max(acc.last_ts_us, e.ts.getTime * 1000L))
+          }
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+/** Plan-shape guards (SURVEY §5.3): the physical plans we argued for in
+  * §4 must actually be the plans Catalyst produces — regressions in plan
+  * quality fail CI here, not silently in the bench.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_join_bcast uses BroadcastHashJoin (GlobalKTable analog)") {
+    assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_fk_agg broadcasts both dims") {
+    val p = plan("q_join_fk_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_scan_filter_pushdown pushes the timestamp predicate to parquet") {
+    val p = plan("q_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate") || p.contains("PushedFilters: [Greater"),
+      s"no pushed filters in:\n${p.take(2000)}")
+  }
+
+  test("q_scan_prune reads only the 3 projected columns") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:bigint,l_quantity:double>")
+      || p.contains("ReadSchema: struct<l_orderkey"),
+      s"projection not pruned:\n${p.take(2000)}")
+    assert(!p.contains("l_extendedprice"), "unprojected column reached the scan")
+  }
+
+  test("no CartesianProduct outside q_join_cross (and broadcast 1-row joins)") {
+    for (name <- SparkEntry.queries.keys
+         if name != "q_join_cross" && name != "q_sim_join") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
+  }
+
+  test("q_join_interval shuffles on the equi key, not a cross product") {
+    val p = plan("q_join_interval")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"interval join degenerated:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_agg_hash uses two-phase HashAggregate") {
+    val p = plan("q_agg_hash")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial agg missing")
+  }
+
+  test("whole-stage codegen covers the hot path of the flagship") {
+    // AQE finalizes the plan only on execution; codegen'd operators carry
+    // the "*(n)" prefix in the executed plan string.
+    val df = SparkEntry.queries("q_join_interval")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen spans in:\n${p.take(1500)}")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The guard that was missing in round 1: every declared key must be
+  * registered, runnable on the smoke tier, and consistent with its oracle
+  * declaration — so the driver's Verify can never silently run nothing.
+  */
+class PreflightSpec extends SparkSpec {
+
+  /** Declared surfaces whose oracle is a ScalaTest, not DuckDB SQL. */
+  private val testOracled = Set("q_agg_approx_distinct")
+
+  test("every query has an oracle (SQL or test) and every oracle a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracleSql keys without a query: ${o -- q}")
+    assert((q -- o -- testOracled).isEmpty,
+      s"queries missing an oracle declaration: ${q -- o -- testOracled}")
+  }
+
+  test("the registry is non-trivial (wiring regression guard)") {
+    assert(SparkEntry.queries.size >= 61)
+    assert(SparkEntry.oracleSql.size >= 60)
+  }
+
+  test("entry() smoke: flagship runs on sf0.001 with rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Every declared query must execute on sf0.001 and, run twice, produce
+  // an identical result (determinism contract §7.6 — total ordering).
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs deterministically on sf0.001") {
+      val a = fn(spark, sf0001)
+      val rows1 = a.collect().map(_.toString).toSeq
+      val rows2 = fn(spark, sf0001).collect().map(_.toString).toSeq
+      assert(rows1 === rows2, "two runs differed — nondeterministic output")
+      assert(a.schema.fieldNames.distinct.length === a.schema.fieldNames.length,
+        "duplicate output column names break the driver's column-sorted hash")
+      // empty results are legal for some keys at sf0.001, but the query
+      // must at least produce a schema
+      assert(a.schema.nonEmpty)
+    }
+  }
+
+  test("q_agg_approx_distinct: HLL estimate within 5% of exact") {
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf0001)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"$k: approx $a vs exact $e beyond 5% (HLL++ default rsd is 5%)")
+    }
+  }
+
+  test("oracle SQL is single-statement and bare-table-referenced") {
+    for ((k, sql) <- SparkEntry.oracleSql) {
+      assert(!sql.contains(";"), s"$k: multi-statement oracle")
+      assert(!sql.toLowerCase.contains("read_parquet"),
+        s"$k: oracle must reference bare table names (driver binds views)")
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated micro-frames (SURVEY §5.3) — engine-level
+  * invariants that hold for ANY data, complementing the fixture oracles.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genPairs: Gen[List[(Int, Int)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))
+
+  /** scalatestplus-scalacheck isn't in the offline cache — drive ScalaCheck
+    * generators directly with fixed seeds (deterministic, CI-stable). */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to 10).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 10).foreach { i =>
+      body(g1.apply(Gen.Parameters.default, Seed(i.toLong)).get,
+           g2.apply(Gen.Parameters.default, Seed(i.toLong + 100)).get)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private def df(xs: List[(Int, Int)], k: String, v: String): DataFrame =
+    xs.toDF(k, v)
+
+  test("join algebra: inner ⊆ left; |left| ≥ |L|; semi ⊎ anti ≡ L-keys") {
+    forAll(genPairs, genPairs) { (l, r) =>
+      whenever(l.nonEmpty) {
+        val L = df(l, "k", "lv")
+        val R = df(r, "k", "rv")
+        val inner = L.join(R, Seq("k")).count()
+        val left = L.join(R, Seq("k"), "left").count()
+        val semi = L.join(R, Seq("k"), "left_semi").count()
+        val anti = L.join(R, Seq("k"), "left_anti").count()
+        assert(left >= L.count())   // left keeps every left row
+        assert(inner <= left)       // inner is a subset of left matches
+        assert(semi + anti === L.count()) // semi/anti partition the left side
+      }
+    }
+  }
+
+  test("set ops: (A except B) ⊎ (A intersect B) ≡ distinct A") {
+    forAll(genPairs, genPairs) { (a, b) =>
+      val A = df(a, "k", "v").select("k")
+      val B = df(b, "k", "v").select("k")
+      val ex = A.except(B).count()
+      val in = A.intersect(B).count()
+      assert(ex + in === A.distinct().count())
+    }
+  }
+
+  test("tumbling windows: per-window counts sum to the row total") {
+    forAll(Gen.listOfN(40, Gen.choose(0L, 10000L))) { tsSecs =>
+      whenever(tsSecs.nonEmpty) {
+        val events = tsSecs.map(s => (new java.sql.Timestamp(s * 1000L), 1))
+          .toDF("ts", "one")
+        val windowed = events.groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+        assert(windowed.agg(sum("n")).head.getLong(0) === tsSecs.size.toLong)
+      }
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct key") {
+    forAll(genPairs) { xs =>
+      whenever(xs.nonEmpty) {
+        val d = df(xs, "k", "v")
+        val once = d.groupBy("k").agg(min("v").as("v"))
+        val twice = once.groupBy("k").agg(min("v").as("v"))
+        assert(once.count() === xs.map(_._1).distinct.size.toLong)
+        assert(once.collect().toSet === twice.collect().toSet)
+      }
+    }
+  }
+
+  test("as-of join: every left row survives; carried time ≤ left time") {
+    forAll(genPairs, genPairs) { (l, r) =>
+      whenever(l.nonEmpty && r.nonEmpty) {
+        val L = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t.toLong) }
+          .toDF("lid", "k", "lt")
+        val R = r.distinct.map { case (k, t) => (k, t.toLong, s"v$k-$t") }
+          .toDF("rk", "rt", "rv")
+          .groupBy("rk", "rt").agg(first("rv").as("rv"))
+        val out = graft.operators.AsOf.join(L, R, "k", "rk", "lt", "rt", Seq("rv", "rt"))
+        assert(out.count() === L.count())
+        // for matched rows the carried right time never exceeds left time
+        val bad = out.filter(col("rv").isNotNull && col("rt") > col("lt")).count()
+        assert(bad === 0L)
+      }
+    }
+  }
+}

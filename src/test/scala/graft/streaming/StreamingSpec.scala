@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.SparkSpec
+
+/** Batch-equivalence harness for every s_* surface (SURVEY §2.9/§5.3) —
+  * the TopologyTestDriver analog: drive out-of-order micro-batches through
+  * MemoryStream, compare the final MemorySink contents to the SAME
+  * transform applied in one batch.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  /** Out-of-order fixture: 3 users, views+purchases interleaved across a
+    * 3-hour span. Fed in 3 batches with late arrivals inside watermark. */
+  private val batch1 = Seq(
+    Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(8), 1, "purchase", 10.0),
+    Ev(3, ts(10), 2, "view", 1.0), Ev(4, ts(62), 2, "click", 0.5))
+  private val batch2 = Seq(
+    Ev(5, ts(14), 2, "purchase", 20.0), // 4 min after view 3 → joins
+    Ev(6, ts(70), 1, "view", 1.0), Ev(7, ts(85), 1, "purchase", 30.0), // 15 min gap → NO join
+    Ev(8, ts(66), 3, "view", 1.0))
+  private val batch3 = Seq(
+    Ev(9, ts(72), 3, "purchase", 40.0), // 6 min after view 8 → joins
+    Ev(10, ts(130), 2, "view", 1.0), Ev(11, ts(131), 2, "purchase", 50.0),
+    Ev(12, ts(180), 1, "click", 2.0))
+  private val all = batch1 ++ batch2 ++ batch3
+  /** sentinel far in the future — advances the watermark past everything */
+  private val flush = Seq(Ev(99, ts(100000), 9, "flush", 0.0))
+
+  /** Run `f` over the batches incrementally, return final sink contents. */
+  private def runStream(name: String, mode: String,
+                        batches: Seq[Seq[Ev]],
+                        f: DataFrame => DataFrame): DataFrame = {
+    val mem = MemoryStream[Ev](spark)
+    val q: StreamingQuery = f(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("s_source_memory: MemoryStream → MemorySink round trip") {
+    val out = runStream("t_source", "append", Seq(batch1, batch2),
+      df => df.select("event_id", "user_id", "event_type"))
+    assert(out.count() === (batch1.size + batch2.size))
+    assert(sortedRows(out) ===
+      sortedRows((batch1 ++ batch2).toDF().select("event_id", "user_id", "event_type")))
+  }
+
+  test("s_tumbling: incremental result equals batch twin") {
+    val noFlush = col("event_type") =!= "flush"
+    val stream = runStream("t_tumb", "append", Seq(batch1, batch2, batch3, flush),
+      Streams.tumbling(_)).filter(noFlush)
+    val batch = Streams.tumbling((all ++ flush).toDF()).filter(noFlush)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  // sliding/session use a 60-min watermark here: the fixture's replayed
+  // events are up to 48 min late, and unlike tumbling (whose 1-hour windows
+  // stay open long enough), 10-min sliding/session windows would correctly
+  // DROP them — which s_watermark_late asserts separately.
+  test("s_sliding: incremental result equals batch twin") {
+    val noFlush = col("event_type") =!= "flush"
+    val stream = runStream("t_slide", "append", Seq(batch1, batch2, batch3, flush),
+      Streams.sliding(_, watermark = "60 minutes")).filter(noFlush)
+    val batch = Streams.sliding((all ++ flush).toDF()).filter(noFlush)
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("s_session: incremental result equals batch twin") {
+    val noFlush = col("user_id") =!= 9
+    val stream = runStream("t_sess", "append", Seq(batch1, batch2, batch3, flush),
+      Streams.session(_, watermark = "60 minutes")).filter(noFlush)
+    val batch = Streams.session((all ++ flush).toDF()).filter(noFlush)
+    assert(sortedRows(stream) === sortedRows(batch))
+    // sanity: user 2's events at minutes 10,14 merge into ONE session
+    // (gap < 30m) ending 14+30; the click at 62 starts a new one.
+    val u2 = stream.filter(col("user_id") === 2)
+      .orderBy("session_start_us").collect()
+    assert(u2.head.getAs[Long]("n_events") === 2)
+    assert(u2.head.getAs[Long]("session_end_us") === (14L + 30L) * 60000000L)
+  }
+
+  test("s_watermark_late: events later than the watermark are dropped") {
+    // batch A advances watermark to ~minute 170 (max 180 − 10m wm);
+    // batch B's event at minute 30 is hopelessly late → dropped.
+    val a = Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(12, ts(180), 1, "click", 2.0))
+    val late = Seq(Ev(13, ts(30), 1, "view", 7.0))
+    val stream = runStream("t_late", "append", Seq(a, late, flush),
+      Streams.tumbling(_))
+    // window [0h,1h) must count ONLY event 1 — the late view never lands
+    val h0 = stream.filter(col("ws_us") === 0L).collect()
+    assert(h0.length === 1 && h0.head.getAs[Long]("n") === 1L)
+    // …whereas the batch twin over all rows would count 2 there
+    val batchH0 = Streams.tumbling((a ++ late ++ flush).toDF())
+      .filter(col("ws_us") === 0L).collect()
+    assert(batchH0.head.getAs[Long]("n") === 2L)
+  }
+
+  test("s_join_stream_stream: the flagship — equals q_join_interval logic") {
+    val mkViews = (df: DataFrame) => df.filter(col("event_type") === "view")
+    val mkPurch = (df: DataFrame) => df.filter(col("event_type") === "purchase")
+    val mem = MemoryStream[Ev](spark)
+    val src = mem.toDF()
+    val q = Streams.viewPurchaseJoin(mkViews(src), mkPurch(src))
+      .writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try Seq(batch1, batch2, batch3, flush).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("t_ssj")
+    val batchDf = (all ++ flush).toDF()
+    val batch = Streams.viewPurchaseJoin(mkViews(batchDf), mkPurch(batchDf))
+    assert(sortedRows(stream) === sortedRows(batch))
+    // pairs within 10 min: (1→2, 3 min), (3→5, 4 min), (8→9, 6 min),
+    // (10→11, 1 min); NOT (6→7, 15 min)
+    val pairs = stream.select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 5L), (8L, 9L), (10L, 11L)))
+  }
+
+  test("s_join_stream_static: stream events × static customer dim") {
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+    val stream = runStream("t_sst", "append", Seq(batch1, batch2),
+      Streams.streamStatic(_, dim))
+    val batch = Streams.streamStatic((batch1 ++ batch2).toDF(), dim)
+    assert(sortedRows(stream) === sortedRows(batch))
+    assert(stream.count() > 0) // user_ids 1..3 exist in the customer dim
+  }
+
+  test("s_dedup: duplicate event_ids within watermark collapse to one") {
+    val dups = Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(1, ts(5), 1, "view", 1.0))
+    val more = Seq(Ev(1, ts(6), 1, "view", 1.0), // same id again, batch 2
+                   Ev(2, ts(7), 1, "click", 0.5))
+    val stream = runStream("t_dedup", "append", Seq(dups, more, flush),
+      Streams.dedup(_))
+    assert(stream.select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L, 99L))
+  }
+
+  test("s_stateful_counter: running per-user state matches batch fold") {
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.statefulCounter(mem.toDS())
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    // LAST emission per user = final state; compare to a plain batch agg
+    val finalState = spark.table("t_state")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val expected = all.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"),
+           (max(unix_micros(col("ts")))).as("last_ts_us"))
+    assert(sortedRows(finalState.select("user_id", "n_events", "sum_value", "last_ts_us"))
+      === sortedRows(expected.select("user_id", "n_events", "sum_value", "last_ts_us")))
+  }
+
+  test("s_output_modes: complete ⊇ update ⊇ final changes; counts agree") {
+    def agg(df: DataFrame) =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val complete = runStream("t_mode_c", "complete", Seq(batch1, batch2, batch3), agg)
+    // complete mode: final table is exactly the batch result
+    assert(sortedRows(complete) === sortedRows(agg(all.toDF())))
+    // update mode: sink accumulates every changed row; the LAST row per
+    // user equals the batch result
+    val mem = MemoryStream[Ev](spark)
+    val q = agg(mem.toDF()).writeStream.format("memory")
+      .queryName("t_mode_u").outputMode("update").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val lastPerUser = spark.table("t_mode_u")
+      .groupBy("user_id").agg(max("n").as("n"))
+    assert(sortedRows(lastPerUser) === sortedRows(agg(all.toDF())))
+  }
+}
