@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT + codegen + parquet footer caches, so the first
+    // timed query measures the operator, not JVM startup.
+    try {
+      SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q_agg_hash").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
