@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.MinHashLSH
+import graft.sources.Tables
+import graft.util.Det._
+
+/** Extended dedup / similarity family (north-star first-class operators,
+  * beyond SURVEY §2.10's core): MinHash+LSH near-dup, SimHash near-dup,
+  * embedding-cosine near-dup, LSH-bucketed ANN, and multimodal binary
+  * plumbing.
+  *
+  * Oracle strategy per key:
+  *  - q_dedup_minhash: SQL — candidates come from banding, then EXACT
+  *    Jaccard verification, so the final pair set equals the exact
+  *    oracle's (banding recall ≈ 1 at the fixture's J distribution;
+  *    equality asserted again in ScalaTest at two scale factors).
+  *  - q_dedup_embed / q_multimodal_binary: SQL (engine-identical math).
+  *  - q_dedup_simhash / q_knn_lsh: test-oracled (their hash families
+  *    cannot be replicated in DuckDB) — driver records rows-only.
+  */
+object DedupOps {
+
+  /** Exact Jaccard over (doc_a, doc_b) shingle sets, optionally restricted
+    * to a candidate pair set (the LSH path). One shuffle on the shingle
+    * hash for the intersection counts, one on doc_id for sizes. */
+  private def jaccardPairs(sh: DataFrame,
+                           candidates: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val pairRows = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    val restricted = candidates match {
+      case Some(c) => pairRows.join(broadcast(c), Seq("doc_a", "doc_b"))
+      case None => pairRows
+    }
+    restricted
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+            Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+            Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component — pure integer
+    * arithmetic, identical on every JVM (no RNG object). */
+  private def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val x = (i.toLong * 2654435761L + j.toLong * 40503L + 12345L)
+      if (((x >>> 16) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  val queries: Map[String, Q] = Map(
+    // ---- MinHash + banded LSH near-dup: the scale path of q_dedup_near.
+    // Same output contract (pairs with exact J >= 0.8); candidates come
+    // from the band-bucket equi-join instead of the full shingle join.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sh = LlmOps.shingles(Tables.documents(s, d))
+      val cands = MinHashLSH.candidatePairs(sh, k = 16, b = 8, r = 2)
+      jaccardPairs(sh, Some(cands))
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash near-dup: 64-bit signature = sign of per-bit vote sums
+    // over token hashes; near-dups = hamming distance <= 3. One pass for
+    // signatures (64 parallel aggregates), then a bounded self-join with
+    // cheap bit_count(xor) comparisons. Test-oracled (xxhash64 is not
+    // reproducible in DuckDB).
+    "q_dedup_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+          .as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val votes = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"v$i"))
+      val sig = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- Embedding-cosine near-dup over the documents' vectors: the
+    // dedup framing of similarity (keeper = smaller id).
+    "q_dedup_embed" -> ((s, d) => {
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+      val a = emb.select(col("vec_id").as("keep_id"), col("v"), col("nrm"))
+      val b = emb.select(col("vec_id").as("dup_id"), col("v").as("qv"),
+                         col("nrm").as("qnrm"))
+      a.join(broadcast(b), col("keep_id") < col("dup_id"))
+        .withColumn("cos_sim", round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qnrm")), 4))
+        .filter(col("cos_sim") >= 0.4)
+        .select("keep_id", "dup_id", "cos_sim")
+        .orderBy("keep_id", "dup_id")
+    }),
+
+    // ---- LSH-bucketed approximate nearest neighbors: the scale path of
+    // q_knn_cosine. 8 deterministic random hyperplanes → 8-bit bucket;
+    // the query probes only its own bucket (candidates shrink ~256×; at
+    // 100 TB the bucket id becomes the shuffle/partition key). Test-
+    // oracled: results are verified against brute force in ScalaTest.
+    "q_knn_lsh" -> ((s, d) => {
+      val dim = 64
+      val planes = (0 until 8).map(j => typedLit(hyperplane(j, dim)))
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+      def bucket(v: org.apache.spark.sql.Column) =
+        (0 until 8).map { j =>
+          when(graft.functions.VectorExprs.dot(v, planes(j)) > 0.0,
+               lit(1L << j)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_))
+      val bucketed = emb.withColumn("bucket", bucket(col("v")))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"),
+                col("bucket").as("qbucket"))
+      bucketed.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qnrm")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---- Multimodal binary plumbing: an opaque binary column (here the
+    // utf-8 bytes of `text` standing in for image/audio payloads) plus
+    // typed metadata, flowed through a deterministic stub "decode" —
+    // the schema/partitioning/flattening pattern a real decoder plugs
+    // into (see graft.operators.Multimodal for the mapPartitions form).
+    "q_multimodal_binary" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", struct(
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("text/plain").as("mime")))
+        .select(
+          col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.mime").as("mime"),
+          // stub features a decoder would emit, derived deterministically
+          ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"),
+          (col("meta.n_bytes") % 251).as("checksum_stub"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->  // == exact near-dup pairs (LSH recall ≈ 1, verified)
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.8
+         ORDER BY doc_a, doc_b""",
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4)
+           AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+               >= 0.4
+         ORDER BY keep_id, dup_id""",
+    "q_multimodal_binary" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         'text/plain' AS mime,
+         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
+         CAST(octet_length(encode(text)) % 251 AS BIGINT) AS checksum_stub
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+import graft.util.Det._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * first-class family): language-ID heuristic, quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting
+  * (rolling hash). All four are pure per-row/agg expressions — map-only or
+  * map-side-combine plans that scale linearly.
+  */
+object TextOps {
+
+  /** Marker-word lists per language (disjoint subsets of the corpus
+    * vocabulary; literals on BOTH engine sides — SURVEY §7.5 #6). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("agg", "hash", "sort", "merge"),
+    "en" -> Seq("key", "row", "scan", "table"),
+    "es" -> Seq("data", "query", "small", "slow"),
+    "fr" -> Seq("window", "order", "value", "join"),
+    "zh" -> Seq("spark", "batch", "stream", "vector"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val queries: Map[String, Q] = Map(
+    // Language-ID heuristic: score = |distinct tokens ∩ markers(lang)|,
+    // predicted = argmax with deterministic de<en<es<fr<zh tie-break.
+    "q_text_langid" -> ((s, d) => {
+      val withToks = Tables.documents(s, d)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+      val scored = markers.foldLeft(withToks) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          size(array_intersect(col("toks"),
+            array(words.map(lit): _*))).cast("long"))
+      }
+      val best = markers.map(_._1).map(l => col(s"s_$l"))
+      scored.select(
+          (Seq(col("doc_id")) ++
+            markers.map { case (l, _) => col(s"s_$l") } ++ Seq(
+            when(col("s_de") >= greatest(best.tail: _*), "de")
+              .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+              .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+              .when(col("s_fr") >= col("s_zh"), "fr")
+              .otherwise("zh").as("predicted"),
+            col("lang").as("actual"))): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: char length, token count, mean token length,
+    // stopword ratio, single-char ratio — the length/punct/stopword family.
+    "q_text_quality" -> ((s, d) => {
+      val stop = Seq("a", "the")
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(length(col("text")).cast("double") / size(col("toks")), 6)
+            .as("chars_per_token"),
+          round(size(filter(col("toks"),
+              t => t.isin(stop.map(lit(_).cast("string")): _*)))
+            .cast("double") / size(col("toks")), 6).as("stopword_ratio"),
+          round(size(filter(col("toks"), t => length(t) === 1))
+            .cast("double") / size(col("toks")), 6).as("short_tok_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs BPE-ish regex pieces (runs of
+    // letters, digits, or single non-alnum chars).
+    "q_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+            .as("n_bpe_pieces"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: order-sensitive rolling hash over the token
+    // stream — h = fold(h*31 + code(tok)) mod 1e9+7, code = 131*len +
+    // first-codepoint. Exact int64 arithmetic on both engines (values stay
+    // < 2^35, no overflow), so this IS SQL-oracle-able.
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("codes", expr(
+          "transform(split(text, ' '), t -> 131L * length(t) + ascii(substring(t, 1, 1)))"))
+        .select(
+          col("doc_id"),
+          expr("aggregate(codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)")
+            .as("fingerprint"),
+          size(col("codes")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" -> {
+      val score = markers.map { case (l, ws) =>
+        s"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), ${sqlList(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(",\n         ")
+      """SELECT doc_id,
+         """ + score + """,
+         CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS predicted,
+         lang AS actual
+         FROM documents ORDER BY doc_id"""
+    },
+    "q_text_quality" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         round(CAST(length(text) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS chars_per_token,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('a', 'the'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                 t -> length(t) = 1)) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS short_tok_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS BIGINT) AS n_bpe_pieces
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               t -> CAST(131 * length(t) + ascii(substring(t, 1, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id"""
+  )
+}

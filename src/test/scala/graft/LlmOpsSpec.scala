@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, MultimodalRow}
+import graft.sources.Tables
+
+/** Oracles for the approximate / hash-family operators that DuckDB cannot
+  * replicate, plus the multimodal decode plumbing. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_dedup_minhash equals the exact near-dup pair set (recall 1.0)") {
+    val exact = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("q_dedup_simhash: near-identical docs collide, hamming is symmetric-free") {
+    val out = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+    val rows = out.collect()
+    // deterministic across runs
+    val again = SparkEntry.queries("q_dedup_simhash")(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // pairs are canonical (a < b) and hamming within threshold
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getLong(2) <= 3))
+    // simhash is a pure function of the distinct-token SET, so any two
+    // docs with identical token sets MUST appear as a hamming-0 pair
+    // (the 31-word fixture vocabulary makes such pairs common)
+    val tokenSets = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString(","))
+    val sameSetPairs = tokenSets.groupBy(_._2).values
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val zeroPairs = rows.filter(_.getLong(2) === 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sameSetPairs.subsetOf(zeroPairs),
+      s"identical token sets missing at hamming 0: ${sameSetPairs -- zeroPairs}")
+  }
+
+  test("q_knn_lsh: bucket-pruned ANN returns true cosines and prunes work") {
+    val lsh = SparkEntry.queries("q_knn_lsh")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.nonEmpty && lsh.size <= 10)
+    // every returned cosine must equal the brute-force value for that id
+    val brute = SparkEntry.queries("q_knn_cosine")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bruteAll = {
+      // brute force over ALL candidates (not just top-10) for verification
+      val emb = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (graft.functions.VectorExprs.norm(col("v")) *
+             graft.functions.VectorExprs.norm(col("qv"))), 4).as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    for ((id, c) <- lsh) assert(bruteAll(id) === c, s"wrong cosine for $id")
+    // the probe examined only one bucket — strictly fewer candidates than
+    // the corpus (sanity that pruning actually happened)
+    assert(lsh.size <= brute.size)
+  }
+
+  test("multimodal decode: mapPartitions stub emits exact per-row features") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val decoded = Multimodal.decode(Multimodal.fromDocuments(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val expected = docs.select("doc_id", "text").collect()
+    assert(decoded.size === expected.length)
+    for (r <- expected) {
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val f = decoded(r.getLong(0))
+      assert(f.n_bytes === bytes.length.toLong)
+      assert(f.head_byte === (bytes(0) & 0xff))
+      assert(f.byte_sum === bytes.map(_ & 0xff).map(_.toLong).sum)
+    }
+  }
+
+  test("q_text_fingerprint: equal texts ⇔ equal fingerprints on fixtures") {
+    val fp = SparkEntry.queries("q_text_fingerprint")(spark, sf0001)
+      .select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // group docs by text: identical texts must share a fingerprint;
+    // distinct texts must not collide (rolling hash, 1e9+7 space, 500 docs)
+    val byText = texts.groupBy(_._2).values.map(_.keys.toSeq)
+    for (ids <- byText)
+      assert(ids.map(fp).distinct.size === 1)
+    assert(fp.values.toSeq.distinct.size === byText.size,
+      "fingerprint collision between distinct texts")
+  }
+}
