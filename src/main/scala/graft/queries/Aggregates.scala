@@ -178,9 +178,12 @@ object Aggregates {
           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                   (o_orderstatus), ())
           ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-    "q_agg_udaf" ->
+    "q_agg_udaf" ->  // decimal sums ≙ the UDAF's scaled-long accumulation
       """SELECT l_returnflag,
-         ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wmean_disc,
+         ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(28,4)))
+                    AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 6)
+           AS wmean_disc,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_sort_fallback" ->
