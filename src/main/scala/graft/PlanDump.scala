@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    for (name <- args) {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      println(s"########## $name")
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Aggregate") || l.contains("Scan") || l.contains("Sort") ||
+          l.contains("Window") || l.contains("Expand")).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
