@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Q
-import graft.operators.AsOf
+import graft.operators.{AsOf, SaltedJoin}
 import graft.sources.Tables
 import graft.util.Det._
 
@@ -160,6 +160,19 @@ object Joins {
         .orderBy("n_name")
     }),
 
+    // Skew-mitigated join (salting): events (hot user_ids at scale) ⋈
+    // customer, salted 8 ways. Result — and therefore the oracle SQL —
+    // is identical to the plain equi-join; see operators/SaltedJoin.
+    "q_join_salted" -> ((s, d) => {
+      SaltedJoin.join(
+          Tables.events(s, d), Tables.customer(s, d),
+          "user_id", "c_custkey",
+          Seq(col("event_id")), n = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_join_fk_agg" -> ((s, d) => {
       // KIP-213 foreign-key join analog: supplier→nation→region, then
       // re-aggregate per region.
@@ -247,6 +260,11 @@ object Joins {
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           GROUP BY n_name ORDER BY n_name""",
+    "q_join_salted" ->  // plain equi-join oracle: salting is result-neutral
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+          ${sqlDsum("value")} AS sum_value
+          FROM events JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_join_fk_agg" ->
       s"""SELECT r_name, COUNT(*) AS n_suppliers,
           ${sqlDsum("s_acctbal")} AS sum_acctbal

@@ -96,6 +96,24 @@ object Scans {
         .orderBy("band")
     }),
 
+    // Partitioned sink + partition-pruned re-read: write lineitem
+    // partitioned by l_returnflag, read back ONLY the 'R' partition (the
+    // scan shows PartitionFilters, not a data filter — directory-level
+    // pruning, the layout a 100-TB table would use). Oracle runs the
+    // equivalent WHERE over the original table.
+    "q_sink_partitioned" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
@@ -165,6 +183,10 @@ object Scans {
     "q_sink_roundtrip" ->
       s"""SELECT l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
           FROM lineitem WHERE l_returnflag = 'R'
-          GROUP BY l_linestatus ORDER BY l_linestatus"""
+          GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_sink_partitioned" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+          FROM lineitem WHERE l_returnflag = 'R'
+          GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -39,6 +39,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_extendedprice"), "unprojected column reached the scan")
   }
 
+  test("q_sink_partitioned prunes at the partition (directory) level") {
+    val p = plan("q_sink_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition pruning in:\n${p.take(2000)}")
+  }
+
   test("no CartesianProduct outside q_join_cross (and broadcast 1-row joins)") {
     for (name <- SparkEntry.queries.keys
          if name != "q_join_cross" && name != "q_sim_join") {

@@ -22,8 +22,8 @@ class PreflightSpec extends SparkSpec {
   }
 
   test("the registry is non-trivial (wiring regression guard)") {
-    assert(SparkEntry.queries.size >= 72)
-    assert(SparkEntry.oracleSql.size >= 69)
+    assert(SparkEntry.queries.size >= 74)
+    assert(SparkEntry.oracleSql.size >= 71)
   }
 
   test("entry() smoke: flagship runs on sf0.001 with rows > 0") {

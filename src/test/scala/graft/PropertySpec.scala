@@ -81,6 +81,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join ≡ plain join for any salt fan-out") {
+    forAll(genPairs, genPairs) { (l, r) =>
+      whenever(l.nonEmpty && r.nonEmpty) {
+        val L = l.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+          .toDF("id", "k", "lv")
+        val R = r.distinct.toDF("rk", "rv")
+        val plain = L.join(R, col("k") === col("rk"))
+          .select("id", "k", "lv", "rk", "rv")
+        for (n <- Seq(1, 4)) {
+          val salted = graft.operators.SaltedJoin
+            .join(L, R, "k", "rk", Seq(col("id")), n)
+            .select("id", "k", "lv", "rk", "rv")
+          assert(salted.collect().map(_.toString).sorted.toSeq ===
+            plain.collect().map(_.toString).sorted.toSeq)
+        }
+      }
+    }
+  }
+
   test("as-of join: every left row survives; carried time ≤ left time") {
     forAll(genPairs, genPairs) { (l, r) =>
       whenever(l.nonEmpty && r.nonEmpty) {
