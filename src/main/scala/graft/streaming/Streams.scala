@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.util.Det._
@@ -89,6 +89,40 @@ object Streams {
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Spark 4 `transformWithState` form of [[statefulCounter]] — the
+    * successor API (SPARK-46815): explicit `ValueState` handle from the
+    * processor lifecycle, same running per-user count/sum/last-seen.
+    * Both forms are kept: flatMapGroupsWithState is the stable cross-
+    * version API, StatefulProcessor the forward-looking one; the spec
+    * asserts they produce identical final state. */
+  def statefulCounterTws(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserCount] {
+          @transient private var state:
+            org.apache.spark.sql.streaming.ValueState[UserCount] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[UserCount](
+              "userCount", Encoders.product[UserCount], TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[Ev],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[UserCount] = {
+            val prev = Option(state.get())
+              .getOrElse(UserCount(user, 0L, 0.0, 0L))
+            val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
+              UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
+                        math.max(acc.last_ts_us, e.ts.getTime * 1000L))
+            }
+            state.update(next)
+            Iterator.single(next)
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** KS Processor-API analog (state store + per-record process): running
     * per-user count/sum/last-seen via flatMapGroupsWithState. */

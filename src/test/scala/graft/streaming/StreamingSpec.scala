@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpec {
       === sortedRows(expected.select("user_id", "n_events", "sum_value", "last_ts_us")))
   }
 
+  test("s_stateful_counter: transformWithState matches flatMapGroupsWithState") {
+    // transformWithState needs the RocksDB state store (multiple column
+    // families); the default HDFS-backed provider rejects it
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.statefulCounterTws(mem.toDS())
+      .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    def lastPerUser(t: String) = spark.table(t)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("sum_value").as("sum_value"),
+           max("last_ts_us").as("last_ts_us"))
+    // t_state was produced by the flatMapGroupsWithState test; rebuild the
+    // final state from a fresh fmgws run to avoid cross-test ordering
+    val mem2 = MemoryStream[Ev](spark)
+    val q2 = Streams.statefulCounter(mem2.toDS())
+      .writeStream.format("memory").queryName("t_fmgws").outputMode("update").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem2.addData(b); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sortedRows(lastPerUser("t_tws")) === sortedRows(lastPerUser("t_fmgws")))
+  }
+
   test("s_output_modes: complete ⊇ update ⊇ final changes; counts agree") {
     def agg(df: DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("n"))
