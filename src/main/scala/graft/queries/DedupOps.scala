@@ -139,6 +139,45 @@ object DedupOps {
         .limit(10)
     }),
 
+    // ---- IVF-flat approximate nearest neighbors: the OTHER ANN scale
+    // path (vs q_knn_lsh's hyperplane buckets). Coarse quantizer = 8
+    // fixed centroid vectors (vec_ids 1..8 — a degenerate but
+    // deterministic "training"); every vector is assigned to its nearest
+    // centroid cell, the query probes its nprobe=2 nearest cells. At
+    // 100 TB the cell id is the partition key and each probe touches
+    // ~nprobe/ncells of the corpus. Test-oracled (cosines verified
+    // against brute force).
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+                col("nrm").as("cnrm"))
+      def cellOf(df: DataFrame, idCol: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("sim").desc, col("cent_id").asc)
+        df.crossJoin(broadcast(cents))
+          .withColumn("sim",
+            graft.functions.VectorExprs.dot(col("v"), col("cv")) /
+              (col("nrm") * col("cnrm")))
+          .withColumn("rk", row_number().over(w))
+      }
+      val assigned = cellOf(emb, "vec_id").filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      val qCells = cellOf(emb.filter(col("vec_id") === 0), "vec_id")
+        .filter(col("rk") <= 2) // nprobe = 2
+        .select(col("cent_id").as("cell"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(qCells), Seq("cell"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (col("nrm") * col("qnrm")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- Multimodal binary plumbing: an opaque binary column (here the
     // utf-8 bytes of `text` standing in for image/audio payloads) plus
     // typed metadata, flowed through a deterministic stub "decode" —

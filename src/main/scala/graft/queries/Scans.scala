@@ -114,6 +114,39 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // JSON and CSV source/sink roundtrips — the reference's records are
+    // serde-encoded (JSON/Avro) Kafka messages; these exercise the same
+    // encode→decode boundary on files. Schemas are EXPLICIT on re-read
+    // (inference on JSON/CSV demotes timestamps to strings and is a
+    // full extra pass at 100 TB).
+    "q_sink_json" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(col("o_totalprice") > 200000.0)
+        .write.mode("overwrite").json(tmp)
+      s.read.schema(
+          "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double")
+        .json(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_sink_csv" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .option("header", "true").csv(tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
@@ -187,6 +220,15 @@ object Scans {
     "q_sink_partitioned" ->
       s"""SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
           FROM lineitem WHERE l_returnflag = 'R'
-          GROUP BY l_returnflag ORDER BY l_returnflag"""
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sink_json" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+          ${sqlDsum("o_totalprice")} AS sum_price
+          FROM orders WHERE o_totalprice > 200000.0
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_sink_csv" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+          ${sqlDsum("c_acctbal")} AS sum_acctbal
+          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

@@ -70,6 +70,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
+  test("q_knn_ivf: cell-probed ANN returns true cosines, prunes candidates") {
+    val ivf = SparkEntry.queries("q_knn_ivf")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty && ivf.size <= 10)
+    val again = SparkEntry.queries("q_knn_ivf")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf === again, "IVF probe not deterministic")
+    val bruteAll = {
+      val emb = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (graft.functions.VectorExprs.norm(col("v")) *
+             graft.functions.VectorExprs.norm(col("qv"))), 4).as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    for ((id, c) <- ivf) assert(bruteAll(id) === c, s"wrong cosine for $id")
+  }
+
   test("multimodal decode: mapPartitions stub emits exact per-row features") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val decoded = Multimodal.decode(Multimodal.fromDocuments(docs))

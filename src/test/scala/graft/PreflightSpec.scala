@@ -11,7 +11,7 @@ class PreflightSpec extends SparkSpec {
   /** Declared surfaces whose oracle is a ScalaTest, not DuckDB SQL
     * (approximate results / hash families DuckDB can't replicate). */
   private val testOracled =
-    Set("q_agg_approx_distinct", "q_dedup_simhash", "q_knn_lsh")
+    Set("q_agg_approx_distinct", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
 
   test("every query has an oracle (SQL or test) and every oracle a query") {
     val q = SparkEntry.queries.keySet
@@ -22,8 +22,8 @@ class PreflightSpec extends SparkSpec {
   }
 
   test("the registry is non-trivial (wiring regression guard)") {
-    assert(SparkEntry.queries.size >= 74)
-    assert(SparkEntry.oracleSql.size >= 71)
+    assert(SparkEntry.queries.size >= 77)
+    assert(SparkEntry.oracleSql.size >= 73)
   }
 
   test("entry() smoke: flagship runs on sf0.001 with rows > 0") {
