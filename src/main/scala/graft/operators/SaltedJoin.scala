@@ -30,8 +30,10 @@ object SaltedJoin {
       pmod(xxhash64(saltSrc: _*), lit(n.toLong)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
+    // side-qualified refs: col(key) alone is AMBIGUOUS_REFERENCE whenever
+    // both sides share the key's column name (the common equi-join shape)
     l.join(r, l("__salt") === r("__salt") &&
-        col(leftKey) === col(rightKey))
+        l(leftKey) === r(rightKey))
       .drop("__salt")
   }
 }

@@ -24,19 +24,23 @@ import graft.util.Det._
 object DedupOps {
 
   /** Exact Jaccard over (doc_a, doc_b) shingle sets, optionally restricted
-    * to a candidate pair set (the LSH path). One shuffle on the shingle
-    * hash for the intersection counts, one on doc_id for sizes. */
-  private def jaccardPairs(sh: DataFrame,
-                           candidates: Option[DataFrame]): DataFrame = {
+    * to a candidate pair set (the LSH path). With candidates, pair rows
+    * are generated CANDIDATE-FIRST — each candidate pair pulls only its
+    * own two shingle sets — so the full shared-shingle self-join (the
+    * cost LSH banding exists to avoid) is never enumerated. Without,
+    * one shuffle on the shingle hash enumerates all sharing pairs. */
+  private[queries] def jaccardPairs(sh: DataFrame,
+                                    candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val pairRows = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-    val restricted = candidates match {
-      case Some(c) => pairRows.join(broadcast(c), Seq("doc_a", "doc_b"))
-      case None => pairRows
+    val pairRows = candidates match {
+      case Some(c) =>
+        broadcast(c).join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+      case None =>
+        a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
     }
-    restricted
+    pairRows
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
             Seq("doc_a"))
@@ -200,30 +204,36 @@ object DedupOps {
     })
   )
 
+  /** Exact word-3-gram Jaccard ≥ 0.8 pairs — shared by q_dedup_near AND
+    * q_dedup_minhash (whose LSH candidates + exact verify produce the
+    * same final pair set). ONE copy: any change to the shingle/Jaccard
+    * definition edits both oracles in lockstep. */
+  private[queries] val exactJaccardOracleSql: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS u(s)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE round(CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
   val oracle: Map[String, String] = Map(
-    "q_dedup_minhash" ->  // == exact near-dup pairs (LSH recall ≈ 1, verified)
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
-           UNNEST(list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i+1] || ' ' ||
-                  string_split(text, ' ')[i+2]))) AS u(s)),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle
-                                AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-         FROM inter
-         JOIN sizes sa ON doc_a = sa.doc_id
-         JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE round(CAST(n_inter AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.8
-         ORDER BY doc_a, doc_b""",
+    "q_dedup_minhash" -> exactJaccardOracleSql,
     "q_dedup_embed" ->
       """SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -115,7 +115,8 @@ object Streams {
               .getOrElse(UserCount(user, 0L, 0.0, 0L))
             val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
               UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
-                        math.max(acc.last_ts_us, e.ts.getTime * 1000L))
+                        math.max(acc.last_ts_us,
+                        e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000))
             }
             state.update(next)
             Iterator.single(next)
@@ -137,7 +138,8 @@ object Streams {
           val sorted = rows.toSeq.sortBy(_.event_id)
           val next = sorted.foldLeft(prev) { (acc, e) =>
             UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
-                      math.max(acc.last_ts_us, e.ts.getTime * 1000L))
+                      math.max(acc.last_ts_us,
+                        e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000))
           }
           state.update(next)
           Iterator.single(next)

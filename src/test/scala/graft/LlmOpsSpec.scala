@@ -10,11 +10,15 @@ class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("q_dedup_minhash equals the exact near-dup pair set (recall 1.0)") {
-    val exact = SparkEntry.queries("q_dedup_near")(spark, sf0001)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh === exact)
+    // asserted at BOTH fixture tiers: sf0.01 is where the driver's oracle
+    // runs and where threshold-J pairs (banding's riskiest) live
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = SparkEntry.queries("q_dedup_near")(spark, sf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh === exact, s"LSH candidate recall < 1 at $sf")
+    }
   }
 
   test("q_dedup_simhash: near-identical docs collide, hamming is symmetric-free") {
