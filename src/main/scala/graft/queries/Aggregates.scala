@@ -117,6 +117,30 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Pivot (wide aggregation): quantity sums per linestatus, one column
+    // per return flag. Values list is EXPLICIT — pivot without it runs an
+    // extra distinct pass at scale. Oracle: conditional aggregation.
+    "q_agg_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Exact interpolated percentiles (sort-based `percentile`): median and
+    // p90 — same continuous-quantile definition as DuckDB quantile_cont.
+    "q_agg_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+             round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+             round(expr("percentile(l_extendedprice, 0.5)"), 6)
+               .as("median_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // High-cardinality group-by (one group per order) — partial agg still
     // helps (avg 4 items/order) and the final agg exercises spill paths at
     // scale; output folded to a histogram to keep the result small.
@@ -185,6 +209,18 @@ object Aggregates {
                / CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 6)
            AS wmean_disc,
          COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_pivot" ->
+      s"""SELECT l_linestatus,
+          ${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+          ${sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+          ${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_sort_fallback" ->
       s"""SELECT items, COUNT(*) AS n_orders,

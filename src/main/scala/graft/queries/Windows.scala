@@ -40,6 +40,17 @@ object Windows {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist over
+    // the per-customer price order (same single-shuffle shape as q_win_rank).
+    "q_win_dist" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(byCust).cast("long").as("quartile"),
+          round(percent_rank().over(byCust), 6).as("pct_rank"),
+          round(cume_dist().over(byCust), 6).as("cdist"))
+        .orderBy("o_custkey", "pct_rank", "o_orderkey")
+    }),
+
     "q_win_analytic" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts_us").asc, col("event_id").asc)
@@ -130,6 +141,15 @@ object Windows {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_win_dist" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+         round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         round(CUME_DIST() OVER w, 6) AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, pct_rank, o_orderkey""",
     "q_win_analytic" ->
       """SELECT event_id, user_id, ts_us, value,
          LAG(value) OVER w AS prev_value, LEAD(value) OVER w AS next_value,
