@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.operators.{AsOf, MinHashLSH, SaltedJoin}
+import graft.util.Det
+
+/** The public facade of the engine — the operators a user of the reference
+  * (a Kafka-Streams join app) reaches for, as composable DataFrame
+  * transforms. Everything here is a thin, documented entry point over the
+  * implementations in `graft.operators` / `graft.functions` /
+  * `graft.streaming`; the declared queries in `graft.queries.*` are the
+  * oracle-verified exemplars of the same calls.
+  *
+  * All transforms are lazy, driver-light (nothing collects), and partition
+  * by their natural keys — safe to call on 100 TB inputs.
+  */
+object Graft {
+
+  // ---- joins ----
+
+  /** Point-in-time (as-of) join: latest `right` row with time ≤ left time
+    * per key. One shuffle + one local sort over |L|+|R|; never quadratic.
+    * Right side must be unique per (key, time). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               carry: Seq[String]): DataFrame =
+    AsOf.join(left, right, leftKey, rightKey, leftTime, rightTime, carry)
+
+  /** Interval (stream-stream-window batch analog) join: rows of `left`
+    * matched to `right` rows with the same key and right time within
+    * [left time, left time + window]. The equi key carries the shuffle;
+    * the time band is a join residual, never a cross product. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTimeUs: Column, rightTimeUs: Column,
+                   windowUs: Long): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        rightTimeUs >= leftTimeUs &&
+        rightTimeUs <= leftTimeUs + lit(windowUs))
+
+  /** Skew-mitigated equi-join (deterministic salting; result ≡ plain join). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String,
+                 saltSrc: Seq[Column], fanOut: Int = 8): DataFrame =
+    SaltedJoin.join(fact, dim, factKey, dimKey, saltSrc, fanOut)
+
+  // ---- dedup ----
+
+  /** Exact dedup: one row per distinct `textCol` value, keeping the
+    * smallest `idCol` (deterministic, unlike dropDuplicates). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle rows (doc_id, shingle:int64) for similarity ops. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val lambda = (0 until n).map(k => s"toks[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> $lambda)"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+  }
+
+  /** Near-duplicate pairs with exact Jaccard ≥ `threshold` over word
+    * 3-gram shingles. `lsh = true` routes candidate generation through
+    * MinHash banding (the 100-TB path); either way the returned pairs are
+    * exactly-verified. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", threshold: Double = 0.8,
+                   lsh: Boolean = false): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol)
+    val cands = if (lsh) Some(MinHashLSH.candidatePairs(sh)) else None
+    queries.DedupOps.jaccardPairs(sh, cands)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- similarity search ----
+
+  /** Brute-force cosine top-k against one query vector (broadcast).
+    * Vectors: `array<float>` or `array<double>` column `vecCol`. */
+  def knnCosine(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int = 10): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val emb = df.select(col(idCol).as("__id"), v.as("__v"),
+                        VectorExprs.norm(v).as("__n"))
+    val q = emb.filter(col("__id") === queryId)
+      .select(col("__v").as("__qv"), col("__n").as("__qn"))
+    emb.filter(col("__id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("__id").as(idCol),
+        round(VectorExprs.dot(col("__v"), col("__qv")) /
+          (col("__n") * col("__qn")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All vector pairs with cosine ≥ `threshold` (id_a < id_b). At corpus
+    * scale pre-filter with LSH buckets (see q_knn_lsh) before calling. */
+  def similarityJoin(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val emb = df.select(col(idCol).as("__id"), v.as("__v"),
+                        VectorExprs.norm(v).as("__n"))
+    val a = emb.select(col("__id").as("id_a"), col("__v"), col("__n"))
+    val b = emb.select(col("__id").as("id_b"), col("__v").as("__qv"),
+                       col("__n").as("__qn"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        VectorExprs.dot(col("__v"), col("__qv")) /
+          (col("__n") * col("__qn")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  // ---- text analysis ----
+
+  /** (doc_id, term, tfidf) for the top term per document (ln-idf). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"),
+              explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df2 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df2, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "term", "tfidf")
+  }
+
+  // ---- determinism helpers re-exported ----
+
+  /** Order-independent exact sum of a money/measure double. */
+  def dsum(c: Column): Column = Det.dsum(c)
+  /** Timestamp → epoch µs (NTZ-safe, ns-truncating like DuckDB epoch_us). */
+  def epochUs(c: Column): Column = Det.epochUs(c)
+}

@@ -29,7 +29,7 @@ object DedupOps {
     * own two shingle sets — so the full shared-shingle self-join (the
     * cost LSH banding exists to avoid) is never enumerated. Without,
     * one shuffle on the shingle hash enumerates all sharing pairs. */
-  private[queries] def jaccardPairs(sh: DataFrame,
+  private[graft] def jaccardPairs(sh: DataFrame,
                                     candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The public facade must agree with the oracle-verified declared queries —
+  * a user switching to the library API gets identical results. */
+class GraftFacadeSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("Graft.nearDupPairs (exact and LSH) == q_dedup_near") {
+    val docs = Tables.documents(spark, sf0001)
+    val declared = rows(SparkEntry.queries("q_dedup_near")(spark, sf0001))
+    assert(rows(Graft.nearDupPairs(docs).orderBy("doc_a", "doc_b")) === declared)
+    assert(rows(Graft.nearDupPairs(docs, lsh = true).orderBy("doc_a", "doc_b"))
+      === declared)
+  }
+
+  test("Graft.knnCosine == q_knn_cosine") {
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(rows(Graft.knnCosine(emb, "vec_id", "embedding", queryId = 0))
+      === rows(SparkEntry.queries("q_knn_cosine")(spark, sf0001)))
+  }
+
+  test("Graft.similarityJoin == q_sim_join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(rows(Graft.similarityJoin(emb, "vec_id", "embedding", 0.4)
+        .withColumnsRenamed(Map("id_a" -> "vec_a", "id_b" -> "vec_b")))
+      === rows(SparkEntry.queries("q_sim_join")(spark, sf0001)))
+  }
+
+  test("Graft.dedupExact == q_dedup_exact") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows(Graft.dedupExact(docs, "doc_id", "text"))
+      === rows(SparkEntry.queries("q_dedup_exact")(spark, sf0001)))
+  }
+
+  test("Graft.tfidfTopTerms == q_text_tfidf") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows(Graft.tfidfTopTerms(docs))
+      === rows(SparkEntry.queries("q_text_tfidf")(spark, sf0001)))
+  }
+
+  test("Graft.intervalJoin reproduces the flagship pair set") {
+    val ev = Tables.events(spark, sf0001)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              graft.util.Det.epochUs(col("ts")).as("v_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              graft.util.Det.epochUs(col("ts")).as("p_us"))
+    val got = Graft.intervalJoin(v, p, "user_id",
+        col("v_us"), col("p_us"), windowUs = 600000000L)
+      .select("view_id", "purchase_id")
+    val expected = SparkEntry.queries("q_join_interval")(spark, sf0001)
+      .select("view_id", "purchase_id")
+    assert(rows(got) === rows(expected))
+  }
+}
