@@ -128,6 +128,42 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (3L, 5L), (8L, 9L), (10L, 11L)))
   }
 
+  test("s_join_stream_stream left-outer: unmatched views get null purchase") {
+    val mkViews = (df: DataFrame) => df.filter(col("event_type") === "view")
+    val mkPurch = (df: DataFrame) => df.filter(col("event_type") === "purchase")
+    val mem = MemoryStream[Ev](spark)
+    val src = mem.toDF()
+    val q = Streams.viewPurchaseLeftJoin(mkViews(src), mkPurch(src))
+      .writeStream.format("memory").queryName("t_ssj_left").outputMode("append").start()
+    try Seq(batch1, batch2, batch3, flush).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("t_ssj_left")
+    // matched pairs identical to the inner join…
+    val matched = stream.filter(col("purchase_id").isNotNull)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === Set((1L, 2L), (3L, 5L), (8L, 9L), (10L, 11L)))
+    // …and view 6 (whose only candidate purchase is 15 min away) emits a
+    // null row once the watermark passes its window
+    val unmatched = stream.filter(col("purchase_id").isNull)
+      .select("view_id").collect().map(_.getLong(0)).toSet
+    assert(unmatched.contains(6L))
+    // batch twin agrees on the full result
+    val batchDf = (all ++ flush).toDF()
+    val batch = Streams.viewPurchaseLeftJoin(mkViews(batchDf), mkPurch(batchDf))
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
+  test("latestPerKey: KTable materialization picks the newest row per user") {
+    val latest = Streams.latestPerKey(all.toDF())
+    val expected = all.groupBy(_.user_id).map { case (_, evs) =>
+      evs.maxBy(e => (e.ts.getTime, e.event_id))
+    }.map(_.event_id).toSet
+    assert(latest.select("event_id").collect().map(_.getLong(0)).toSet
+      === expected)
+  }
+
   test("s_join_stream_static: stream events × static customer dim") {
     val dim = spark.read.parquet(s"$sf0001/customer.parquet")
     val stream = runStream("t_sst", "append", Seq(batch1, batch2),
