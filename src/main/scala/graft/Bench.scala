@@ -10,16 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: JIT + codegen + parquet footer caches, so the first
-    // timed query measures the operator, not JVM startup.
-    try {
-      SparkEntry.queries.get("q_join_inner").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("q_agg_hash").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // Untimed warm-up across the distinct physical paths (hash join, hash
+    // agg, window function, events ns-shim scan) — JIT + codegen + parquet
+    // footer caches, so timed queries measure the operator, not JVM startup.
+    for (w <- Seq("q_join_inner", "q_agg_hash", "q_win_rank", "q_tumbling"))
+      try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+    // min of two runs: steady-state operator cost, insulated from one-off
+    // JIT/GC noise (each run is a full plan + execute — nothing is cached).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
