@@ -13,8 +13,12 @@ import graft.util.Det
   * `graft.streaming`; the declared queries in `graft.queries.*` are the
   * oracle-verified exemplars of the same calls.
   *
-  * All transforms are lazy, driver-light (nothing collects), and partition
-  * by their natural keys — safe to call on 100 TB inputs.
+  * All transforms are lazy and driver-light (nothing collects). Scale
+  * characteristics are per method: the join/dedup/shingle/LSH paths
+  * partition by their natural keys and are safe at 100-TB inputs; the
+  * exact all-pairs forms (`similarityJoin`) and single-query probes
+  * (`knnCosine`) are bounded by the broadcast side and document their
+  * scale path explicitly.
   */
 object Graft {
 
@@ -35,17 +39,34 @@ object Graft {
     * the time band is a join residual, never a cross product. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTimeUs: Column, rightTimeUs: Column,
-                   windowUs: Long): DataFrame =
-    left.join(right,
-      left(key) === right(key) &&
-        rightTimeUs >= leftTimeUs &&
-        rightTimeUs <= leftTimeUs + lit(windowUs))
+                   windowUs: Long): DataFrame = {
+    // keep ONE key column in the output (both sides carry `key`; leaving
+    // two identically-named columns breaks every downstream reference)
+    val r = right.withColumnRenamed(key, "__rkey")
+    left.join(r,
+        left(key) === r("__rkey") &&
+          rightTimeUs >= leftTimeUs &&
+          rightTimeUs <= leftTimeUs + lit(windowUs))
+      .drop("__rkey")
+  }
 
   /** Skew-mitigated equi-join (deterministic salting; result ≡ plain join). */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String,
                  saltSrc: Seq[Column], fanOut: Int = 8): DataFrame =
     SaltedJoin.join(fact, dim, factKey, dimKey, saltSrc, fanOut)
+
+  /** KTable materialization (changelog → latest value per key): newest
+    * event per user by (ts, event_id). BATCH-ONLY — window functions are
+    * unsupported on streaming frames; the streaming analog is
+    * flatMapGroupsWithState keeping latest (streaming.Streams.statefulCounter). */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   // ---- dedup ----
 
@@ -58,6 +79,7 @@ object Graft {
   /** Word n-gram shingle rows (doc_id, shingle:int64) for similarity ops. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     val lambda = (0 until n).map(k => s"toks[i+$k]").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= n)
@@ -83,7 +105,9 @@ object Graft {
   // ---- similarity search ----
 
   /** Brute-force cosine top-k against one query vector (broadcast).
-    * Vectors: `array<float>` or `array<double>` column `vecCol`. */
+    * Vectors: `array<float>` or `array<double>` column `vecCol`.
+    * Contract: `queryId` must exist in `df` — an unknown id yields an
+    * empty result (the probe row set is empty), not an error. */
   def knnCosine(df: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int = 10): DataFrame = {
     val v = col(vecCol).cast("array<double>")
@@ -100,8 +124,11 @@ object Graft {
       .limit(k)
   }
 
-  /** All vector pairs with cosine ≥ `threshold` (id_a < id_b). At corpus
-    * scale pre-filter with LSH buckets (see q_knn_lsh) before calling. */
+  /** All vector pairs with cosine ≥ `threshold` (id_a < id_b). This is
+    * the EXACT all-pairs form: one side is broadcast, so it is bounded by
+    * the broadcast limit (~millions of rows, not 100 TB). At corpus scale
+    * generate candidates with LSH buckets (see q_knn_lsh / MinHashLSH)
+    * and score only candidates. */
   def similarityJoin(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val v = col(vecCol).cast("array<double>")

@@ -56,33 +56,10 @@ object Streams {
               epochUs(col("session_window.end")).as("session_end_us"),
               col("n_events"), col("sum_value"))
 
-  /** THE reference operator (KStream#join with JoinWindows): view→purchase
-    * attribution within 10 minutes per user, watermarked both sides.
-    * Batch twin: graft.queries.Joins q_join_interval — identical plan,
-    * StreamingSymmetricHashJoinExec instead of SortMergeJoin. */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
-    val v = views
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-              col("ts").as("v_ts"))
-      .withWatermark("v_ts", "20 minutes")
-    val p = purchases
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-              col("ts").as("p_ts"), col("value").as("purchase_value"))
-      .withWatermark("p_ts", "20 minutes")
-    v.join(p, col("v_user") === col("p_user") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
-      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-              epochUs(col("v_ts")).as("view_ts_us"),
-              epochUs(col("p_ts")).as("purchase_ts_us"),
-              col("purchase_value"))
-  }
-
-  /** KS KStream#leftJoin(JoinWindows) analog: LEFT OUTER stream-stream
-    * join — unmatched views emit a null purchase once the watermark passes
-    * their join window (state eviction decides "no match ever"). */
-  def viewPurchaseLeftJoin(views: DataFrame,
-                           purchases: DataFrame): DataFrame = {
+  /** Shared body of the view→purchase windowed joins — ONE definition of
+    * the watermarks, window width, and output schema for both variants. */
+  private def vpJoin(views: DataFrame, purchases: DataFrame,
+                     joinType: String): DataFrame = {
     val v = views
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
               col("ts").as("v_ts"))
@@ -94,24 +71,26 @@ object Streams {
     v.join(p, col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
-        "left_outer")
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
               epochUs(col("v_ts")).as("view_ts_us"),
               epochUs(col("p_ts")).as("purchase_ts_us"),
               col("purchase_value"))
   }
 
-  /** KTable materialization (changelog → latest value per key): the
-    * newest event per user by (ts, event_id). In batch this is a window
-    * top-1; in streaming the same call sits behind
-    * flatMapGroupsWithState-style state (see statefulCounter). */
-  def latestPerKey(events: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    events.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  /** THE reference operator (KStream#join with JoinWindows): view→purchase
+    * attribution within 10 minutes per user, watermarked both sides.
+    * Batch twin: graft.queries.Joins q_join_interval — identical plan,
+    * StreamingSymmetricHashJoinExec instead of SortMergeJoin. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    vpJoin(views, purchases, "inner")
+
+  /** KS KStream#leftJoin(JoinWindows) analog: LEFT OUTER stream-stream
+    * join — unmatched views emit a null purchase once the watermark passes
+    * their join window (state eviction decides "no match ever"). */
+  def viewPurchaseLeftJoin(views: DataFrame,
+                           purchases: DataFrame): DataFrame =
+    vpJoin(views, purchases, "left_outer")
 
   /** KS KStream⋈KTable analog: streaming events against a static dim —
     * the static side is (re)read per micro-batch, no state store needed. */

@@ -156,7 +156,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("latestPerKey: KTable materialization picks the newest row per user") {
-    val latest = Streams.latestPerKey(all.toDF())
+    val latest = graft.Graft.latestPerKey(all.toDF())
     val expected = all.groupBy(_.user_id).map { case (_, evs) =>
       evs.maxBy(e => (e.ts.getTime, e.event_id))
     }.map(_.event_id).toSet
