@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** The one custom Catalyst expression gets its own guard: the codegen
+  * (doGenCode) and interpreted (nullSafeEval) paths must agree exactly,
+  * nulls must propagate, and length mismatches must not crash. */
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(0.5, -0.25, 8.0), Seq(-1.0, 0.0, 0.125)),
+    (3L, Seq.empty[Double], Seq.empty[Double]),
+    (4L, Seq(2.0), Seq(3.0, 99.0))) // length mismatch → min-length dot
+    .toDF("id", "a", "b")
+
+  private def dots(codegen: Boolean): Map[Long, Double] = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, codegen.toString)
+    // CODEGEN_FACTORY_MODE picks the expression evaluator; NO_CODEGEN
+    // forces the interpreted nullSafeEval path
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val prevFactory = spark.conf.get(factoryKey, "FALLBACK")
+    spark.conf.set(factoryKey, if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+    try vecs.select(col("id"), VectorExprs.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    finally { spark.conf.set(key, prev); spark.conf.set(factoryKey, prevFactory) }
+  }
+
+  test("codegen and interpreted paths agree bit-for-bit") {
+    val gen = dots(codegen = true)
+    val interp = dots(codegen = false)
+    assert(gen === interp)
+    assert(gen(1L) === (4.0 + 10.0 + 18.0))
+    assert(gen(2L) === (-0.5 + 0.0 + 1.0))
+    assert(gen(3L) === 0.0)      // empty vectors → 0
+    assert(gen(4L) === 6.0)      // min-length semantics
+  }
+
+  test("null inputs propagate to null") {
+    val withNull = Seq((1L, Some(Seq(1.0)), None: Option[Seq[Double]]))
+      .toDF("id", "a", "b")
+    val out = withNull.select(VectorExprs.dot(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("norm is sqrt of self-dot") {
+    val out = vecs.filter(col("id") === 1)
+      .select(VectorExprs.norm(col("a"))).collect().head.getDouble(0)
+    assert(out === math.sqrt(1.0 + 4.0 + 9.0))
+  }
+}
