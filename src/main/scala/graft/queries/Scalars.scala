@@ -88,6 +88,34 @@ object Scalars {
         .orderBy("vec_id")
     }),
 
+    "q_bit_funcs" -> ((s, d) => {
+      // Bitwise family over the order key (and/or/xor/shifts/bit_count).
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and_255"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("or_4096"),
+          col("o_orderkey").bitwiseXOR(lit(1023L)).as("xor_1023"),
+          shiftleft(col("o_orderkey"), 2).as("shl_2"),
+          shiftright(col("o_orderkey"), 3).as("shr_3"),
+          bit_count(col("o_orderkey")).cast("long").as("popcount"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_cond_funcs" -> ((s, d) => {
+      // Conditional scalar family: greatest/least/nullif/coalesce/ifnull.
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_100k"),
+          least(col("o_totalprice"), lit(200000.0)).as("cap_200k"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_or_open"),
+          when(col("o_totalprice") > 150000.0, col("o_totalprice"))
+            .otherwise(lit(null)).as("big_or_null"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_map_funcs" -> ((s, d) => {
       // props JSON → MapType; explode to (key, value) and aggregate —
       // output flattened to sorted scalars (maps don't hash stably).
@@ -173,6 +201,22 @@ object Scalars {
          round(list_aggregate(list_transform(embedding[1:8],
            x -> CAST(x AS DOUBLE)), 'sum'), 6) AS head8_sum
          FROM embeddings ORDER BY vec_id""",
+    "q_bit_funcs" ->
+      """SELECT o_orderkey,
+         o_orderkey & 255 AS and_255,
+         o_orderkey | 4096 AS or_4096,
+         xor(o_orderkey, 1023) AS xor_1023,
+         o_orderkey << 2 AS shl_2,
+         o_orderkey >> 3 AS shr_3,
+         CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+         greatest(o_totalprice, 100000.0) AS floor_100k,
+         least(o_totalprice, 200000.0) AS cap_200k,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+         CASE WHEN o_totalprice > 150000.0 THEN o_totalprice END AS big_or_null
+         FROM orders ORDER BY o_orderkey""",
     "q_map_funcs" ->
       """SELECT k.key AS key, COUNT(*) AS n,
          CAST(SUM(CAST(json_extract_string(props, '$.' || k.key) AS BIGINT))
