@@ -23,6 +23,22 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # test-oracled keys (no SQL row): driver-style rows-only check — the
+    # result parquet must exist and be readable
+    sql_keys = set(oracle)
+    for d in sorted(os.listdir(out_dir)):
+        if d in sql_keys or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        files = glob.glob(f"{out_dir}/{d}/*.parquet")
+        if not files:
+            print(f"MISSING  {d}: (test-oracled) no result parquet"); n_fail += 1
+            continue
+        try:
+            n = pq.read_table(files[0]).num_rows
+            print(f"PASS~    {d}: (test-oracled, rows-only) rows={n}")
+            n_pass += 1
+        except Exception as e:
+            print(f"READERR  {d}: {e}"); n_fail += 1
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
