@@ -82,7 +82,7 @@ def main(sf_dir, out_dir):
             extra = f"  typediff={tdiff}" if tdiff else ""
             print(f"{tag}   {name}: rows={spark_tbl.num_rows}{extra}")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} total")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_pass + n_fail} total")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
