@@ -55,6 +55,31 @@ object Scalars {
         .orderBy("o_year", "o_month")
     }),
 
+    "q_str_pad" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("name_lpad"),
+          rpad(col("c_name"), 25, ".").as("name_rpad"),
+          repeat(substring(col("c_name"), 1, 4), 2).as("name_rep"),
+          reverse(col("c_name")).as("name_rev"))
+        .orderBy("c_custkey")
+    }),
+
+    // dayofweek aligned to DuckDB's Sunday=0 convention (Spark is Sunday=1).
+    "q_date_extract" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          epochMs(last_day(col("o_orderdate")).cast("timestamp"))
+            .as("month_end_ms"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_math_funcs" -> ((s, d) => {
       Tables.orders(s, d)
         .select(
@@ -183,6 +208,21 @@ object Scalars {
          MIN(epoch_ms(o_orderdate + INTERVAL 30 DAY)) AS min_due_ms
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1, 2, 3 ORDER BY o_year, o_month""",
+    "q_str_pad" ->
+      """SELECT c_custkey, lpad(c_name, 25, '*') AS name_lpad,
+         rpad(c_name, 25, '.') AS name_rpad,
+         repeat(substring(c_name, 1, 4), 2) AS name_rep,
+         reverse(c_name) AS name_rev
+         FROM customer ORDER BY c_custkey""",
+    "q_date_extract" ->
+      """SELECT o_orderkey,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+         CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+         epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+           AS month_end_ms
+         FROM orders ORDER BY o_orderkey""",
     "q_math_funcs" ->
       """SELECT o_orderkey,
          abs(o_totalprice - 100000.0) AS abs_diff,

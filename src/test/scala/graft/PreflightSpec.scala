@@ -22,8 +22,8 @@ class PreflightSpec extends SparkSpec {
   }
 
   test("the registry is non-trivial (wiring regression guard)") {
-    assert(SparkEntry.queries.size >= 82)
-    assert(SparkEntry.oracleSql.size >= 78)
+    assert(SparkEntry.queries.size >= 84)
+    assert(SparkEntry.oracleSql.size >= 80)
   }
 
   test("entry() smoke: flagship runs on sf0.001 with rows > 0") {
