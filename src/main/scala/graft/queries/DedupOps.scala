@@ -74,29 +74,14 @@ object DedupOps {
 
     // ---- SimHash near-dup: 64-bit signature = sign of per-bit vote sums
     // over token hashes; near-dups = hamming distance <= 3. One pass for
-    // signatures (64 parallel aggregates), then a bounded self-join with
-    // cheap bit_count(xor) comparisons. Test-oracled (xxhash64 is not
-    // reproducible in DuckDB).
+    // signatures (64 parallel aggregates), then 4×16-bit BAND equi-join
+    // candidates (pigeonhole: hamming <= 3 ⟹ at least one of 4 bands is
+    // bit-identical, so recall is exactly 1 — see operators.SimHash) and
+    // an exact hamming verify. Test-oracled (xxhash64 is not reproducible
+    // in DuckDB); a ScalaTest asserts output equality vs the all-pairs
+    // form at two scale factors.
     "q_dedup_simhash" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
-          .as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val votes = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"v$i"))
-      val sig = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-          .cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+      graft.operators.SimHash.pairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")
     }),
 

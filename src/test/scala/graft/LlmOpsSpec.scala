@@ -21,6 +21,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_simhash: banded candidates reproduce the all-pairs output") {
+    // pigeonhole recall proof, verified empirically: the 4×16-bit band
+    // equi-join must yield EXACTLY the rows of the naive all-pairs join
+    // at both fixture tiers (including sf0.01, where the driver checks)
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val sig = graft.operators.SimHash.signatures(Tables.documents(spark, sf))
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      val allPairs = a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .collect().map(_.toString).sorted.toSeq
+      val banded = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(banded === allPairs, s"banding changed the output at $sf")
+    }
+  }
+
   test("q_dedup_simhash: near-identical docs collide, hamming is symmetric-free") {
     val out = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
     val rows = out.collect()
