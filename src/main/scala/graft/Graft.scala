@@ -14,11 +14,11 @@ import graft.util.Det
   * oracle-verified exemplars of the same calls.
   *
   * All transforms are lazy and driver-light (nothing collects). Scale
-  * characteristics are per method: the join/dedup/shingle/LSH paths
+  * characteristics are per method: the join/dedup/shingle/LSH/cell paths
   * partition by their natural keys and are safe at 100-TB inputs; the
-  * exact all-pairs forms (`similarityJoin`) and single-query probes
-  * (`knnCosine`) are bounded by the broadcast side and document their
-  * scale path explicitly.
+  * single-query probes (`knnCosine`) broadcast one query row and scan
+  * once, and `similarityJoin` is exact-with-pruning via
+  * operators.VectorSimJoin (shuffle equi-join on centroid cells).
   */
 object Graft {
 
@@ -124,26 +124,17 @@ object Graft {
       .limit(k)
   }
 
-  /** All vector pairs with cosine ≥ `threshold` (id_a < id_b). This is
-    * the EXACT all-pairs form: one side is broadcast, so it is bounded by
-    * the broadcast limit (~millions of rows, not 100 TB). At corpus scale
-    * generate candidates with LSH buckets (see q_knn_lsh / MinHashLSH)
-    * and score only candidates. */
+  /** All vector pairs with cosine ≥ `threshold` (id_a < id_b) — EXACT,
+    * computed via centroid-cell candidate generation with a sound angular
+    * triangle-inequality bound (operators.VectorSimJoin): candidates
+    * arrive through a shuffle equi-join on cell ids, never a broadcast
+    * nested loop, so the join is memory-bounded and partition-parallel at
+    * corpus scale. Pruning is data-adaptive (strong on clustered
+    * corpora); for sub-quadratic APPROXIMATE search use the LSH/IVF
+    * probes (q_knn_lsh / q_knn_ivf). */
   def similarityJoin(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val emb = df.select(col(idCol).as("__id"), v.as("__v"),
-                        VectorExprs.norm(v).as("__n"))
-    val a = emb.select(col("__id").as("id_a"), col("__v"), col("__n"))
-    val b = emb.select(col("__id").as("id_b"), col("__v").as("__qv"),
-                       col("__n").as("__qn"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(
-        VectorExprs.dot(col("__v"), col("__qv")) /
-          (col("__n") * col("__qn")), 4))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
-  }
+                     threshold: Double, cells: Int = 16): DataFrame =
+    operators.VectorSimJoin.pairs(df, idCol, vecCol, threshold, cells)
 
   // ---- text analysis ----
 

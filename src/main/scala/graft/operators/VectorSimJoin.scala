@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** EXACT cosine-threshold similarity self-join over dense vectors, with
+  * candidate generation via centroid cells and a sound angular
+  * triangle-inequality bound — the distributed replacement for the
+  * broadcast all-pairs nested loop.
+  *
+  * Plan shape: assign every vector to its nearest of `k` centroids (one
+  * broadcast + one map-side-combined shuffle), compute each cell's
+  * angular radius, prune cell PAIRS with the bound
+  * θ(ca,cb) − r_a − r_b > θ_threshold (no member pair of a pruned cell
+  * pair can reach the threshold, by two applications of the spherical
+  * triangle inequality), then join vectors through the surviving cell
+  * pairs — a Catalyst-native shuffle EQUI-join on cell ids — and verify
+  * every candidate with the exact codegen dot product. Output is
+  * provably identical to the all-pairs form (the bound only ever prunes
+  * pairs that cannot qualify), but the plan is shuffle-partitioned and
+  * memory-bounded instead of broadcast-bounded: at 100 TB the cell id is
+  * the partition key, k scales with corpus size, and AQE's skew handling
+  * splits oversized cells.
+  *
+  * Pruning is data-adaptive: on clustered corpora (real embedding sets)
+  * most of the k² cell pairs are pruned and per-pair work collapses to
+  * overlapping-cluster blocks; on an isotropic corpus (this fixture's
+  * Gaussian-tail pairs at τ=0.4) little can be pruned and the join
+  * degrades gracefully to a distributed block-partitioned exact join —
+  * still O(N²) compute, because NO exact sub-quadratic algorithm exists
+  * for low-threshold dense cosine (at τ=0.4 a random hyperplane agrees
+  * with probability 0.63 vs 0.50 for unrelated pairs, so recall-1 LSH
+  * would need ~10⁵ hash tables or admit ~every pair as a candidate).
+  * Sub-quadratic similarity at that threshold is *approximate* by
+  * nature — see q_knn_lsh / q_knn_ivf — while THIS operator is the
+  * honest exact form.
+  */
+object VectorSimJoin {
+
+  /** acos with the argument clamped to [-1, 1] (FP noise in
+    * dot/(|a||b|) can stray a few ULPs outside the domain). */
+  private def ang(c: Column): Column =
+    acos(least(lit(1.0), greatest(lit(-1.0), c)))
+
+  /** Normalize the input to (id, v: array<double>, nrm). */
+  private def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("id"), v.as("v"), VectorExprs.norm(v).as("nrm"))
+  }
+
+  /** Deterministic coarse quantizer: the k lowest-id vectors. Centroid
+    * QUALITY only affects pruning, never output correctness. */
+  private def centroids(e: DataFrame, k: Int): DataFrame =
+    e.orderBy("id").limit(k)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** (id, v, nrm, cell, theta): nearest-centroid assignment. The
+    * crossJoin is a k-row broadcast and the min_by groupBy
+    * partial-aggregates map-side, so the shuffle carries N rows, not
+    * N·k. */
+  private[graft] def assignments(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("theta",
+        ang(VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .groupBy("id")
+      .agg(min_by(col("cent_id"), col("theta")).as("cell"),
+           min(col("theta")).as("theta"),
+           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** Surviving ordered cell pairs (cell_a, cell_b) under the angular
+    * bound — ≤ k² rows, both orientations plus the diagonal (the
+    * downstream id_a < id_b filter canonicalizes pairs, so each
+    * candidate pair is produced exactly once). The slack terms keep the
+    * bound sound under FP noise: they only ADMIT extra candidates. */
+  private[graft] def survivingCellPairs(assign: DataFrame, cents: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val radii = assign.groupBy("cell").agg(max(col("theta")).as("r"))
+    val meta = radii.join(cents, col("cell") === col("cent_id"))
+      .select(col("cell"), col("r"), col("cv"), col("cn"))
+    // round(c,4) >= t admits c >= t - 5e-5; widen to t - 1e-3 for safety
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-3)))
+    val m1 = meta.select(col("cell").as("cell_a"), col("r").as("r_a"),
+                         col("cv").as("cv_a"), col("cn").as("cn_a"))
+    val m2 = meta.select(col("cell").as("cell_b"), col("r").as("r_b"),
+                         col("cv").as("cv_b"), col("cn").as("cn_b"))
+    m1.crossJoin(broadcast(m2))
+      .filter(ang(VectorExprs.dot(col("cv_a"), col("cv_b")) /
+                  (col("cn_a") * col("cn_b")))
+                - col("r_a") - col("r_b") <= lit(thetaT + 1e-6))
+      .select("cell_a", "cell_b")
+  }
+
+  /** All pairs (id_a < id_b) with round(cos, 4) ≥ threshold — exact. */
+  def pairs(df: DataFrame, idCol: String, vecCol: String,
+            threshold: Double, k: Int = 16): DataFrame = {
+    val e = prepare(df, idCol, vecCol)
+    val cents = centroids(e, k)
+    val assign = assignments(e, cents)
+    val cellPairs = survivingCellPairs(assign, cents, threshold)
+    val a = assign.select(col("id").as("id_a"), col("v").as("v_a"),
+                          col("nrm").as("n_a"), col("cell").as("cell_a"))
+    val b = assign.select(col("id").as("id_b"), col("v").as("v_b"),
+                          col("nrm").as("n_b"), col("cell").as("cell_b"))
+    a.join(broadcast(cellPairs), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Test/diagnostic hook: (surviving cell pairs, total possible k²). */
+  private[graft] def pruningStats(df: DataFrame, idCol: String,
+                                  vecCol: String, threshold: Double,
+                                  k: Int): (Long, Long) = {
+    val e = prepare(df, idCol, vecCol)
+    val cents = centroids(e, k)
+    val assign = assignments(e, cents)
+    val nCells = assign.select("cell").distinct().count()
+    (survivingCellPairs(assign, cents, threshold).count(), nCells * nCells)
+  }
+}

@@ -86,18 +86,16 @@ object DedupOps {
     }),
 
     // ---- Embedding-cosine near-dup over the documents' vectors: the
-    // dedup framing of similarity (keeper = smaller id).
+    // dedup framing of similarity (keeper = smaller id). EXACT output via
+    // the centroid-cell candidate join (operators.VectorSimJoin) — a
+    // shuffle equi-join on cell ids with sound angular pruning, replacing
+    // the broadcast-bounded all-pairs form; same SQL oracle, and a
+    // ScalaTest asserts pair-set equality vs brute force at two tiers.
     "q_dedup_embed" -> ((s, d) => {
-      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
-      val a = emb.select(col("vec_id").as("keep_id"), col("v"), col("nrm"))
-      val b = emb.select(col("vec_id").as("dup_id"), col("v").as("qv"),
-                         col("nrm").as("qnrm"))
-      a.join(broadcast(b), col("keep_id") < col("dup_id"))
-        .withColumn("cos_sim", round(
-          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
-            (col("nrm") * col("qnrm")), 4))
-        .filter(col("cos_sim") >= 0.4)
-        .select("keep_id", "dup_id", "cos_sim")
+      graft.operators.VectorSimJoin
+        .pairs(Tables.embeddings(s, d), "vec_id", "embedding",
+               threshold = 0.4)
+        .withColumnsRenamed(Map("id_a" -> "keep_id", "id_b" -> "dup_id"))
         .orderBy("keep_id", "dup_id")
     }),
 

@@ -46,10 +46,40 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no CartesianProduct outside q_join_cross (and broadcast 1-row joins)") {
-    for (name <- SparkEntry.queries.keys
-         if name != "q_join_cross" && name != "q_sim_join") {
+    for (name <- SparkEntry.queries.keys if name != "q_join_cross") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
+  }
+
+  test("pair generation is never an id-inequality nested loop") {
+    // the all-pairs anti-pattern reads `BroadcastNestedLoopJoin ... (id_a <
+    // id_b)`; after banding/cell-bucketing the only nested loops left are
+    // conditionless tiny-side broadcasts (centroids, cell-pair metadata)
+    val idCols = "(id_a|id_b|keep_id|dup_id|doc_a|doc_b|vec_a|vec_b)#".r
+    for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_near",
+                     "q_dedup_embed", "q_sim_join")) {
+      val bad = plan(name).linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .filter(l => idCols.findFirstIn(l).isDefined)
+        .toSeq
+      assert(bad.isEmpty,
+        s"$name generates pairs via nested loop:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q_dedup_simhash candidates arrive via a band equi-join, no nested loop") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n${p.take(2000)}")
+    assert(p.contains("Join [band_idx") || p.contains("Join [band_val"),
+      s"no band equi-join in:\n${p.take(2000)}")
+  }
+
+  test("q_sim_join / q_dedup_embed pair join is an equi-join on cell ids") {
+    for (name <- Seq("q_sim_join", "q_dedup_embed")) {
+      val p = plan(name)
+      assert(p.contains("Join [cell_b"),
+        s"$name candidate join lost its cell equi-key:\n${p.take(2000)}")
     }
   }
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorSimJoin
+import graft.sources.Tables
+
+/** The centroid-cell exact similarity join must be EXACTLY the all-pairs
+  * result (the angular bound is sound — it prunes only cell pairs that
+  * cannot contain a qualifying pair), and must actually prune on
+  * clustered data. */
+class VectorSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(sf: String, threshold: Double): Set[(Long, Long, Double)] = {
+    val v = col("embedding").cast("array<double>")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), v.as("v"),
+              graft.functions.VectorExprs.norm(v).as("n"))
+    val a = emb.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = emb.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        graft.functions.VectorExprs.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("cell-pruned exact join equals brute-force all-pairs at two tiers") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val got = VectorSimJoin
+        .pairs(Tables.embeddings(spark, sf), "vec_id", "embedding", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteForce(sf, 0.4), s"cell join diverged at $sf")
+    }
+  }
+
+  test("Graft.similarityJoin facade routes through the cell join unchanged") {
+    val got = Graft.similarityJoin(Tables.embeddings(spark, sf0001),
+        "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteForce(sf0001, 0.4))
+  }
+
+  test("angular bound prunes most cell pairs on clustered vectors") {
+    // two tight orthogonal clusters: radii ≈ 0.06 rad, inter-centroid
+    // angle ≈ π/2 ≫ θ(0.9) + r_a + r_b → cross-cluster cells must prune
+    val base1 = Array.fill(8)(0.0).updated(0, 1.0)
+    val base2 = Array.fill(8)(0.0).updated(1, 1.0)
+    def jitter(base: Array[Double], i: Int): Array[Double] =
+      base.zipWithIndex.map { case (x, j) =>
+        x + 0.02 * (((i * 31 + j * 17) % 7) - 3) / 3.0 }
+    // interleave clusters so the lowest-id centroid sample sees both —
+    // centroid quality affects only pruning, but this test asserts pruning
+    val rows = (0L until 40L).map { i =>
+      val v = if (i % 2 == 0) jitter(base1, i.toInt) else jitter(base2, i.toInt)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (surviving, total) = VectorSimJoin
+      .pruningStats(df, "vec_id", "embedding", threshold = 0.9, k = 4)
+    assert(surviving < total,
+      s"no pruning: $surviving of $total cell pairs survived")
+    // correctness under pruning: exact equality with brute force
+    val got = VectorSimJoin.pairs(df, "vec_id", "embedding", 0.9, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = col("embedding").cast("array<double>")
+    val e = df.select(col("vec_id").as("id"), v.as("v"),
+                      graft.functions.VectorExprs.norm(v).as("n"))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("c", round(
+        graft.functions.VectorExprs.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 4))
+      .filter(col("c") >= 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+    assert(got.nonEmpty, "clustered fixture should produce within-cluster pairs")
+  }
+}
