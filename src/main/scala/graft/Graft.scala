@@ -57,9 +57,10 @@ object Graft {
     SaltedJoin.join(fact, dim, factKey, dimKey, saltSrc, fanOut)
 
   /** KTable materialization (changelog → latest value per key): newest
-    * event per user by (ts, event_id). BATCH-ONLY — window functions are
-    * unsupported on streaming frames; the streaming analog is
-    * flatMapGroupsWithState keeping latest (streaming.Streams.statefulCounter). */
+    * event per user by (ts, event_id). BATCH form — window functions are
+    * unsupported on streaming frames; the streaming twin is
+    * [[graft.streaming.Streams.latestPerKey]] (transformWithState), with
+    * a StreamingSpec batch-equivalence test tying the two together. */
   def latestPerKey(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")

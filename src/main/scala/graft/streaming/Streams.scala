@@ -139,6 +139,37 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** KTable changelog view (KS `KTable#toStream` analog) — the STREAMING
+    * twin of [[graft.Graft.latestPerKey]]: emits the newest full event
+    * row per user whenever it advances, newest = max (ts, event_id)
+    * exactly like the batch window spec. One ValueState[Ev] per key via
+    * Spark-4 transformWithState; state is per-partition (RocksDB on a
+    * real cluster), so a 1000-executor changelog materialization shards
+    * by user_id with no driver involvement. */
+  def latestPerKey(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Ev] {
+          @transient private var state:
+            org.apache.spark.sql.streaming.ValueState[Ev] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[Ev](
+              "latest", Encoders.product[Ev], TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[Ev],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[Ev] = {
+            val newest = (Option(state.get()).iterator ++ rows)
+              .maxBy(e => (e.ts.getTime, e.event_id))
+            state.update(newest)
+            Iterator.single(newest)
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** KS Processor-API analog (state store + per-record process): running
     * per-user count/sum/last-seen via flatMapGroupsWithState. */
   def statefulCounter(events: Dataset[Ev]): Dataset[UserCount] = {

@@ -237,6 +237,75 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(lastPerUser("t_tws")) === sortedRows(lastPerUser("t_fmgws")))
   }
 
+  test("s_latest_per_key: streaming KTable view matches batch latestPerKey") {
+    // transformWithState needs the RocksDB provider (see the tws test)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.latestPerKey(mem.toDS())
+      .writeStream.format("memory").queryName("t_latest")
+      .outputMode("update").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // the emitted latest row only ever advances in (ts, event_id) order,
+    // so the final state per user = the max emission per user
+    val streamFinal = spark.table("t_latest").as[Ev].collect()
+      .groupBy(_.user_id)
+      .map { case (u, evs) => u -> evs.maxBy(e => (e.ts.getTime, e.event_id)) }
+    val batchFinal = graft.Graft.latestPerKey(all.toDF()).as[Ev].collect()
+      .map(e => e.user_id -> e).toMap
+    assert(streamFinal === batchFinal)
+  }
+
+  test("s_checkpoint_recovery: stateful query resumes from checkpoint") {
+    // THE state-store guarantee everything in §2.9 rests on: kill a
+    // stateful query mid-stream, restart from its checkpoint, feed the
+    // rest — final state must equal one uninterrupted run.
+    // the memory sink refuses checkpoint recovery, so capture emissions
+    // with foreachBatch (a fault-tolerant, recovery-capable sink)
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[UserCount]
+    def start(sink: (org.apache.spark.sql.Dataset[UserCount], Long) => Unit,
+              mem: MemoryStream[Ev]) =
+      Streams.statefulCounter(mem.toDS())
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink).start()
+    val mem = MemoryStream[Ev](spark)
+    // run 1 must CONSUME its batches (an unconsumed frame never commits
+    // its state stores), even though its emissions are not asserted on
+    val q1 = start((df, _) => { df.collect(); () }, mem)
+    try { mem.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart from the SAME checkpoint — offsets + per-user state recover
+    val q2 = start((df, _) => run2.synchronized { run2 ++= df.collect() }, mem)
+    try Seq(batch2, batch3).foreach { b =>
+      mem.addData(b); q2.processAllAvailable()
+    } finally q2.stop()
+    // batches 2+3 touch every user, so run 2 emits each user's final
+    // state — which must include batch1's contributions (recovered state;
+    // a replayed batch can only re-emit an older snapshot, so max-fold)
+    val finalState = run2.groupBy(_.user_id)
+      .map { case (u, snaps) => snaps.maxBy(_.n_events) }
+      .map(s => (s.user_id, s.n_events, s.sum_value, s.last_ts_us))
+      .toSeq.map(_.toString).sorted
+    val expected = all.groupBy(_.user_id).map { case (u, evs) =>
+      (u, evs.size.toLong, evs.map(_.value).sum,
+       evs.map(e => e.ts.getTime * 1000L).max)
+    }.toSeq.map(_.toString).sorted
+    assert(finalState === expected,
+      "state lost across restart — checkpoint recovery broken")
+  }
+
   test("s_output_modes: complete ⊇ update ⊇ final changes; counts agree") {
     def agg(df: DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("n"))
