@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,10 +31,24 @@ object Bench {
       // min-of-2 would otherwise prefer the quickest failure
       name -> (if (times.forall(_._1)) times.map(_._2).min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms resolution keeps the JSON line short — the driver's capture of
+    // round 2's output was byte-truncated at the head, and full-precision
+    // Double.toString (17 sig figs) tripled the line length for nothing
+    def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // printed TWICE: if the driver tail-captures a byte window, the last
+    // copy survives intact; a file copy in tmp aids local analysis
+    println(line)
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bench_last.json"),
+      line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -13,6 +13,19 @@ import graft.util.Det._
   */
 object Scans {
 
+  /** Scratch root for the sink round-trip queries: `SPARK_GRAFT_SCRATCH`
+    * if set (on a real cluster: a job-scoped staging dir on SHARED
+    * storage — local tmp is driver-only), else java.io.tmpdir. The leaf
+    * is derived from (sfDir, session) so concurrent runs at different
+    * scale factors never clobber each other. */
+  private def scratch(kind: String, s: org.apache.spark.sql.SparkSession,
+                      d: String): String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      System.getProperty("java.io.tmpdir"))
+    s"$root/graft_${kind}_" +
+      java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+  }
+
   val queries: Map[String, Q] = Map(
     // NOTE on ordering: (l_orderkey, l_linenumber) is NOT unique in the
     // synthetic fixtures (11,785 dupes at sf0.01), so every lineitem-level
@@ -102,8 +115,7 @@ object Scans {
     // pruning, the layout a 100-TB table would use). Oracle runs the
     // equivalent WHERE over the original table.
     "q_sink_partitioned" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      val tmp = scratch("part", s, d)
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
@@ -120,8 +132,7 @@ object Scans {
     // (inference on JSON/CSV demotes timestamps to strings and is a
     // full extra pass at 100 TB).
     "q_sink_json" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      val tmp = scratch("json", s, d)
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .filter(col("o_totalprice") > 200000.0)
@@ -135,8 +146,7 @@ object Scans {
     }),
 
     "q_sink_csv" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      val tmp = scratch("csv", s, d)
       Tables.customer(s, d)
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -150,12 +160,9 @@ object Scans {
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
-      // must be lossless. The sink path is derived from (sfDir, session)
-      // so concurrent runs at different scale factors never clobber each
-      // other; on a real cluster this would be a job-scoped staging dir on
-      // shared storage, not local /tmp.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
-        java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      // must be lossless. Path contract: see `scratch` above
+      // (SPARK_GRAFT_SCRATCH env, tmpdir fallback).
+      val tmp = scratch("roundtrip", s, d)
       Tables.lineitem(s, d)
         .filter(col("l_returnflag") === "R")
         .write.mode("overwrite").parquet(tmp)

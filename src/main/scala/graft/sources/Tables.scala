@@ -28,6 +28,10 @@ object Tables {
     * double division would lose ULPs at 1.7e18). Exposed `ts` is a regular
     * µs TIMESTAMP, so window()/session_window()/epochUs work unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Set once in the Bench/Verify/SparkSpec session builders; kept here
+    // DEFENSIVELY so an external caller's vanilla session still reads the
+    // ns fixture (idempotent, but hidden session-global state — builders
+    // are the proper home).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
