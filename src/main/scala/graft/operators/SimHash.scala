@@ -39,8 +39,12 @@ object SimHash {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** (doc_id, band_idx, band_val): the signature split into `b` contiguous
-    * (64/b)-bit bands — the equi-join keys for candidate generation. */
+  /** (doc_id, band_idx, band_val, simhash): the signature split into `b`
+    * contiguous (64/b)-bit bands — the equi-join keys for candidate
+    * generation. The full signature rides along (8 bytes/row) so the
+    * pair join can verify hamming WITHOUT re-deriving signatures — the
+    * signature subtree (tokenize + 64 aggregates) is the expensive part
+    * and must be computed once per join side, not re-joined back. */
   def bands(sig: DataFrame, b: Int = 4): DataFrame = {
     require(64 % b == 0, s"band count $b must divide 64")
     val w = 64 / b
@@ -50,9 +54,10 @@ object SimHash {
              shiftright(col("simhash"), i * w).bitwiseAND(lit(mask))
                .as("band_val")).as(s"b$i")
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    sig.select(col("doc_id"), col("simhash"),
+               explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-              col("band.band_val").as("band_val"))
+              col("band.band_val").as("band_val"), col("simhash"))
   }
 
   /** Near-dup pairs (doc_a < doc_b, hamming ≤ maxHamming) — banded
@@ -64,23 +69,18 @@ object SimHash {
             maxHamming: Int = 3): DataFrame = {
     require(maxHamming < b,
       s"pigeonhole needs maxHamming($maxHamming) < bands($b) for recall 1")
-    val sig = signatures(docs, idCol, textCol)
-    val bd = bands(sig, b)
-    val cands = bd.select(col("doc_id").as("doc_a"), col("band_idx"),
-                          col("band_val"))
+    val bd = bands(signatures(docs, idCol, textCol), b)
+    // a pair sharing several bands matches several times with IDENTICAL
+    // (doc_a, doc_b, hamming) — the trailing distinct canonicalizes it
+    bd.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"),
+              col("simhash").as("sig_a"))
       .join(bd.select(col("doc_id").as("doc_b"), col("band_idx"),
-                      col("band_val")),
+                      col("band_val"), col("simhash").as("sig_b")),
             Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cands
-      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")),
-            Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")),
-            Seq("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 }
