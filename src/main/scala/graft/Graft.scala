@@ -103,6 +103,13 @@ object Graft {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-dup pairs (hamming ≤ `maxHamming` over 64-bit
+    * signatures) with banded candidate generation — recall exactly 1 by
+    * pigeonhole (operators.SimHash). */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    operators.SimHash.pairs(docs, idCol, textCol, maxHamming = maxHamming)
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k against one query vector (broadcast).
@@ -136,6 +143,13 @@ object Graft {
   def similarityJoin(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, cells: Int = 16): DataFrame =
     operators.VectorSimJoin.pairs(df, idCol, vecCol, threshold, cells)
+
+  /** Exact corpus-wide kNN join: top `k` cosine neighbors of every
+    * vector (self excluded) — see operators.VectorSimJoin.knnJoin for
+    * the distributed block-join shape and its Ω(N²) honesty note. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              k: Int = 10, cells: Int = 16): DataFrame =
+    operators.VectorSimJoin.knnJoin(df, idCol, vecCol, k, cells)
 
   // ---- text analysis ----
 

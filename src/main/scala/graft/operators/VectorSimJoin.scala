@@ -111,6 +111,40 @@ object VectorSimJoin {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Exact k-nearest-neighbor JOIN: the top `k` neighbors of EVERY
+    * vector by cosine (self excluded) — the batch shape a training
+    * pipeline runs corpus-wide, vs the single-query probe of knnCosine.
+    * Candidates flow through the same cell equi-join as [[pairs]] but
+    * with NO cell-pair pruning: exact top-k has no similarity floor, so
+    * every block pair must be scored (exact kNN join is Ω(N²) compute —
+    * the cell structure provides the memory-bounded distributed
+    * block-join shape, and the ANN surfaces are the sub-quadratic
+    * alternative). Ranking totalized by (rounded cosine desc, id asc). */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              k: Int, cells: Int = 16): DataFrame = {
+    val e = prepare(df, idCol, vecCol)
+    val cents = centroids(e, cells)
+    val assign = assignments(e, cents)
+    val cellIds = assign.select(col("cell").as("cell_a")).distinct()
+    val cellPairs = cellIds
+      .crossJoin(broadcast(cellIds.select(col("cell_a").as("cell_b"))))
+    val a = assign.select(col("id").as("vec_id"), col("v").as("v_a"),
+                          col("nrm").as("n_a"), col("cell").as("cell_a"))
+    val b = assign.select(col("id").as("nbr_id"), col("v").as("v_b"),
+                          col("nrm").as("n_b"), col("cell").as("cell_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    a.join(broadcast(cellPairs), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos_sim", round(
+        VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "nbr_id", "cos_sim")
+  }
+
   /** Test/diagnostic hook: (surviving cell pairs, total possible k²). */
   private[graft] def pruningStats(df: DataFrame, idCol: String,
                                   vecCol: String, threshold: Double,

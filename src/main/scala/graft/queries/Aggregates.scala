@@ -50,6 +50,23 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Mergeable quantile sketch (percentile_approx, GK-style summaries):
+    // fixed-size sketches merge across partitions instead of the full
+    // sort an exact percentile needs at 100 TB. No SQL oracle (sketch
+    // estimates are engine-specific); ScalaTest asserts the estimate's
+    // RANK sits within the sketch's error bound of the target, driver
+    // records a rows-only check.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("p50_approx"),
+             percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+               .as("p90_approx"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")

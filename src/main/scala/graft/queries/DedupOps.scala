@@ -165,6 +165,16 @@ object DedupOps {
         .limit(10)
     }),
 
+    // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
+    // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
+    // query). Distributed block join via the VectorSimJoin cell
+    // machinery; ranking totalized on (rounded cosine desc, id asc).
+    "q_knn_join" -> ((s, d) => {
+      graft.operators.VectorSimJoin
+        .knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+        .orderBy(col("vec_id"), col("cos_sim").desc, col("nbr_id"))
+    }),
+
     // ---- Multimodal binary plumbing: an opaque binary column (here the
     // utf-8 bytes of `text` standing in for image/audio payloads) plus
     // typed metadata, flowed through a deterministic stub "decode" —
@@ -217,6 +227,19 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> exactJaccardOracleSql,
+    "q_knn_join" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+           FROM pairs)
+         SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3
+         ORDER BY vec_id, cos_sim DESC, nbr_id""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -157,6 +157,21 @@ object Scans {
         .orderBy("c_mktsegment")
     }),
 
+    // ORC sink→source roundtrip (Spark's second built-in columnar
+    // format): write a projection, re-read with an explicit schema,
+    // aggregate; oracle runs the same agg on the ORIGINAL parquet.
+    "q_sink_orc" -> ((s, d) => {
+      val tmp = scratch("orc", s, d)
+      Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite").orc(tmp)
+      s.read.schema("p_partkey long, p_brand string, p_retailprice double")
+        .orc(tmp)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand")
+    }),
+
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
@@ -236,6 +251,10 @@ object Scans {
     "q_sink_csv" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n,
           ${sqlDsum("c_acctbal")} AS sum_acctbal
-          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_sink_orc" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+          ${sqlDsum("p_retailprice")} AS sum_price
+          FROM part GROUP BY p_brand ORDER BY p_brand"""
   )
 }

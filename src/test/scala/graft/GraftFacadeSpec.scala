@@ -31,6 +31,18 @@ class GraftFacadeSpec extends SparkSpec {
       === rows(SparkEntry.queries("q_sim_join")(spark, sf0001)))
   }
 
+  test("Graft.simhashPairs == q_dedup_simhash") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows(Graft.simhashPairs(docs).orderBy("doc_a", "doc_b"))
+      === rows(SparkEntry.queries("q_dedup_simhash")(spark, sf0001)))
+  }
+
+  test("Graft.knnJoin == q_knn_join") {
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(rows(Graft.knnJoin(emb, "vec_id", "embedding", k = 3))
+      === rows(SparkEntry.queries("q_knn_join")(spark, sf0001)))
+  }
+
   test("Graft.dedupExact == q_dedup_exact") {
     val docs = Tables.documents(spark, sf0001)
     assert(rows(Graft.dedupExact(docs, "doc_id", "text"))

@@ -11,7 +11,8 @@ class PreflightSpec extends SparkSpec {
   /** Declared surfaces whose oracle is a ScalaTest, not DuckDB SQL
     * (approximate results / hash families DuckDB can't replicate). */
   private val testOracled =
-    Set("q_agg_approx_distinct", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
+    Set("q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
 
   test("every query has an oracle (SQL or test) and every oracle a query") {
     val q = SparkEntry.queries.keySet
@@ -58,6 +59,27 @@ class PreflightSpec extends SparkSpec {
       val a = approx(k).toDouble
       assert(math.abs(a - e) / e <= 0.05,
         s"$k: approx $a vs exact $e beyond 5% (HLL++ default rsd is 5%)")
+    }
+  }
+
+  test("q_agg_approx_percentile: estimate's rank within the sketch bound") {
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(approx.keySet === li.keySet)
+    // accuracy=1000 bounds the rank error at n/1000; allow 2x slack
+    for ((flag, sortedVals) <- li; n = sortedVals.length) {
+      def rankOf(v: Double): Double =
+        sortedVals.count(_ <= v).toDouble / n
+      val (p50, p90) = approx(flag)
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.002 + 2.0 / 1000,
+        s"$flag: p50 estimate $p50 at rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) <= 0.002 + 2.0 / 1000,
+        s"$flag: p90 estimate $p90 at rank ${rankOf(p90)}")
     }
   }
 
