@@ -52,4 +52,20 @@ class VectorExprsSpec extends SparkSpec {
       .select(VectorExprs.norm(col("a"))).collect().head.getDouble(0)
     assert(out === math.sqrt(1.0 + 4.0 + 9.0))
   }
+
+  test("graft_dot is SQL-callable via GraftExtensions") {
+    // the session is built with spark.sql.extensions=graft.GraftExtensions,
+    // so pure-SQL users reach the same codegen expression
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(d === 32.0)
+    // …and agrees with the Column API on real data
+    vecs.createOrReplaceTempView("t_vecs")
+    val sqlSide = spark.sql("SELECT id, graft_dot(a, b) AS d FROM t_vecs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val colSide = vecs.select(col("id"), VectorExprs.dot(col("a"), col("b")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sqlSide === colSide)
+  }
 }
