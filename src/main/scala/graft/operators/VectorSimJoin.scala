@@ -140,9 +140,13 @@ object VectorSimJoin {
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("cos_sim", round(
         VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      // project BEFORE the window: the rank exchange must shuffle 24-byte
+      // scored rows, not the two 512-byte vectors (they are only needed
+      // inside the join stage where the dot is computed)
+      .select("vec_id", "nbr_id", "cos_sim")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("vec_id", "nbr_id", "cos_sim")
+      .drop("rn")
   }
 
   /** Test/diagnostic hook: (surviving cell pairs, total possible k²). */

@@ -88,6 +88,23 @@ object Windows {
         .orderBy("o_custkey", "epoch_day", "o_orderkey")
     }),
 
+    "q_win_frame_time" -> ((s, d) => {
+      // Trailing 1-HOUR aggregates per event (time-interval RANGE frame
+      // over epoch-µs) — the per-row sliding aggregate a feature pipeline
+      // computes ("events/value in the last hour as of each event").
+      // Range frames aggregate ALL order-value peers, so duplicate
+      // timestamps cannot make the result order-dependent.
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                count(lit(1)).over(w).as("n_1h"),
+                sum(col("value").cast(DecimalType(28, 4))).over(w)
+                  .cast("double").as("sum_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // ---- event-time windows: batch twins of graft.streaming (§2.9) ----
 
     "q_tumbling" -> ((s, d) => {
@@ -158,6 +175,15 @@ object Windows {
                FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
          ORDER BY event_id""",
+    "q_win_frame_time" ->
+      """SELECT event_id, user_id, ts_us,
+         COUNT(*) OVER w AS n_1h,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sum_1h
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
     "q_win_frame_rows" ->
       """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
