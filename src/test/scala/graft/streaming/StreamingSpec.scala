@@ -306,6 +306,33 @@ class StreamingSpec extends SparkSpec {
       "state lost across restart — checkpoint recovery broken")
   }
 
+  test("s_file_sink: exactly-once parquet sink across a restart") {
+    // the file sink's _spark_metadata manifest is the exactly-once
+    // mechanism a production pipeline lands on: files written by batches
+    // the checkpoint has not committed are invisible to readers, and a
+    // restarted query never re-emits a committed batch
+    val root = System.getProperty("java.io.tmpdir")
+    val dir = s"$root/graft_filesink_test"
+    val ckpt = s"$root/graft_filesink_ckpt"
+    for (p <- Seq(dir, ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val mem = MemoryStream[Ev](spark)
+    def start() = mem.toDF()
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { mem.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(batch2); q2.processAllAvailable() } finally q2.stop()
+    val ids = spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (batch1 ++ batch2).map(_.event_id).sorted
+    assert(ids === expected,
+      s"file sink lost or duplicated rows: got $ids expected $expected")
+  }
+
   test("s_output_modes: complete ⊇ update ⊇ final changes; counts agree") {
     def agg(df: DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("n"))
