@@ -25,13 +25,15 @@ object Graft {
   // ---- joins ----
 
   /** Point-in-time (as-of) join: latest `right` row with time ≤ left time
-    * per key. One shuffle + one local sort over |L|+|R|; never quadratic.
+    * per key (or, with `forward = true`, earliest right row ≥ left time).
+    * One shuffle + one local sort over |L|+|R|; never quadratic.
     * Right side must be unique per (key, time). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               carry: Seq[String]): DataFrame =
-    AsOf.join(left, right, leftKey, rightKey, leftTime, rightTime, carry)
+               carry: Seq[String], forward: Boolean = false): DataFrame =
+    AsOf.join(left, right, leftKey, rightKey, leftTime, rightTime, carry,
+              forward)
 
   /** Interval (stream-stream-window batch analog) join: rows of `left`
     * matched to `right` rows with the same key and right time within

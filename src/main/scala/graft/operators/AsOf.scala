@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * Right rows sort BEFORE left rows at equal timestamps, so `<=` (inclusive
   * as-of) semantics match DuckDB's `ASOF JOIN`. The right side must be
   * unique per (key, time) — dedup it first or ties are nondeterministic.
+  *
+  * `forward = true` flips the direction: each left row takes the single
+  * EARLIEST right row with `rightTime >= leftTime` (the "next event
+  * after" attribution shape — DuckDB `ASOF JOIN ... ON l.t <= r.t`),
+  * again inclusive at equal timestamps. Same cost either way.
   */
 object AsOf {
   /** @param left       left (probe) side
@@ -28,12 +33,13 @@ object AsOf {
     * @param leftTime   event-time column on the left (any orderable type)
     * @param rightTime  event-time column on the right (same type)
     * @param rightVals  right columns to carry onto matching left rows
-    * @return left rows + carried right columns (null when no prior right row)
-    */
+    * @param forward    false = latest right ≤ left time (default);
+    *                   true = earliest right ≥ left time
+    * @return left rows + carried right columns (null when no match) */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightVals: Seq[String]): DataFrame = {
+           rightVals: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // Carry the right values as ONE struct so a matched right row is taken
     // atomically: a legitimately-NULL right field stays NULL instead of
@@ -46,21 +52,31 @@ object AsOf {
       .select((leftCols.map(col) ++ Seq(
         lit(null).cast(rvType).as("__rv"),
         col("__k"), col("__t"), col("__side"))): _*)
+    // Backward: right rows (side 0) sort BEFORE left (side 1) at equal
+    // time and the latest prior right struct is carried forward.
+    // Forward: right rows (side 2) sort AFTER left at equal time and the
+    // earliest following right struct is pulled backward. Both inclusive.
+    val rightSide = if (forward) 2 else 0
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightSide))
       .select((leftCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         struct(rightVals.map(col): _*).as("__rv"),
         col("__k"), col("__t"), col("__side"))): _*)
 
-    // Right rows (side=0) order before left rows (side=1) at equal time →
-    // inclusive as-of. One hash-partition by key, one local sort. Left
-    // rows' __rv is NULL, so ignoreNulls carries the latest right struct.
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // One hash-partition by key, one local sort. Left rows' __rv is NULL,
+    // so ignoreNulls carries the nearest right struct across them.
+    val base = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val carried =
+      if (forward)
+        first(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__rv"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     l.unionByName(r)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rv", carried)
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
         rightVals.map(c => col(s"__rv.$c").as(c))): _*)

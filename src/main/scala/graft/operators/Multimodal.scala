@@ -11,6 +11,10 @@ case class MultimodalRow(doc_id: Long, payload: Array[Byte], mime: String)
 case class DecodedFeatures(doc_id: Long, n_bytes: Long, head_byte: Int,
                            byte_sum: Long)
 
+/** One sampled "frame" of a payload (video frame-sampling analog). */
+case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long,
+                        frame_sum: Long)
+
 /** Partition-batched decode plumbing for opaque binary columns — the
   * Scala analog of a Pandas-UDF `mapInPandas` decode stage: rows stream
   * through per-partition (so a real decoder amortizes model/codec init
@@ -41,6 +45,31 @@ object Multimodal {
     rows.mapPartitions { it =>
       // real decoders initialize the codec/model HERE, once per partition
       it.map(decodeOne)
+    }
+  }
+
+  /** Frame-sampling plumbing (video analog): emit every `stride`-th
+    * fixed-size window of the payload as one "frame" row — a 1→N
+    * flatMap inside mapPartitions, so a 100-GB video column fans out to
+    * frame rows WITHOUT driver involvement and a real frame decoder
+    * (ffmpeg seek + decode) slots into the same iterator. Frame content
+    * is stubbed as a byte sum (no codecs in this container); the
+    * row-explosion contract is the tested part. */
+  def sampleFrames(rows: Dataset[MultimodalRow], frameBytes: Int = 16,
+                   stride: Int = 4): Dataset[SampledFrame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val off = f.toLong * frameBytes
+          var sum = 0L
+          var i = off.toInt
+          while (i < off + frameBytes) { sum += r.payload(i) & 0xff; i += 1 }
+          SampledFrame(r.doc_id, f, off, sum)
+        }
+      }
     }
   }
 

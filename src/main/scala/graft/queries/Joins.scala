@@ -134,6 +134,25 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: the EARLIEST order at-or-after each event's time —
+    // "next purchase after exposure" attribution. Same merge-sort plan as
+    // the backward form, mirrored (operators.AsOf forward=true).
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), epochMs(col("o_orderdate")).as("odate_ms"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .select(col("o_custkey"), (col("odate_ms") * 1000L).as("ots_us"),
+                col("o_orderkey"))
+      AsOf.join(ev, ord, "user_id", "o_custkey", "ts_us", "ots_us",
+                Seq("o_orderkey", "ots_us"), forward = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("o_orderkey").as("next_orderkey"),
+                col("ots_us").as("next_odate_us"))
+        .orderBy("event_id")
+    }),
+
     "q_join_bcast" -> ((s, d) => {
       // GlobalKTable analog: explicit broadcast of the dim side.
       Tables.supplier(s, d)
@@ -243,6 +262,16 @@ object Joins {
                   MAX(o_orderkey) AS o_orderkey
            FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)) o
            ON e.user_id = o.o_custkey AND e.ts_us >= o.ots_us
+         ORDER BY event_id""",
+    "q_join_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, e.ts_us,
+         o.o_orderkey AS next_orderkey, o.ots_us AS next_odate_us
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) e
+         ASOF LEFT JOIN (
+           SELECT o_custkey, epoch_ms(o_orderdate) * 1000 AS ots_us,
+                  MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)) o
+           ON e.user_id = o.o_custkey AND e.ts_us <= o.ots_us
          ORDER BY event_id""",
     "q_join_bcast" ->
       s"""SELECT n_name, COUNT(*) AS n_suppliers,

@@ -130,6 +130,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal frame sampling: exact 1-to-N fan-out, stub frame sums") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val frames = Multimodal
+      .sampleFrames(Multimodal.fromDocuments(docs), frameBytes = 16, stride = 4)
+      .collect().groupBy(_.doc_id)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    for ((id, bytes) <- texts) {
+      val expectedIdx = (0 until bytes.length / 16 by 4).toSeq
+      val got = frames.getOrElse(id, Array.empty).sortBy(_.frame_idx)
+      assert(got.map(_.frame_idx).toSeq === expectedIdx, s"doc $id fan-out")
+      for (f <- got) {
+        val window = bytes.slice(f.offset.toInt, f.offset.toInt + 16)
+        assert(f.frame_sum === window.map(_ & 0xff).map(_.toLong).sum,
+          s"doc $id frame ${f.frame_idx} sum")
+      }
+    }
+  }
+
   test("q_text_fingerprint: equal texts ⇔ equal fingerprints on fixtures") {
     val fp = SparkEntry.queries("q_text_fingerprint")(spark, sf0001)
       .select("doc_id", "fingerprint").collect()
