@@ -116,4 +116,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("as-of direction duality: forward ≡ backward on the negated timeline") {
+    // forward(L, R) on times t is exactly backward(L, R) on times -t —
+    // both inclusive at equality, so the matched (key, |rt|) sets agree
+    forAll(genPairs, genPairs) { (l, r) =>
+      whenever(l.nonEmpty && r.nonEmpty) {
+        val L = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t.toLong) }
+          .toDF("lid", "k", "lt")
+        val R = r.distinct.map { case (k, t) => (k, t.toLong) }.toDF("rk", "rt")
+          .groupBy("rk", "rt").agg(count(lit(1)).as("one")).drop("one")
+        val fwd = graft.operators.AsOf
+          .join(L, R, "k", "rk", "lt", "rt", Seq("rt"), forward = true)
+          .select(col("lid"), col("rt"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+        val Lneg = L.withColumn("lt", -col("lt"))
+        val Rneg = R.withColumn("rt", -col("rt"))
+        val bwdNeg = graft.operators.AsOf
+          .join(Lneg, Rneg, "k", "rk", "lt", "rt", Seq("rt"))
+          .select(col("lid"), (-col("rt")).as("rt"))
+          .collect().map(x => (x.getLong(0), Option(x.get(1)))).toSet
+        assert(fwd === bwdNeg)
+      }
+    }
+  }
+
+  test("simhash banding: recall 1 vs all-pairs on generated token docs") {
+    val genDocs: Gen[List[String]] = Gen.listOfN(20,
+      Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")).map(_.mkString(" ")))
+    forAll(genDocs) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val banded = graft.operators.SimHash.pairs(docs)
+          .collect().map(_.toString).sorted.toSeq
+        val sig = graft.operators.SimHash.signatures(docs)
+        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+        val allPairs = a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .collect().map(_.toString).sorted.toSeq
+        assert(banded === allPairs)
+      }
+    }
+  }
 }
