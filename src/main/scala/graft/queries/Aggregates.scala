@@ -67,6 +67,23 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Two-level RE-AGGREGATABLE sketch rollup (Apache DataSketches HLL):
+    // per-(type, day) user sketches union'd up to per-type estimates —
+    // THE 100-TB pre-aggregation pattern (daily sketch partitions merge
+    // into any rollup without touching raw data; registers are max-merged
+    // so the result is insertion-order independent). Test-oracled vs
+    // exact distinct; driver records rows-only.
+    "q_agg_sketch_union" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")

@@ -12,7 +12,7 @@ class PreflightSpec extends SparkSpec {
     * (approximate results / hash families DuckDB can't replicate). */
   private val testOracled =
     Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
+        "q_agg_sketch_union", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
 
   test("every query has an oracle (SQL or test) and every oracle a query") {
     val q = SparkEntry.queries.keySet
@@ -60,6 +60,19 @@ class PreflightSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.05,
         s"$k: approx $a vs exact $e beyond 5% (HLL++ default rsd is 5%)")
     }
+  }
+
+  test("q_agg_sketch_union: two-level HLL union within 5% of exact distinct") {
+    val approx = SparkEntry.queries("q_agg_sketch_union")(spark, sf0001)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k).toDouble - e) / e <= 0.05,
+        s"$k: sketch-union estimate ${approx(k)} vs exact $e beyond 5%")
   }
 
   test("q_agg_approx_percentile: estimate's rank within the sketch bound") {

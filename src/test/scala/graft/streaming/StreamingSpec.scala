@@ -306,6 +306,21 @@ class StreamingSpec extends SparkSpec {
       "state lost across restart — checkpoint recovery broken")
   }
 
+  test("s_trigger_available_now: backfill trigger drains everything, then stops") {
+    // the batch-catchup mode an operational pipeline uses for backfills:
+    // process ALL available input in bounded batches, then self-terminate
+    val mem = MemoryStream[Ev](spark)
+    mem.addData(batch1); mem.addData(batch2); mem.addData(batch3)
+    val q = mem.toDF().groupBy("user_id").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("t_avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-stop")
+    assert(!q.isActive)
+    val batch = all.toDF().groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(sortedRows(spark.table("t_avnow")) === sortedRows(batch))
+  }
+
   test("s_file_sink: exactly-once parquet sink across a restart") {
     // the file sink's _spark_metadata manifest is the exactly-once
     // mechanism a production pipeline lands on: files written by batches
