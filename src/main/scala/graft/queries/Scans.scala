@@ -172,6 +172,22 @@ object Scans {
         .orderBy("p_brand")
     }),
 
+    // Binary-file ingestion (the multimodal entry path: image/audio
+    // payloads land as files and are scanned into binary columns): dump
+    // the documents' text as ONE deterministic text file, scan it back
+    // with the binaryFile source, aggregate file count + byte size.
+    // Latin-only fixture text ⟹ utf-8 bytes == chars, so the oracle can
+    // reproduce total_bytes as Σ(octet_length + newline) over documents.
+    "q_source_binary" -> ((s, d) => {
+      val tmp = scratch("bin", s, d)
+      Tables.documents(s, d).orderBy("doc_id").select("text")
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      s.read.format("binaryFile").option("pathGlobFilter", "part-*")
+        .load(tmp)
+        .agg(count(lit(1)).as("n_files"),
+             sum(col("length")).as("total_bytes"))
+    }),
+
     "q_sink_roundtrip" -> ((s, d) => {
       // Write a filtered slice to parquet, re-read it, aggregate. Oracle
       // runs the equivalent SQL over the ORIGINAL table — the round-trip
@@ -255,6 +271,10 @@ object Scans {
     "q_sink_orc" ->
       s"""SELECT p_brand, COUNT(*) AS n,
           ${sqlDsum("p_retailprice")} AS sum_price
-          FROM part GROUP BY p_brand ORDER BY p_brand"""
+          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_source_binary" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+         CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes
+         FROM documents"""
   )
 }
