@@ -92,6 +92,12 @@ object Streams {
                            purchases: DataFrame): DataFrame =
     vpJoin(views, purchases, "left_outer")
 
+  /** KS KStream#outerJoin(JoinWindows) analog: FULL OUTER — unmatched
+    * rows of EITHER side emit with nulls after watermark eviction. */
+  def viewPurchaseOuterJoin(views: DataFrame,
+                            purchases: DataFrame): DataFrame =
+    vpJoin(views, purchases, "full_outer")
+
   /** KS KStream⋈KTable analog: streaming events against a static dim —
     * the static side is (re)read per micro-batch, no state store needed. */
   def streamStatic(events: DataFrame, customers: DataFrame): DataFrame =

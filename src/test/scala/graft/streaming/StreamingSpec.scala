@@ -155,6 +155,36 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(stream) === sortedRows(batch))
   }
 
+  test("s_join_stream_stream full-outer: both sides' unmatched rows emit") {
+    val mkViews = (df: DataFrame) => df.filter(col("event_type") === "view")
+    val mkPurch = (df: DataFrame) => df.filter(col("event_type") === "purchase")
+    val mem = MemoryStream[Ev](spark)
+    val src = mem.toDF()
+    val q = Streams.viewPurchaseOuterJoin(mkViews(src), mkPurch(src))
+      .writeStream.format("memory").queryName("t_ssj_full")
+      .outputMode("append").start()
+    try Seq(batch1, batch2, batch3, flush).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("t_ssj_full")
+    // matched pairs identical to the inner join
+    val matched = stream
+      .filter(col("purchase_id").isNotNull && col("view_id").isNotNull)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === Set((1L, 2L), (3L, 5L), (8L, 9L), (10L, 11L)))
+    // view 6 has no purchase within 10 min → null-purchase row;
+    // purchase 7 (15 min after its view) matched no view → null-view row
+    assert(stream.filter(col("purchase_id").isNull)
+      .select("view_id").collect().map(_.getLong(0)).toSet.contains(6L))
+    assert(stream.filter(col("view_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet.contains(7L))
+    // batch twin agrees on the full result
+    val batchDf = (all ++ flush).toDF()
+    val batch = Streams.viewPurchaseOuterJoin(mkViews(batchDf), mkPurch(batchDf))
+    assert(sortedRows(stream) === sortedRows(batch))
+  }
+
   test("latestPerKey: KTable materialization picks the newest row per user") {
     val latest = graft.Graft.latestPerKey(all.toDF())
     val expected = all.groupBy(_.user_id).map { case (_, evs) =>
