@@ -9,8 +9,8 @@ import graft.util.Det._
 
 /** Extended dedup / similarity family (north-star first-class operators,
   * beyond SURVEY §2.10's core): MinHash+LSH near-dup, SimHash near-dup,
-  * embedding-cosine near-dup, LSH-bucketed ANN, and multimodal binary
-  * plumbing.
+  * embedding-cosine near-dup, LSH-bucketed + IVF ANN, exact corpus-wide
+  * kNN join, and multimodal binary plumbing.
   *
   * Oracle strategy per key:
   *  - q_dedup_minhash: SQL — candidates come from banding, then EXACT
