@@ -36,7 +36,11 @@ object DedupOps {
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val pairRows = candidates match {
       case Some(c) =>
-        broadcast(c).join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+        // no broadcast hint: the candidate set scales with OUTPUT size
+        // (100x-replica probe: 2.5M pairs), so forcing a broadcast is a
+        // scale bug — AQE broadcasts small candidate sets automatically
+        // and shuffles large ones on the doc-id keys
+        c.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
       case None =>
         a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
     }
