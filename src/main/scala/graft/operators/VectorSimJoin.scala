@@ -102,7 +102,10 @@ object VectorSimJoin {
                           col("nrm").as("n_a"), col("cell").as("cell_a"))
     val b = assign.select(col("id").as("id_b"), col("v").as("v_b"),
                           col("nrm").as("n_b"), col("cell").as("cell_b"))
-    a.join(broadcast(cellPairs), Seq("cell_a"))
+    // no broadcast hint on cellPairs: it is bounded by k² rows, which a
+    // caller sizing k for a huge corpus can push past broadcast limits —
+    // AQE broadcasts it when small (always, at the default k=16)
+    a.join(cellPairs, Seq("cell_a"))
       .join(b, Seq("cell_b"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(
