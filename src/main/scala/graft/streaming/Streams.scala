@@ -14,6 +14,12 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserCount(user_id: Long, n_events: Long, sum_value: Double,
                      last_ts_us: Long)
 
+/** Stream row enriched against the table side of a KStream⋈KTable join —
+  * null/-1 sentinel-free: `matched` = false means no table row yet. */
+case class EnrichedEv(event_id: Long, user_id: Long, value: Double,
+                      matched: Boolean, table_event_id: Long,
+                      table_value: Double)
+
 /** Structured Streaming operators — SURVEY.md §2.9, the reference's native
   * semantics (a Kafka Streams join example → Spark Structured Streaming).
   *
@@ -104,6 +110,59 @@ object Streams {
     events.join(customers, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"),
               col("event_type"), col("value"))
+
+  /** KS KStream⋈KTable with a CHANGING table — the reference's core
+    * lookup-join semantics: table updates mutate per-key state, stream
+    * rows join against the latest table row known at processing time
+    * (no retraction of already-emitted joins, exactly like Kafka
+    * Streams). Implemented as the streaming form of the AsOf union
+    * trick: tag both inputs, union, key by user, and fold each batch's
+    * rows in (ts, event_id) order through one ValueState — so a table
+    * update and a stream row in the same micro-batch still resolve by
+    * event time deterministically. State shards by key across
+    * executors; nothing touches the driver.
+    *
+    * `table` rows are `Ev`s whose latest (by ts, event_id) value per
+    * user is the table row; `stream` rows emit one [[EnrichedEv]] each. */
+  def streamTableJoin(stream: Dataset[Ev], table: Dataset[Ev]): Dataset[EnrichedEv] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val tagged = stream.map(e => (1, e)).unionByName(table.map(e => (0, e)))
+    tagged.groupByKey(_._2.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[
+            Long, (Int, Ev), EnrichedEv] {
+          @transient private var latest:
+            org.apache.spark.sql.streaming.ValueState[Ev] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            latest = getHandle.getValueState[Ev](
+              "latestTableRow", Encoders.product[Ev], TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[(Int, Ev)],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[EnrichedEv] = {
+            val out = Vector.newBuilder[EnrichedEv]
+            for ((side, e) <- rows.toSeq.sortBy(r => (r._2.ts.getTime,
+                                                      r._2.event_id))) {
+              if (side == 0) {
+                // table update: keep only the newest row per key
+                val cur = Option(latest.get())
+                val newer = cur.forall(c =>
+                  c.ts.getTime < e.ts.getTime ||
+                    (c.ts.getTime == e.ts.getTime && c.event_id < e.event_id))
+                if (newer) latest.update(e)
+              } else {
+                val t = Option(latest.get())
+                out += EnrichedEv(e.event_id, user, e.value,
+                  t.isDefined, t.map(_.event_id).getOrElse(0L),
+                  t.map(_.value).getOrElse(0.0))
+              }
+            }
+            out.result().iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Exactly-once-per-key within the watermark: KS reduce-to-first analog. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

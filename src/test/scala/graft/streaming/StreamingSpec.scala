@@ -194,6 +194,56 @@ class StreamingSpec extends SparkSpec {
       === expected)
   }
 
+  test("s_join_stream_table: lookup join tracks the CHANGING table side") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ONE source split by event_type guarantees table and stream rows of
+    // the same addData land in the same micro-batch, making the
+    // processor's in-batch event-time fold deterministic and testable
+    val mem = MemoryStream[Ev](spark)
+    val src = mem.toDS()
+    val q = Streams.streamTableJoin(
+        src.filter(_.event_type == "click"),
+        src.filter(_.event_type == "table"))
+      .writeStream.format("memory").queryName("t_stj")
+      .outputMode("append").start()
+    try {
+      // batch 1: table row t1 (ts 5), stream rows s1 (ts 10, after t1 in
+      // event time → joins t1) and s2 (ts 3, BEFORE t1 in event time —
+      // the in-batch fold is by event time, so s2 sees no table row)
+      mem.addData(Seq(Ev(100, ts(5), 1, "table", 7.0),
+                      Ev(1, ts(10), 1, "click", 1.0),
+                      Ev(2, ts(3), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: newer table row t2 (ts 20) replaces t1; s3 joins t2;
+      // user 2 has no table row → unmatched
+      mem.addData(Seq(Ev(101, ts(20), 1, "table", 9.0),
+                      Ev(3, ts(30), 1, "click", 1.0),
+                      Ev(4, ts(31), 2, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 3: STALE table row (ts 1) must NOT replace t2
+      mem.addData(Seq(Ev(102, ts(1), 1, "table", 3.0),
+                      Ev(5, ts(40), 1, "click", 1.0)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val out = spark.table("t_stj").as[EnrichedEv].collect()
+      .map(e => e.event_id -> e).toMap
+    assert(out(1).matched && out(1).table_event_id === 100L)
+    assert(!out(2).matched, "stream row before any table row must be unmatched")
+    assert(out(3).matched && out(3).table_event_id === 101L)
+    assert(!out(4).matched, "user without table rows must be unmatched")
+    assert(out(5).matched && out(5).table_event_id === 101L,
+      "stale table update must not regress the table state")
+  }
+
   test("s_join_stream_static: stream events × static customer dim") {
     val dim = spark.read.parquet(s"$sf0001/customer.parquet")
     val stream = runStream("t_sst", "append", Seq(batch1, batch2),
