@@ -14,6 +14,10 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserCount(user_id: Long, n_events: Long, sum_value: Double,
                      last_ts_us: Long)
 
+/** A per-user session closed by an event-time timer (KS punctuate
+  * analog) — emitted when the watermark passes last activity + gap. */
+case class ClosedSession(user_id: Long, n_events: Long, last_ts_us: Long)
+
 /** Stream row enriched against the table side of a KStream⋈KTable join —
   * null/-1 sentinel-free: `matched` = false means no table row yet. */
 case class EnrichedEv(event_id: Long, user_id: Long, value: Double,
@@ -233,6 +237,57 @@ object Streams {
           }
         },
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** KS punctuate analog — EVENT-TIME TIMERS: a session closer that
+    * emits one [[ClosedSession]] per user once the watermark passes
+    * their last activity + `gap`. Each new event re-arms the key's
+    * single timer (delete + register); the expired-timer callback emits
+    * and clears state. This is the piece of the Processor API that
+    * `statefulCounter` (per-record process) does not exercise: output
+    * driven by TIME passing, not by input arriving. Timers live in the
+    * per-partition state store alongside the value state — shard-local
+    * at any scale. Input must carry a watermark on `ts`. */
+  def sessionCloser(events: Dataset[Ev],
+                    gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[
+            Long, Ev, ClosedSession] {
+          @transient private var state:
+            org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[(Long, Long)](
+              "sess", Encoders.product[(Long, Long)], TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[Ev],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[ClosedSession] = {
+            val rs = rows.toSeq // materialize: the iterator is single-pass
+            val prev = Option(state.get())
+            val lastMs = (prev.map(_._2).iterator ++
+              rs.iterator.map(_.ts.getTime)).max
+            val n = prev.map(_._1).getOrElse(0L) + rs.size
+            state.update((n, lastMs))
+            prev.foreach(p => getHandle.deleteTimer(p._2 + gapMs))
+            getHandle.registerTimer(lastMs + gapMs)
+            Iterator.empty
+          }
+          override def handleExpiredTimer(user: Long,
+              timers: org.apache.spark.sql.streaming.TimerValues,
+              expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+              : Iterator[ClosedSession] = {
+            val out = Option(state.get()).map { case (n, lastMs) =>
+              ClosedSession(user, n, lastMs * 1000L)
+            }
+            state.clear()
+            out.iterator
+          }
+        },
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** KS Processor-API analog (state store + per-record process): running

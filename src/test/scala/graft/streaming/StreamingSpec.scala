@@ -244,6 +244,42 @@ class StreamingSpec extends SparkSpec {
       "stale table update must not regress the table state")
   }
 
+  test("s_timers: event-time timer closes sessions after the gap (punctuate)") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.sessionCloser(
+        mem.toDS().withWatermark("ts", "10 minutes"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_timers")
+      .outputMode("append").start()
+    try {
+      // user 1: events at minutes 5 and 10 (one session); user 2 at 8
+      mem.addData(Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 1.0),
+                      Ev(3, ts(8), 2, "view", 1.0)))
+      q.processAllAvailable()
+      // nothing fires while the watermark sits behind the gap
+      assert(spark.table("t_timers").count() === 0L)
+      // flush advances the watermark far past every timer → both sessions
+      // close with their event counts and last-activity stamps
+      mem.addData(flush); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val out = spark.table("t_timers").as[ClosedSession].collect()
+      .filter(_.user_id != 9).map(c => c.user_id -> c).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L).n_events === 2L &&
+      out(1L).last_ts_us === 10L * 60000000L)
+    assert(out(2L).n_events === 1L &&
+      out(2L).last_ts_us === 8L * 60000000L)
+  }
+
   test("s_join_stream_static: stream events × static customer dim") {
     val dim = spark.read.parquet(s"$sf0001/customer.parquet")
     val stream = runStream("t_sst", "append", Seq(batch1, batch2),
