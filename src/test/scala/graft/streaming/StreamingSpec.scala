@@ -464,6 +464,32 @@ class StreamingSpec extends SparkSpec {
       s"file sink lost or duplicated rows: got $ids expected $expected")
   }
 
+  test("s_state_query: state-store data source reads live operator state") {
+    // KS interactive-queries analog: the state a stateful query built is
+    // itself a queryable table — spark.read.format("statestore") over
+    // the checkpoint exposes per-key state as batch rows
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_statequery_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.statefulCounter(mem.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[UserCount], _: Long) =>
+        { df.collect(); () }).start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+      .select("key.value", "value.groupState.n_events",
+              "value.groupState.sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = all.groupBy(_.user_id).map { case (u, evs) =>
+      (u, evs.size.toLong, evs.map(_.value).sum)
+    }.toSet
+    assert(state === expected,
+      s"state-store read diverged: $state vs $expected")
+  }
+
   test("s_output_modes: complete ⊇ update ⊇ final changes; counts agree") {
     def agg(df: DataFrame) =
       df.groupBy("user_id").agg(count(lit(1)).as("n"))
