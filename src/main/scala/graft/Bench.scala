@@ -19,10 +19,13 @@ object Bench {
     for (w <- Seq("q_join_inner", "q_agg_hash", "q_win_rank", "q_tumbling"))
       try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
-    // min of two runs: steady-state operator cost, insulated from one-off
-    // JIT/GC noise (each run is a full plan + execute — nothing is cached).
+    // min of three runs: steady-state operator cost, insulated from one-off
+    // JIT/GC noise (each run is a full plan + execute — nothing is cached;
+    // ambient VM load was measured swinging full-bench totals ±30%, and the
+    // min is the statistic that converges on the true operator cost).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
