@@ -35,6 +35,11 @@ import graft.functions.VectorExprs
   * Sub-quadratic similarity at that threshold is *approximate* by
   * nature — see q_knn_lsh / q_knn_ivf — while THIS operator is the
   * honest exact form.
+  *
+  * Caller contract: vectors must have non-zero norm — a zero vector
+  * yields NaN cosines, which Spark's ordering treats as LARGEST (they
+  * would outrank real matches in knnJoin). Filter degenerate rows
+  * upstream.
   */
 object VectorSimJoin {
 
