@@ -84,6 +84,26 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Sketches AT REST: the same per-(type, day) HLL sketches persisted
+    // to parquet (binary column) and re-read before the union — the
+    // stored pre-aggregation layout (daily sketch partitions on shared
+    // storage; any later rollup merges bytes, never raw events). Result
+    // must EXACTLY equal the in-flight q_agg_sketch_union (asserted in
+    // ScalaTest); driver records rows-only.
+    "q_agg_sketch_table" -> ((s, d) => {
+      val tmp = Scans.scratch("sketches", s, d)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+             hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_distinct" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")

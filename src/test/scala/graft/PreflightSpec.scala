@@ -12,7 +12,8 @@ class PreflightSpec extends SparkSpec {
     * (approximate results / hash families DuckDB can't replicate). */
   private val testOracled =
     Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_agg_sketch_union", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
+        "q_agg_sketch_union", "q_agg_sketch_table",
+        "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf")
 
   test("every query has an oracle (SQL or test) and every oracle a query") {
     val q = SparkEntry.queries.keySet
@@ -73,6 +74,16 @@ class PreflightSpec extends SparkSpec {
     for ((k, e) <- exact)
       assert(math.abs(approx(k).toDouble - e) / e <= 0.05,
         s"$k: sketch-union estimate ${approx(k)} vs exact $e beyond 5%")
+  }
+
+  test("q_agg_sketch_table: sketches survive the parquet round-trip exactly") {
+    // identical sketch bytes in ⟹ identical union estimate out — the
+    // at-rest form must match the in-flight form row for row
+    val atRest = SparkEntry.queries("q_agg_sketch_table")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val inFlight = SparkEntry.queries("q_agg_sketch_union")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(atRest === inFlight)
   }
 
   test("q_agg_approx_percentile: estimate's rank within the sketch bound") {
