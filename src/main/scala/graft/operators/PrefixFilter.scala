@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix filtering for EXACT set-similarity joins (Chaudhuri et al.
+  * SSJoin / Bayardo et al. All-Pairs): under any global total order on
+  * shingles, two sets A, B with Jaccard(A,B) >= t MUST share a shingle
+  * within the first |X| - ceil(t*|X|) + 1 shingles of each set.
+  *
+  * Proof: J >= t implies |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so with
+  * alpha = ceil(t*max(|A|,|B|)) we have |A∩B| >= alpha. Let x be the
+  * order-smallest element of A∩B; within A, x is followed by >= alpha-1
+  * other intersection elements, so x sits at position <= |A| - alpha + 1
+  * <= |A| - ceil(t*|A|) + 1 — inside A's prefix. Same for B. Hence the
+  * self-join restricted to PREFIX rows loses no qualifying pair, and the
+  * caller's exact verification step restores exact precision.
+  *
+  * The order used is ascending global document frequency (rarest shingle
+  * first, shingle value as tie-break): prefixes then hold the rarest
+  * shingles, so the candidate join's buckets are the SMALLEST buckets —
+  * the frequent shingles whose buckets grow quadratically with corpus
+  * size never reach the join. Everything is Catalyst-native: one
+  * aggregate for df, one window rank per doc, one equi-join on the
+  * prefix rows — every step partition-parallel at 100 TB.
+  */
+object PrefixFilter {
+
+  /** Prefix rows of (doc_id, shingle) under the df-ascending order: each
+    * doc keeps its first |s| - ceil(t*|s|) + 1 shingles. The 1e-9 slack
+    * guards the fp product t*|s| from rounding UP past an integer (which
+    * would shorten the prefix and silently lose pairs); it can only ever
+    * lengthen a prefix by one row — sound, never lossy. */
+  def prefixRows(shingleRows: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    val df = shingleRows.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val rankW = byDoc.orderBy(col("df").asc, col("shingle").asc)
+    shingleRows.join(df, Seq("shingle"))
+      .withColumn("prefix_pos", row_number().over(rankW))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter(col("prefix_pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("doc_id", "shingle")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing a PREFIX shingle —
+    * a provable superset of all pairs with Jaccard >= threshold, via an
+    * equi-join over prefix rows only (never the full shingle self-join). */
+  def candidatePairs(shingleRows: DataFrame, threshold: Double): DataFrame = {
+    val pre = prefixRows(shingleRows, threshold)
+    pre.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+}

@@ -13,10 +13,11 @@ import graft.util.Det._
   * Scale design (the 100-TB story, graded explicitly):
   *  - q_dedup_exact: sha2 + groupBy — one shuffle on the 64-hex hash,
   *    partial agg upstream; trivially scales.
-  *  - q_dedup_near: shingle-explode → equi-join ON SHINGLE → pair-count →
-  *    Jaccard. The candidate set is bucketed by shared shingle, never
-  *    all-pairs; at 100 TB the same plan runs with a MinHash-band signature
-  *    (see `minhashBands`) replacing raw shingles to bound bucket width.
+  *  - q_dedup_near: shingle-explode → df-ordered PREFIX filter → equi-join
+  *    on prefix shingles → exact Jaccard verify. Candidate buckets hold
+  *    only each doc's ~(1-t)|s|+1 RAREST shingles, so bucket width is
+  *    bounded even as corpus df grows — exact output, sub-quadratic work
+  *    (operators.PrefixFilter has the proof).
   *  - q_knn_cosine: brute-force over a broadcast query vector —
   *    one scan, no shuffle, TakeOrderedAndProject top-k. The scale path is
   *    LSH-bucketing the corpus (same banding machinery as near-dup).
@@ -58,12 +59,16 @@ object LlmOps {
     }),
 
     "q_dedup_near" -> ((s, d) => {
-      // Near-dup pairs at word-3-gram Jaccard >= 0.8. Candidates are
-      // generated by the shingle equi-join (only docs SHARING a shingle
-      // are compared), then scored exactly — one shared implementation
-      // with q_dedup_minhash (DedupOps.jaccardPairs), which swaps the
-      // candidate source for MinHash band buckets at scale.
-      DedupOps.jaccardPairs(shingles(Tables.documents(s, d)), None)
+      // Near-dup pairs at word-3-gram Jaccard >= 0.8 — EXACT output via
+      // prefix filtering (operators.PrefixFilter): candidates are pairs
+      // sharing a shingle in their df-ordered PREFIX (provably a superset
+      // of all J >= 0.8 pairs), then scored exactly by the same
+      // jaccardPairs verify q_dedup_minhash uses. The full shingle
+      // self-join — whose frequent-shingle buckets grow quadratically
+      // with corpus size — is never enumerated.
+      val sh = shingles(Tables.documents(s, d))
+      val cands = graft.operators.PrefixFilter.candidatePairs(sh, 0.8)
+      DedupOps.jaccardPairs(sh, Some(cands))
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

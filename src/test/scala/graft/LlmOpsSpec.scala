@@ -21,6 +21,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_near: prefix filtering reproduces the all-pairs exact output") {
+    // the prefix-filter theorem says candidates lose NO pair with J >= t;
+    // verified empirically against the unfiltered all-pairs form at both
+    // fixture tiers, plus a selectivity check that the join really reads
+    // only the prefix rows (~(1-t)|s|+1 of each doc's shingles)
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val sh = Graft.shingleRows(Tables.documents(spark, sf), "doc_id", "text", n = 3)
+      val allPairs = graft.queries.DedupOps.jaccardPairs(sh, None)
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect().map(_.toString).sorted.toSeq
+      val prefixed = SparkEntry.queries("q_dedup_near")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(prefixed === allPairs, s"prefix filter changed the output at $sf")
+      val nSh = sh.count()
+      val nPre = graft.operators.PrefixFilter.prefixRows(sh, 0.8).count()
+      assert(nPre < nSh * 2 / 5, s"prefix not selective: $nPre of $nSh rows")
+    }
+  }
+
   test("q_dedup_simhash: banded candidates reproduce the all-pairs output") {
     // pigeonhole recall proof, verified empirically: the 4×16-bit band
     // equi-join must yield EXACTLY the rows of the naive all-pairs join

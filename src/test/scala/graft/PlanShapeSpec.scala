@@ -68,6 +68,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_near self-joins PREFIX rows only (prefix filter in the plan)") {
+    // the candidate join's inputs must carry the prefix_pos rank filter —
+    // i.e. the plan joins each doc's df-ordered prefix, not all shingles
+    val p = plan("q_dedup_near")
+    assert(p.contains("prefix_pos"),
+      s"prefix filter missing from plan:\n${p.take(2000)}")
+    assert(p.contains("row_number()"),
+      s"df-order ranking missing from plan:\n${p.take(2000)}")
+  }
+
   test("q_dedup_simhash candidates arrive via a band equi-join, no nested loop") {
     val p = plan("q_dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n${p.take(2000)}")
