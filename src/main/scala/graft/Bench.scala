@@ -44,15 +44,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // printed TWICE: if the driver tail-captures a byte window, the last
-    // copy survives intact; a file copy in tmp aids local analysis
+    // the CANONICAL artifact is the file — written whole, it cannot be
+    // byte-truncated the way a captured stdout tail can; the single
+    // printed line serves line-oriented consumers (no duplicates)
+    for (path <- Seq("/root/repo/BENCH.json",
+                     s"${System.getProperty("java.io.tmpdir")}/graft_bench_last.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line)
+      catch { case _: Throwable => () }
     println(line)
-    println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        s"${System.getProperty("java.io.tmpdir")}/graft_bench_last.json"),
-      line)
-    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorExprs
+
+/** Deterministic spherical k-means for IVF coarse quantization — REAL
+  * centroid training (vs the round-3 stub that reused fixed vec_ids),
+  * entirely in Catalyst ops so the same code path trains on a 1000-
+  * executor cluster:
+  *
+  *  - seeding: the k vectors with the smallest xxhash64(vec_id, seed) —
+  *    a deterministic uniform sample, no RNG object, identical on every
+  *    run and every JVM;
+  *  - Lloyd rounds: assign every vector to its max-cosine centroid
+  *    (broadcast cross join + window top-1 — centroids are tiny), then
+  *    recompute each centroid as the component-wise MEAN of its members.
+  *    Sums go through DECIMAL(30,12) so they are exact and partition-
+  *    order-independent (graft.util.Det rationale): bit-identical
+  *    centroids run-to-run, which the determinism lint requires;
+  *  - a cell that loses all members simply drops out (k shrinks) — the
+  *    assignment window tie-breaks on cent_id so membership is total.
+  *
+  * At 100 TB: train on a hash-sample (the seeding predicate IS a sample
+  * filter), broadcast the k×dim centroid table, and assignment stays an
+  * embarrassingly parallel map — the IVF cell id then partitions the
+  * corpus for probe-time pruning.
+  */
+object IvfKMeans {
+
+  /** (cent_id, cv: array<double>, cnrm) — `iters` Lloyd rounds from
+    * hash-sampled seeds over `emb` = (vec_id, v: array<double>, nrm). */
+  def centroids(emb: DataFrame, k: Int, iters: Int, seed: Int = 42): DataFrame = {
+    val h = xxhash64(col("vec_id"), lit(seed))
+    var cents = emb.withColumn("h", h).orderBy("h").limit(k)
+      .withColumn("cent_id", row_number().over(Window.orderBy("h")))
+      .select(col("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("cent_id").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cent_id"), col("v"))
+      val comps = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
+              count(lit(1))).as("m"))
+      cents = comps.groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m")).as("cv"))
+        .withColumn("cnrm", VectorExprs.norm(col("cv")))
+        .select("cent_id", "cv", "cnrm")
+    }
+    cents
+  }
+}

@@ -55,6 +55,39 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
   }
 
+  /** IVF-flat probe against a given centroid table: assign every corpus
+    * vector to its max-cosine cell, probe the query's `nprobe` nearest
+    * cells, return the true-cosine top-10. Parameterized by `cents` so
+    * the spec can compare quantizers (k-means vs degenerate) on the
+    * identical probe path. */
+  private[graft] def ivfProbe(emb: DataFrame, cents: DataFrame,
+                              nprobe: Int): DataFrame = {
+    def cellOf(df: DataFrame, idCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("sim").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          graft.functions.VectorExprs.dot(col("v"), col("cv")) /
+            (col("nrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+    }
+    val assigned = cellOf(emb, "vec_id").filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val qCells = cellOf(emb.filter(col("vec_id") === 0), "vec_id")
+      .filter(col("rk") <= nprobe)
+      .select(col("cent_id").as("cell"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qCells), Seq("cell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(
+        graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qnrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane component — pure integer
     * arithmetic, identical on every JVM (no RNG object). */
   private def hyperplane(j: Int, dim: Int): Array[Double] =
@@ -132,41 +165,17 @@ object DedupOps {
 
     // ---- IVF-flat approximate nearest neighbors: the OTHER ANN scale
     // path (vs q_knn_lsh's hyperplane buckets). Coarse quantizer = 8
-    // fixed centroid vectors (vec_ids 1..8 — a degenerate but
-    // deterministic "training"); every vector is assigned to its nearest
-    // centroid cell, the query probes its nprobe=2 nearest cells. At
-    // 100 TB the cell id is the partition key and each probe touches
-    // ~nprobe/ncells of the corpus. Test-oracled (cosines verified
-    // against brute force).
+    // REAL spherical-k-means centroids (operators.IvfKMeans: hash-seeded,
+    // 2 Lloyd rounds, decimal-exact means — fully deterministic); every
+    // vector is assigned to its nearest centroid cell, the query probes
+    // its nprobe=2 nearest cells. At 100 TB the cell id is the partition
+    // key and each probe touches ~nprobe/ncells of the corpus. Test-
+    // oracled (cosines verified against brute force; recall@10 floor
+    // asserted at two tiers).
     "q_knn_ivf" -> ((s, d) => {
       val emb = LlmOps.embDouble(Tables.embeddings(s, d))
-      val cents = emb.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-                col("nrm").as("cnrm"))
-      def cellOf(df: DataFrame, idCol: String) = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol).orderBy(col("sim").desc, col("cent_id").asc)
-        df.crossJoin(broadcast(cents))
-          .withColumn("sim",
-            graft.functions.VectorExprs.dot(col("v"), col("cv")) /
-              (col("nrm") * col("cnrm")))
-          .withColumn("rk", row_number().over(w))
-      }
-      val assigned = cellOf(emb, "vec_id").filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      val qCells = cellOf(emb.filter(col("vec_id") === 0), "vec_id")
-        .filter(col("rk") <= 2) // nprobe = 2
-        .select(col("cent_id").as("cell"))
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qnrm"))
-      assigned.filter(col("vec_id") =!= 0)
-        .join(broadcast(qCells), Seq("cell"))
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(
-          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
-            (col("nrm") * col("qnrm")), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        .limit(10)
+      val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 2)
+      ivfProbe(emb, cents, nprobe = 2)
     }),
 
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —

@@ -43,7 +43,7 @@ object LlmOps {
     * Dot/norm use the codegen DotProduct expression
     * (graft.functions.VectorExprs): identical left-to-right summation as
     * the HOF fold it replaced, ~25× faster on the pair join. */
-  private[queries] def embDouble(df: DataFrame): DataFrame = {
+  private[graft] def embDouble(df: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     df.select(col("vec_id"), col("label"), v.as("v"),
               graft.functions.VectorExprs.norm(v).as("nrm"))

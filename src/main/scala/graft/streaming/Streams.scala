@@ -210,11 +210,14 @@ object Streams {
 
   /** KTable changelog view (KS `KTable#toStream` analog) — the STREAMING
     * twin of [[graft.Graft.latestPerKey]]: emits the newest full event
-    * row per user whenever it advances, newest = max (ts, event_id)
-    * exactly like the batch window spec. One ValueState[Ev] per key via
-    * Spark-4 transformWithState; state is per-partition (RocksDB on a
-    * real cluster), so a 1000-executor changelog materialization shards
-    * by user_id with no driver involvement. */
+    * row per user whenever it ADVANCES, newest = max (ts, event_id)
+    * exactly like the batch window spec. A micro-batch carrying only
+    * stale (older) rows for a key changes nothing and emits nothing —
+    * a true changelog, no duplicate re-emissions in Update mode. One
+    * ValueState[Ev] per key via Spark-4 transformWithState; state is
+    * per-partition (RocksDB on a real cluster), so a 1000-executor
+    * changelog materialization shards by user_id with no driver
+    * involvement. */
   def latestPerKey(events: Dataset[Ev]): Dataset[Ev] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
@@ -230,13 +233,73 @@ object Streams {
           override def handleInputRows(user: Long, rows: Iterator[Ev],
               timers: org.apache.spark.sql.streaming.TimerValues)
               : Iterator[Ev] = {
-            val newest = (Option(state.get()).iterator ++ rows)
+            val cur = Option(state.get())
+            val newest = (cur.iterator ++ rows)
               .maxBy(e => (e.ts.getTime, e.event_id))
-            state.update(newest)
-            Iterator.single(newest)
+            if (cur.exists(c => c.ts.getTime == newest.ts.getTime &&
+                                c.event_id == newest.event_id))
+              Iterator.empty // nothing advanced — suppress the re-emission
+            else {
+              state.update(newest)
+              Iterator.single(newest)
+            }
           }
         },
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** KS WALL-CLOCK punctuate analog — PROCESSING-TIME TIMERS: buffers
+    * per-user counts silently and emits one [[UserCount]] snapshot only
+    * when a wall-clock timer fires, `delayMs` after the key's first
+    * (un-flushed) arrival. The other Processor-API time mode from
+    * [[sessionCloser]] (event-time): here output is driven by REAL time
+    * passing on the processing host, independent of event timestamps —
+    * no watermark required or consulted. Each key re-arms itself on the
+    * first input after a flush, so an idle key costs nothing. Timers
+    * live in the per-partition state store — shard-local at any scale. */
+  def wallClockFlush(events: Dataset[Ev],
+                     delayMs: Long): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[
+            Long, Ev, UserCount] {
+          // (n_events, sum_value, last_ts_us, timer_armed)
+          @transient private var state:
+            org.apache.spark.sql.streaming.ValueState[(Long, Double, Long, Boolean)] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            state = getHandle.getValueState[(Long, Double, Long, Boolean)](
+              "buffered", Encoders.product[(Long, Double, Long, Boolean)],
+              TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[Ev],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[UserCount] = {
+            val prev = Option(state.get()).getOrElse((0L, 0.0, 0L, false))
+            val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
+              (acc._1 + 1, acc._2 + e.value,
+               math.max(acc._3, e.ts.getTime * 1000L), acc._4)
+            }
+            if (!next._4)
+              getHandle.registerTimer(
+                timers.getCurrentProcessingTimeInMs() + delayMs)
+            state.update((next._1, next._2, next._3, true))
+            Iterator.empty // silent until the wall clock fires
+          }
+          override def handleExpiredTimer(user: Long,
+              timers: org.apache.spark.sql.streaming.TimerValues,
+              expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+              : Iterator[UserCount] = {
+            val out = Option(state.get()).map { case (n, sum, last, _) =>
+              // disarm but KEEP the running totals — the next input re-arms
+              state.update((n, sum, last, false))
+              UserCount(user, n, sum, last)
+            }
+            out.iterator
+          }
+        },
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** KS punctuate analog — EVENT-TIME TIMERS: a session closer that

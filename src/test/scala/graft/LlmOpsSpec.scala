@@ -114,25 +114,68 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh.size <= brute.size)
   }
 
-  test("q_knn_ivf: cell-probed ANN returns true cosines, prunes candidates") {
-    val ivf = SparkEntry.queries("q_knn_ivf")(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(ivf.nonEmpty && ivf.size <= 10)
-    val again = SparkEntry.queries("q_knn_ivf")(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(ivf === again, "IVF probe not deterministic")
-    val bruteAll = {
-      val emb = Tables.embeddings(spark, sf0001)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), round(
-          graft.functions.VectorExprs.dot(col("v"), col("qv")) /
-            (graft.functions.VectorExprs.norm(col("v")) *
-             graft.functions.VectorExprs.norm(col("qv"))), 4).as("cos"))
+  test("q_knn_ivf: cell-probed ANN returns true cosines, recall@10 floor holds") {
+    // k-means quality gate at BOTH fixture tiers: every returned cosine
+    // must be the true value, the probe must be deterministic, and
+    // recall@10 vs brute force must clear the floor the degenerate
+    // round-3 quantizer never guaranteed
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val ivf = SparkEntry.queries("q_knn_ivf")(spark, sf)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ivf.nonEmpty && ivf.size <= 10)
+      val again = SparkEntry.queries("q_knn_ivf")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(ivf === again, s"IVF probe not deterministic at $sf")
+      val bruteAll = {
+        val emb = Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), round(
+            graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+              (graft.functions.VectorExprs.norm(col("v")) *
+               graft.functions.VectorExprs.norm(col("qv"))), 4).as("cos"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      for ((id, c) <- ivf) assert(bruteAll(id) === c, s"wrong cosine for $id at $sf")
+      val bruteTop10 = bruteAll.toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1).toSet
+      val recall = (ivf.keySet & bruteTop10).size / 10.0
+      // recall floor: the nprobe/k random-assignment baseline. The fixture
+      // is an ISOTROPIC Gaussian cloud, so a query's top-10 scatter across
+      // cells near-uniformly and recall is structurally ~nprobe/k for ANY
+      // quantizer (measured: seed-to-seed swings 0.0–0.8 while the stub
+      // sits at 0.6–0.7 — pure placement noise, not quantizer quality).
+      assert(recall >= 0.2,
+        s"IVF recall@10 = $recall at $sf — below the nprobe=2 random baseline")
+      // the noise-free quality gate: real Lloyd training must IMPROVE the
+      // spherical quantization objective (mean cosine of each vector to
+      // its assigned centroid) over (a) its own un-iterated seeds and
+      // (b) round 3's degenerate vec_ids-1..8 quantizer. Measured margins
+      // are wide (~0.185 stub → ~0.26 after 2 rounds at both tiers).
+      val emb = graft.queries.LlmOps.embDouble(Tables.embeddings(spark, sf))
+      def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+        emb.crossJoin(broadcast(cents))
+          .withColumn("sim",
+            graft.functions.VectorExprs.dot(col("v"), col("cv")) /
+              (col("nrm") * col("cnrm")))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .agg(avg("sim")).collect().head.getDouble(0)
+      }
+      val stubCents = emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+                col("nrm").as("cnrm"))
+      val seeds = graft.operators.IvfKMeans.centroids(emb, 8, iters = 0)
+      val trained = graft.operators.IvfKMeans.centroids(emb, 8, iters = 2)
+      val (oStub, oSeed, oTrained) =
+        (objective(stubCents), objective(seeds), objective(trained))
+      assert(oTrained > oSeed + 0.02,
+        s"Lloyd rounds did not improve the objective at $sf: $oSeed -> $oTrained")
+      assert(oTrained > oStub + 0.02,
+        s"trained quantizer no better than degenerate at $sf: $oStub vs $oTrained")
     }
-    for ((id, c) <- ivf) assert(bruteAll(id) === c, s"wrong cosine for $id")
   }
 
   test("multimodal decode: mapPartitions stub emits exact per-row features") {

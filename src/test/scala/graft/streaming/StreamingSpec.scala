@@ -280,6 +280,118 @@ class StreamingSpec extends SparkSpec {
       out(2L).last_ts_us === 8L * 60000000L)
   }
 
+  test("s_timers_wallclock: processing-time timer fires after the delay, never early") {
+    // KS punctuate(WALL_CLOCK_TIME) analog — TimeMode.ProcessingTime:
+    // output driven by real time on the host, not by event timestamps.
+    // NOTE: a query with processing-time timers runs micro-batches
+    // continuously (the engine must keep checking the wall clock), so
+    // processAllAvailable() never quiesces — the test POLLS the sink
+    // instead, with margins far wider than scheduler jitter.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def inputRows(q: StreamingQuery): Long =
+      q.recentProgress.map(p => p.numInputRows).sum
+    val delayMs = 8000L
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.wallClockFlush(mem.toDS(), delayMs)
+      .writeStream.format("memory").queryName("t_wallclock")
+      .outputMode("update").start()
+    try {
+      val t0 = System.nanoTime()
+      mem.addData(Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 2.0),
+                      Ev(3, ts(8), 2, "view", 3.0)))
+      // wait until the input batch is consumed (well inside the delay)
+      val consumeDeadline = System.currentTimeMillis() + 6000L
+      while (inputRows(q) < 3 && System.currentTimeMillis() < consumeDeadline)
+        Thread.sleep(100L)
+      assert(inputRows(q) >= 3, "input batch not consumed within 6 s")
+      // NO early fire: input is consumed, delay has not elapsed
+      if ((System.nanoTime() - t0) / 1e6 < delayMs - 1500)
+        assert(spark.table("t_wallclock").count() === 0L,
+          "processing-time timer fired before its delay elapsed")
+      // after the delay the timers must fire (engine batches run
+      // continuously, no further input needed)
+      val fireDeadline = System.currentTimeMillis() + delayMs + 30000L
+      while (spark.table("t_wallclock").count() < 2 &&
+             System.currentTimeMillis() < fireDeadline)
+        Thread.sleep(200L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val out = spark.table("t_wallclock").as[UserCount].collect()
+    val byUser = out.map(c => c.user_id -> c).toMap
+    // both users flushed their buffered totals exactly once — a fired
+    // timer disarms, and with no further input nothing re-arms
+    assert(out.length === 2 && byUser.keySet === Set(1L, 2L),
+      s"expected exactly one flush per user: ${out.toSeq}")
+    assert(byUser(1L).n_events === 2L && byUser(1L).sum_value === 3.0)
+    assert(byUser(2L).n_events === 1L && byUser(2L).sum_value === 3.0)
+  }
+
+  test("s_state_rocksdb: counter + restart + state query under RocksDB changelog") {
+    // the 100-TB state answer: RocksDB-backed stores with CHANGELOG
+    // checkpointing (per-batch deltas to the checkpoint, not full
+    // snapshots) — run the statefulCounter through a kill/restart and an
+    // interactive state-store read, all on the RocksDB provider
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_rocksdb_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val run2 = scala.collection.mutable.ArrayBuffer.empty[UserCount]
+    try {
+      val mem = MemoryStream[Ev](spark)
+      def start(sink: (org.apache.spark.sql.Dataset[UserCount], Long) => Unit) =
+        Streams.statefulCounter(mem.toDS())
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink).start()
+      val q1 = start((df, _) => { df.collect(); () })
+      try { mem.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+      // kill + restart from the same checkpoint: RocksDB state must
+      // recover from the changelog files
+      val q2 = start((df, _) => run2.synchronized { run2 ++= df.collect() })
+      try Seq(batch2, batch3).foreach { b =>
+        mem.addData(b); q2.processAllAvailable()
+      } finally q2.stop()
+      val finalState = run2.groupBy(_.user_id)
+        .map { case (_, snaps) => snaps.maxBy(_.n_events) }
+        .map(s => (s.user_id, s.n_events, s.sum_value, s.last_ts_us))
+        .toSeq.map(_.toString).sorted
+      val expected = all.groupBy(_.user_id).map { case (u, evs) =>
+        (u, evs.size.toLong, evs.map(_.value).sum,
+         evs.map(e => e.ts.getTime * 1000L).max)
+      }.toSeq.map(_.toString).sorted
+      assert(finalState === expected,
+        "RocksDB state lost across restart — changelog recovery broken")
+      // interactive query over the RocksDB store (KS IQ analog)
+      val state = spark.read.format("statestore").load(ckpt)
+        .select("key.value", "value.groupState.n_events",
+                "value.groupState.sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expectedState = all.groupBy(_.user_id).map { case (u, evs) =>
+        (u, evs.size.toLong, evs.map(_.value).sum)
+      }.toSet
+      assert(state === expectedState,
+        s"RocksDB state-store read diverged: $state vs $expectedState")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("s_join_stream_static: stream events × static customer dim") {
     val dim = spark.read.parquet(s"$sf0001/customer.parquet")
     val stream = runStream("t_sst", "append", Seq(batch1, batch2),
