@@ -38,16 +38,25 @@ object Scalars {
 
     "q_date_funcs" -> ((s, d) => {
       // year/month/date_trunc/datediff/interval arithmetic, aggregated per
-      // order-month so the output is small and totally ordered.
-      Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(
-          year(col("o_orderdate")).cast("long").as("o_year"),
-          month(col("o_orderdate")).cast("long").as("o_month"),
-          epochMs(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
-          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+      // order-month so the output is small and totally ordered. All the
+      // ORDER-side datetime expressions are computed BELOW the join (per
+      // 150 K orders, not per 600 K joined rows — Catalyst prunes columns
+      // through joins but never pushes expression WORK down, so the 4×
+      // reduction in datetime arithmetic is the query author's job); only
+      // ship_gap, which needs a lineitem column, is per joined row.
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        epochMs(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
+        epochMs(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ms"))
+      Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_year"), col("o_month"), col("month_start_ms"),
+          datediff(to_date(col("l_shipdate")), col("o_date"))
             .cast("long").as("ship_gap"),
-          epochMs(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ms"))
+          col("due_ms"))
         .groupBy("o_year", "o_month", "month_start_ms")
         .agg(count(lit(1)).as("n"),
              min("ship_gap").as("min_gap"), max("ship_gap").as("max_gap"),

@@ -115,6 +115,12 @@ object Scans {
     // scan shows PartitionFilters, not a data filter — directory-level
     // pruning, the layout a 100-TB table would use). Oracle runs the
     // equivalent WHERE over the original table.
+    // Bench note (profiled r4): ~0.5 s of this key's ~0.9 s IS the full
+    // 600 K-row write — codec choice moves nothing (snappy≈lz4≈zstd ±10%)
+    // and a repartition(32) before the write is 2× WORSE at this scale
+    // (shuffle + 96 tiny files vs 3 scan-task writers). The per-scan-task
+    // dynamic write below is also the scalable shape: writers track input
+    // splits, no shuffle, no single-task-per-partition-value bottleneck.
     "q_sink_partitioned" -> ((s, d) => {
       val tmp = scratch("part", s, d)
       Tables.lineitem(s, d)

@@ -20,6 +20,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_date_funcs broadcasts the pruned orders build side") {
+    // the r4 tail fix: order-side datetime exprs computed below the join,
+    // pruned 150K-row build side broadcast — no shuffle join
+    val p = plan("q_date_funcs")
+    assert(p.contains("BroadcastHashJoin"), s"orders side not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }

@@ -80,4 +80,57 @@ class VectorSimJoinSpec extends SparkSpec {
     assert(got === exact)
     assert(got.nonEmpty, "clustered fixture should produce within-cluster pairs")
   }
+
+  test("skewed-cell corpus: AQE splits the hot cell partition (skew=true)") {
+    import spark.implicits._
+    // the 100-TB failure mode the cell join must survive: a clustered
+    // corpus where ONE cell holds most of the corpus, so one shuffle
+    // partition of the cell equi-join dwarfs the rest. AQE's skew-join
+    // rewrite must split that partition (thresholds lowered to make the
+    // small fixture exhibit what 100 TB exhibits at defaults).
+    val dim = 8
+    def h(i: Long, j: Int): Double =
+      (((i * 2654435761L + j.toLong * 40503L + 7L) >>> 16) & 0xffffL)
+        .toDouble / 65535.0
+    val rows = (0L until 4000L).map { i =>
+      val v =
+        if (i % 5 != 0) // 80% of vectors in one tight cluster → one hot cell
+          Array.tabulate(dim)(j =>
+            (if (j == 0) 1.0 else 0.0) + 0.05 * (h(i, j) - 0.5))
+        else            // 20% isotropic background
+          Array.tabulate(dim)(j => 2.0 * (h(i, j) - 0.5))
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val confs = Map(
+      // force shuffle joins (broadcast would sidestep the skew machinery)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // scale AQE's skew thresholds down to fixture size (shuffle sizes
+      // are COMPRESSED bytes, so they run far below the in-memory size)
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // coalescing would re-merge the sub-advisory background partitions
+      // and muddy the assertion — turn it off for the probe
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val out = VectorSimJoin.pairs(df, "vec_id", "embedding", threshold = 0.95)
+      // execute THIS DataFrame's plan (count() would plan its own query
+      // and the skew decision would land there, not here), then read the
+      // finalized adaptive plan
+      assert(out.queryExecution.toRdd.count() > 0, "hot-cluster pairs must qualify")
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n${p.take(500)}")
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot cell partition:\n${p.take(3000)}")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
