@@ -112,6 +112,13 @@ object Graft {
                    textCol: String = "text", maxHamming: Int = 3): DataFrame =
     operators.SimHash.pairs(docs, idCol, textCol, maxHamming = maxHamming)
 
+  /** Near-dup pairs → dedup DECISION: connected components of the pair
+    * graph; every id in `allIds` gets (doc_id, cluster_id) with
+    * cluster_id = smallest reachable id (the canonical keeper). See
+    * operators.DedupCluster for the fixpoint shape and scale notes. */
+  def dedupClusters(allIds: DataFrame, pairs: DataFrame): DataFrame =
+    operators.DedupCluster.clusters(allIds, pairs)
+
   // ---- similarity search ----
 
   /** Brute-force cosine top-k against one query vector (broadcast).

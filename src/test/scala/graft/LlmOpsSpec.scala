@@ -212,6 +212,23 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup clustering: chains close transitively, singletons survive") {
+    // component {1,2,3} is a CHAIN (1-2, 2-3, no 1-3 pair): the cluster
+    // decision must still group all three under keeper 1 — exactly what
+    // pairwise dedup output alone cannot express
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graft.dedupClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // and a longer chain (diameter 5) still converges to one keeper
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got2 = Graft.dedupClusters((1L to 6L).toDF("doc_id"), chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet === Set(1L))
+  }
+
   test("q_text_fingerprint: equal texts ⇔ equal fingerprints on fixtures") {
     val fp = SparkEntry.queries("q_text_fingerprint")(spark, sf0001)
       .select("doc_id", "fingerprint").collect()
