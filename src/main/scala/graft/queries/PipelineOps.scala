@@ -54,6 +54,21 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- text normalization — the step BEFORE exact dedup in every
+    // corpus pipeline: lowercase, strip non-alphanumerics, squeeze
+    // whitespace; emits the normalized-content hash so near-identical
+    // punctuation/case variants collapse under q_dedup_exact's groupBy.
+    "q_text_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          sha2(norm, 256).as("norm_hash"),
+          length(norm).cast("long").as("norm_len"),
+          (length(col("text")) - length(norm)).cast("long").as("n_stripped"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic train/valid/test split (80/10/10 by id hash),
     // reported as per-(lang, split) counts — the lineage-free split
     // assignment a reproducible data pipeline wants.
@@ -89,6 +104,16 @@ object PipelineOps {
            CASE WHEN lang = 'en' THEN 500
                 WHEN lang = 'de' THEN 300 ELSE 200 END
          ORDER BY doc_id""",
+    "q_text_norm" ->
+      """SELECT doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len,
+           CAST(length(text) - length(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS n_stripped
+         FROM documents ORDER BY doc_id""",
     "q_split_train" ->
       """SELECT lang,
            CASE WHEN (doc_id * 69621 + 7) % 100 < 80 THEN 'train'

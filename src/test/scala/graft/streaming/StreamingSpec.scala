@@ -302,11 +302,13 @@ class StreamingSpec extends SparkSpec {
       val t0 = System.nanoTime()
       mem.addData(Seq(Ev(1, ts(5), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 2.0),
                       Ev(3, ts(8), 2, "view", 3.0)))
-      // wait until the input batch is consumed (well inside the delay)
-      val consumeDeadline = System.currentTimeMillis() + 6000L
+      // wait until the input batch is consumed; the early-fire assertion
+      // below self-disables if a loaded VM pushes consumption past the
+      // delay, so a generous deadline cannot make the test wrong
+      val consumeDeadline = System.currentTimeMillis() + 30000L
       while (inputRows(q) < 3 && System.currentTimeMillis() < consumeDeadline)
         Thread.sleep(100L)
-      assert(inputRows(q) >= 3, "input batch not consumed within 6 s")
+      assert(inputRows(q) >= 3, "input batch not consumed within 30 s")
       // NO early fire: input is consumed, delay has not elapsed
       if ((System.nanoTime() - t0) / 1e6 < delayMs - 1500)
         assert(spark.table("t_wallclock").count() === 0L,
