@@ -141,6 +141,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix filter: candidates ⊇ all pairs with J ≥ t on generated docs") {
+    // the SSJoin prefix theorem, checked empirically for ANY generated
+    // corpus and several thresholds: restricting the self-join to each
+    // doc's df-ordered prefix must lose NO qualifying pair
+    val genDocs: Gen[List[String]] = Gen.listOfN(15,
+      Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+        .map(_.mkString(" ")))
+    forAll(genDocs) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val sh = Graft.shingleRows(docs, "doc_id", "text", n = 2)
+        for (t <- Seq(0.5, 0.8, 1.0)) {
+          val qualifying = graft.queries.DedupOps.jaccardPairs(sh, None)
+            .filter(col("jaccard") >= t)
+            .select("doc_a", "doc_b")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val cands = graft.operators.PrefixFilter.candidatePairs(sh, t)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(qualifying.subsetOf(cands),
+            s"prefix filter lost pairs at t=$t: ${qualifying -- cands}")
+        }
+      }
+    }
+  }
+
+  test("dedup clustering ≡ reference union-find on generated pair graphs") {
+    val genEdges: Gen[List[(Int, Int)]] =
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) })
+    forAll(genEdges) { edges =>
+      whenever(edges.nonEmpty) {
+        // reference: in-memory union-find over ids 0..9
+        val parent = Array.tabulate(10)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        for ((a, b) <- edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = (0 until 10).map(i => i.toLong -> find(i).toLong).toMap
+        val got = Graft.dedupClusters(
+            (0L to 9L).toDF("doc_id"),
+            edges.map { case (a, b) => (a.toLong, b.toLong) }
+              .toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   test("simhash banding: recall 1 vs all-pairs on generated token docs") {
     val genDocs: Gen[List[String]] = Gen.listOfN(20,
       Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
