@@ -46,11 +46,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the CANONICAL artifact is the file — written whole, it cannot be
     // byte-truncated the way a captured stdout tail can; the single
-    // printed line serves line-oriented consumers (no duplicates)
-    for (path <- Seq("/root/repo/BENCH.json",
+    // printed line serves line-oriented consumers (no duplicates).
+    // Root comes from SPARK_GRAFT_REPO or the launch cwd (user.dir) — a
+    // hardcoded path would silently leave a STALE artifact on any other
+    // checkout; a failed write must say so, not masquerade as fresh.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+                                     System.getProperty("user.dir"))
+    for (path <- Seq(s"$repoRoot/BENCH.json",
                      s"${System.getProperty("java.io.tmpdir")}/graft_bench_last.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        Console.err.println(s"WARN: bench artifact write failed for $path: $e")
+      }
     println(line)
     spark.stop()
   }

@@ -8,29 +8,50 @@ import org.apache.spark.sql.functions._
   * (the smallest doc_id reachable through pairs), the cluster_id member
   * is the canonical keeper, everything else in the cluster is a drop.
   *
-  * Algorithm: iterative min-label propagation to a fixpoint — the
-  * standard distributed connected-components (GraphX/Pregel shape) in
-  * plain DataFrame ops. The loop is a DRIVER-SIDE fixpoint control with
-  * per-iteration convergence checks, which is the one legitimate use of
-  * a driver loop: iteration count is O(component diameter), a property
-  * of the DATA (near-dup clusters are near-cliques — diameter 1-3), not
-  * of corpus size. All per-iteration work is shuffle-partitioned joins
-  * and aggregates over the PAIR-GRAPH vertices only (documents touched
-  * by at least one pair — vastly smaller than the corpus); the untouched
-  * corpus joins back in once, at the end, as singleton clusters via a
-  * single anti-join. localCheckpoint truncates the growing lineage so
-  * plan size stays constant per iteration.
+  * Algorithm: min-label propagation WITH POINTER JUMPING to a fixpoint.
+  * Each round does (a) one hop of label flow along edges, then (b) a
+  * pointer jump — label := label(label) — which halves the residual
+  * label-chain depth. Propagation alone needs O(component diameter)
+  * rounds, which a chain-shaped component (transitive drift chains do
+  * occur at corpus scale) can push past any fixed budget; the jump step
+  * brings convergence to O(log diameter), so the default maxIters = 25
+  * covers diameters beyond 2^25 — no realistic corpus can exhaust it.
+  *
+  * The loop is a DRIVER-SIDE fixpoint control with per-iteration
+  * convergence checks — the one legitimate use of a driver loop. All
+  * per-iteration work is shuffle-partitioned joins and aggregates over
+  * the PAIR-GRAPH vertices only (documents touched by at least one
+  * pair — vastly smaller than the corpus); the untouched corpus joins
+  * back in once, at the end, as singleton clusters via a single
+  * anti-join.
+  *
+  * Fault-tolerance trade-off: localCheckpoint(eager = true) truncates
+  * the growing lineage so plan size stays constant per iteration, but
+  * the checkpointed blocks live on executors — an executor loss
+  * mid-fixpoint fails the job (Spark cannot recompute a truncated
+  * lineage). That is the right default for this engine's single-JVM
+  * harness and acceptable for short fixpoints (O(log d) rounds of
+  * seconds each); a long-running 1000-executor deployment should flip
+  * to reliable `checkpoint()` against the cluster checkpoint dir, which
+  * swaps re-execution risk for one HDFS round-trip per iteration. The
+  * fixpoint itself is restart-idempotent either way — labels are a pure
+  * function of the pair graph.
   *
   * Determinism: min-label fixpoints are confluent — the final labels are
-  * independent of propagation order, so output is stable run-to-run.
+  * independent of propagation order (and of whether a jump step fired),
+  * so output is stable run-to-run.
   */
 object DedupCluster {
 
   /** (doc_id, cluster_id) for every id in `allIds`, where cluster_id is
     * the min doc_id of the id's connected component in `pairs`
-    * ((doc_a, doc_b) rows; ids absent from pairs become singletons). */
+    * ((doc_a, doc_b) rows; ids absent from pairs become singletons).
+    * `maxIters` bounds fixpoint rounds; with pointer jumping the rounds
+    * needed are ~log2(max component diameter), so the default is a
+    * safety net, not a tuning knob — callers with pathological graphs
+    * can raise it. */
   def clusters(allIds: DataFrame, pairs: DataFrame,
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -41,13 +62,32 @@ object DedupCluster {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // labels flowing one hop along edges, folded with the current label
+      // (a) labels flowing one hop along edges, folded with current labels
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
+      // checkpointed so the self-join below sees a flat scan, not a
+      // Union subtree (Catalyst's union constraint rewrite cannot handle
+      // the deduplicated self-join attributes), and so per-round plan
+      // size stays constant
+      val hop = labels.unionByName(prop)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
+      // (b) pointer jump: label := label(label). Every label is a vertex
+      // id in the same component (it arrived there along edges), so the
+      // inner self-join keeps every row; labels only decrease, so the
+      // jump is sound and halves residual chain depth each round.
+      val jumped = hop.as("h")
+        .join(hop.as("p"), col("h.cluster_id") === col("p.doc_id"))
+        .select(col("h.doc_id").as("doc_id"),
+                col("p.cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      // rebuild from the checkpointed RDD: localCheckpoint preserves the
+      // origin plan's constraints, and the self-join's equality constraint
+      // references the pruned p-side attribute — next round's Union
+      // constraint rewrite would throw on it (key not found). A fresh
+      // LogicalRDD starts constraint-free.
+      val next = jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))

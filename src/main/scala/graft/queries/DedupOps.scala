@@ -50,9 +50,16 @@ object DedupOps {
             Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
             Seq("doc_b"))
-      .withColumn("jaccard", round(
+      // jaccard_raw is the UNROUNDED similarity: threshold filters must use
+      // it, because the prefix-filter theorem (PrefixFilter) only guarantees
+      // candidate coverage for true J >= t — filtering on the 6-dp rounded
+      // value would also accept J in [t - 5e-7, t), a window the prefix path
+      // does not promise to cover. The rounded `jaccard` is display/hash
+      // stability only (§7.6), never a predicate input.
+      .withColumn("jaccard_raw",
         col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .withColumn("jaccard", round(col("jaccard_raw"), 6))
   }
 
   /** IVF-flat probe against a given centroid table: assign every corpus
@@ -104,7 +111,7 @@ object DedupOps {
       val sh = LlmOps.shingles(Tables.documents(s, d))
       val cands = MinHashLSH.candidatePairs(sh, k = 16, b = 8, r = 2)
       jaccardPairs(sh, Some(cands))
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard_raw") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     }),
@@ -234,8 +241,8 @@ object DedupOps {
        FROM inter
        JOIN sizes sa ON doc_a = sa.doc_id
        JOIN sizes sb ON doc_b = sb.doc_id
-       WHERE round(CAST(n_inter AS DOUBLE)
-               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.8
+       WHERE CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
        ORDER BY doc_a, doc_b"""
 
   val oracle: Map[String, String] = Map(

@@ -69,7 +69,7 @@ object LlmOps {
       val sh = shingles(Tables.documents(s, d))
       val cands = graft.operators.PrefixFilter.candidatePairs(sh, 0.8)
       DedupOps.jaccardPairs(sh, Some(cands))
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard_raw") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     }),

@@ -29,7 +29,7 @@ class LlmOpsSpec extends SparkSpec {
     for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val sh = Graft.shingleRows(Tables.documents(spark, sf), "doc_id", "text", n = 3)
       val allPairs = graft.queries.DedupOps.jaccardPairs(sh, None)
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard_raw") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .collect().map(_.toString).sorted.toSeq
       val prefixed = SparkEntry.queries("q_dedup_near")(spark, sf)

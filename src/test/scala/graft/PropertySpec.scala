@@ -155,7 +155,7 @@ class PropertySpec extends SparkSpec {
         val sh = Graft.shingleRows(docs, "doc_id", "text", n = 2)
         for (t <- Seq(0.5, 0.8, 1.0)) {
           val qualifying = graft.queries.DedupOps.jaccardPairs(sh, None)
-            .filter(col("jaccard") >= t)
+            .filter(col("jaccard_raw") >= t)
             .select("doc_a", "doc_b")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
           val cands = graft.operators.PrefixFilter.candidatePairs(sh, t)
