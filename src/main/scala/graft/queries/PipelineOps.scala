@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.operators.{DedupCluster, PrefixFilter}
@@ -33,7 +34,7 @@ object PipelineOps {
       val sh = LlmOps.shingles(docs)
       val cands = PrefixFilter.candidatePairs(sh, 0.8)
       val pairs = DedupOps.jaccardPairs(sh, Some(cands))
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard_raw") >= 0.8)
         .select("doc_a", "doc_b")
       DedupCluster.clusters(docs.select("doc_id"), pairs)
         .withColumn("is_keeper",
@@ -44,12 +45,19 @@ object PipelineOps {
     // ---- deterministic stratified sampling: per-lang keep rates (per
     // mille) applied via pure id arithmetic — the same row is sampled on
     // every run, every engine, every rerun of a failed 100-TB stage.
+    // The id is reduced mod 1e9+7 FIRST (non-negative residue on every
+    // engine), so the multiply stays < 5e13 for any Int64 doc_id —
+    // without the reduction, doc_id > ~1.9e14 overflows the multiply
+    // negative and Spark's pmod (always >= 0) silently diverges from
+    // engines whose % follows the dividend's sign.
     "q_sample_stratified" -> ((s, d) => {
       val rate = when(col("lang") === "en", 500L)
         .when(col("lang") === "de", 300L)
         .otherwise(200L)
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 48271L + 11L,
+                   lit(1000L))
       Tables.documents(s, d)
-        .filter(pmod(col("doc_id") * 48271L + 11L, lit(1000L)) < rate)
+        .filter(h < rate)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -69,11 +77,131 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing — the step that turns cleaned docs into
+    // fixed-budget training sequences: concatenate docs in id order and
+    // cut every `budget` tokens (a doc belongs to the chunk its FIRST
+    // token lands in). Packing is per-SHARD (id mod 8): a corpus-global
+    // cumulative sum would serialize into one partition, while per-shard
+    // packing is how a real pipeline assigns work to writers — each
+    // shard's running sum is an independent window partition, so 1000
+    // executors pack 1000 shards concurrently.
+    "q_pack_sequences" -> ((s, d) => {
+      val budget = 256.0
+      val w = Window.partitionBy("shard_id").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard_id"),
+                size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tok")) / lit(budget)).cast("long"))
+        .groupBy("shard_id", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard_id", "chunk_id")
+    }),
+
+    // ---- benchmark decontamination — flag training docs sharing any
+    // word-3-gram with the eval set (here the deterministic 2% slice
+    // doc_id % 50 = 7 stands in for a benchmark suite). The benchmark
+    // side is tiny by nature, so its shingles BROADCAST to every
+    // executor and contamination detection is one map-side hash join
+    // over the training shingles — no shuffle of the 100-TB side.
+    "q_decontaminate" -> ((s, d) => {
+      val sh = LlmOps.shingles(Tables.documents(s, d))
+      val isBench = pmod(col("doc_id"), lit(50L)) === 7L
+      val bench = sh.filter(isBench)
+        .select(col("shingle"), col("doc_id").as("bench_id"))
+      sh.filter(!isBench)
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(countDistinct("shingle").as("n_shared"),
+             countDistinct("bench_id").as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dictionary scrubbing — the PII-masking shape (regex → replace
+    // + audit count) over a term dictionary; real pipelines swap the
+    // pattern for email/phone/ssn regexes, the plumbing is identical:
+    // one codegen'd projection, no shuffle, audit stats aggregable.
+    "q_text_scrub" -> ((s, d) => {
+      val pat = "\\b(customer|order|value)\\b"
+      val masked = regexp_replace(col("text"), pat, "<MASK>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          sha2(masked, 256).as("masked_hash"),
+          length(masked).cast("long").as("masked_len"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_masked"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token-length histogram — the corpus-shape diagnostic every
+    // training run wants before packing: bucketed doc-length
+    // distribution (width 10, capped at bucket 9). One groupBy on a
+    // derived bucket — map-side combinable, 10 output rows at any scale.
+    "q_tok_hist" -> ((s, d) => {
+      val nTok = size(split(col("text"), " ")).cast("long")
+      Tables.documents(s, d)
+        .select(least(floor(nTok / 10.0), lit(9)).cast("long").as("bucket"),
+                nTok.as("n_tok"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+             min("n_tok").as("min_tok"), max("n_tok").as("max_tok"))
+        .orderBy("bucket")
+    }),
+
+    // ---- intra-doc repetition stats — adjacent duplicate-token runs
+    // (the paragraph/line-dedup shape at token granularity), computed
+    // entirely with array HOFs: no explode, no shuffle, pure codegen
+    // per row. n_kept counts tokens that differ from their predecessor.
+    "q_dedup_lines" -> ((s, d) => {
+      val l = split(col("text"), " ")
+      // `when` short-circuits: element_at(l, 0) would throw under ANSI,
+      // so the i = 1 branch must never evaluate the predecessor lookup
+      val kept = filter(sequence(lit(1), size(l)),
+        i => when(i === 1, lit(true))
+          .otherwise(element_at(l, i) =!= element_at(l, i - 1)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(l).cast("long").as("n_tokens"),
+          size(kept).cast("long").as("n_kept"))
+        .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- source-mixture rebalancing — hit a target per-lang mixture by
+    // computing per-lang keep rates from observed counts (pure integer
+    // arithmetic: exact on every engine), then filtering by the same
+    // deterministic id hash the sampler uses. Two phases: one tiny
+    // aggregate (5 rows) broadcast back over the corpus — the standard
+    // shape for "rebalance 100 TB to a target mixture" without an RNG.
+    "q_mix_sources" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sharePm = when(col("lang") === "en", 400L)
+        .when(col("lang") === "de", 250L)
+        .when(col("lang") === "fr", 150L)
+        .otherwise(100L)
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("t", sum("n").over(Window.partitionBy()))
+        .withColumn("share_pm", sharePm)
+        .withColumn("rate", least(lit(1000L), expr("(share_pm * t) DIV n")))
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 48271L + 11L,
+                   lit(1000L))
+      docs.join(broadcast(rates.select("lang", "n", "rate")), Seq("lang"))
+        .filter(h < col("rate"))
+        .groupBy("lang", "n", "rate")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("lang"), col("n").as("n_total"), col("rate"),
+                col("n_kept"))
+        .orderBy("lang")
+    }),
+
     // ---- deterministic train/valid/test split (80/10/10 by id hash),
     // reported as per-(lang, split) counts — the lineage-free split
     // assignment a reproducible data pipeline wants.
     "q_split_train" -> ((s, d) => {
-      val h = pmod(col("doc_id") * 69621L + 7L, lit(100L))
+      // same overflow-safe reduction as q_sample_stratified
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 69621L + 7L,
+                   lit(100L))
       Tables.documents(s, d)
         .withColumn("split",
           when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
@@ -100,7 +228,8 @@ object PipelineOps {
           FROM reach GROUP BY src ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
-         WHERE (doc_id * 48271 + 11) % 1000 <
+         WHERE (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                 * 48271 + 11) % 1000 <
            CASE WHEN lang = 'en' THEN 500
                 WHEN lang = 'de' THEN 300 ELSE 200 END
          ORDER BY doc_id""",
@@ -114,10 +243,84 @@ object PipelineOps {
              lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
              AS n_stripped
          FROM documents ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT *, SUM(n_tok) OVER
+             (PARTITION BY shard_id ORDER BY doc_id) AS cum
+           FROM t)
+         SELECT shard_id, CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT)
+                  AS chunk_id,
+                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY shard_id, chunk_id""",
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         bench AS (
+           SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 7),
+         train AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 7)
+         SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared,
+                COUNT(DISTINCT b.bench_id) AS n_bench_docs
+         FROM train t JOIN bench b ON t.shingle = b.shingle
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_text_scrub" ->
+      """SELECT doc_id,
+           sha256(regexp_replace(text, '\b(customer|order|value)\b',
+                                 '<MASK>', 'g')) AS masked_hash,
+           CAST(length(regexp_replace(text, '\b(customer|order|value)\b',
+                                      '<MASK>', 'g')) AS BIGINT) AS masked_len,
+           CAST(len(regexp_extract_all(text, '\b(customer|order|value)\b'))
+             AS BIGINT) AS n_masked
+         FROM documents ORDER BY doc_id""",
+    "q_tok_hist" ->
+      """WITH t AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents)
+         SELECT LEAST(CAST(FLOOR(n_tok / 10.0) AS BIGINT), 9) AS bucket,
+                COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+         FROM t GROUP BY 1 ORDER BY bucket""",
+    "q_dedup_lines" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         k AS (
+           SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(range(1, len(l) + 1),
+               i -> i = 1 OR l[i] <> l[i-1])) AS BIGINT) AS n_kept
+           FROM t)
+         SELECT doc_id, n_tokens, n_kept, n_tokens - n_kept AS n_removed
+         FROM k ORDER BY doc_id""",
+    "q_mix_sources" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+         rates AS (
+           SELECT lang, n,
+             LEAST(1000, (CASE WHEN lang = 'en' THEN 400
+                               WHEN lang = 'de' THEN 250
+                               WHEN lang = 'fr' THEN 150
+                               ELSE 100 END * t) // n) AS rate
+           FROM cnt, tot)
+         SELECT d.lang, r.n AS n_total, r.rate, COUNT(*) AS n_kept
+         FROM documents d JOIN rates r USING (lang)
+         WHERE (((d.doc_id % 1000000007 + 1000000007) % 1000000007)
+                 * 48271 + 11) % 1000 < r.rate
+         GROUP BY 1, 2, 3 ORDER BY d.lang""",
     "q_split_train" ->
       """SELECT lang,
-           CASE WHEN (doc_id * 69621 + 7) % 100 < 80 THEN 'train'
-                WHEN (doc_id * 69621 + 7) % 100 < 90 THEN 'valid'
+           CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                      * 69621 + 7) % 100 < 80 THEN 'train'
+                WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                      * 69621 + 7) % 100 < 90 THEN 'valid'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs
          FROM documents GROUP BY 1, 2 ORDER BY lang, split"""

@@ -40,6 +40,14 @@ case class EnrichedEv(event_id: Long, user_id: Long, value: Double,
   */
 object Streams {
 
+  /** Event-time in epoch MICROSECONDS — the one definition every stateful
+    * operator's `last_ts_us` uses. `getTime` is epoch millis; the nanos
+    * term restores the sub-millisecond micros the fixture's ns-precision
+    * timestamps carry (two operators disagreeing here would report
+    * different values for the same-named field). */
+  private[streaming] def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + t.getNanos / 1000 % 1000
+
   /** KS TimeWindows analog: 1-hour tumbling count+sum per event_type. */
   def tumbling(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
@@ -198,8 +206,7 @@ object Streams {
               .getOrElse(UserCount(user, 0L, 0.0, 0L))
             val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
               UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
-                        math.max(acc.last_ts_us,
-                        e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000))
+                        math.max(acc.last_ts_us, tsUs(e.ts)))
             }
             state.update(next)
             Iterator.single(next)
@@ -279,7 +286,7 @@ object Streams {
             val prev = Option(state.get()).getOrElse((0L, 0.0, 0L, false))
             val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (acc, e) =>
               (acc._1 + 1, acc._2 + e.value,
-               math.max(acc._3, e.ts.getTime * 1000L), acc._4)
+               math.max(acc._3, tsUs(e.ts)), acc._4)
             }
             if (!next._4)
               getHandle.registerTimer(
@@ -366,11 +373,52 @@ object Streams {
           val sorted = rows.toSeq.sortBy(_.event_id)
           val next = sorted.foldLeft(prev) { (acc, e) =>
             UserCount(user, acc.n_events + 1, acc.sum_value + e.value,
-                      math.max(acc.last_ts_us,
-                        e.ts.getTime * 1000L + e.ts.getNanos / 1000 % 1000))
+                      math.max(acc.last_ts_us, tsUs(e.ts)))
           }
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** foreachBatch idempotent UPSERT sink — the KS "materialize the KTable
+    * to an external store" / exactly-once-sink analog. Each micro-batch
+    * MERGEs into a keyed parquet table (newest row per user by
+    * (ts, event_id), the same spec as [[graft.Graft.latestPerKey]]) and
+    * commits the result as an immutable VERSION directory named by
+    * batchId. Replaying a batch after a restart re-reads the same
+    * pre-state and overwrites its OWN version with identical content, so
+    * the sink is idempotent — the standard batchId-keyed foreachBatch
+    * exactly-once pattern. Readers take the highest committed version
+    * (marked by `_SUCCESS`), so a concurrent reader never observes a
+    * half-written merge. The merge itself is a window top-1 per key:
+    * shuffle-partitioned by user_id, no driver state, cost bound by
+    * table size per batch. The version listing uses the local
+    * filesystem; a cluster deployment swaps in the Hadoop FileSystem
+    * API (or a transactional table format) — the merge plan is
+    * unchanged. */
+  def upsertBatch(batch: Dataset[Ev], tableDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val merged = latestTable(spark, tableDir) match {
+      case Some(cur) => cur.as[Ev].unionByName(batch)
+      case None => batch
+    }
+    graft.Graft.latestPerKey(merged.toDF()).as[Ev]
+      .write.mode("overwrite").parquet(versionDir(tableDir, batchId))
+  }
+
+  private def versionDir(tableDir: String, v: Long): String =
+    f"$tableDir/v=$v%06d"
+
+  /** Highest COMMITTED version of the upserted table, if any exists. */
+  def latestTable(spark: org.apache.spark.sql.SparkSession,
+                  tableDir: String): Option[DataFrame] = {
+    val root = new java.io.File(tableDir)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+                   new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName)
+      .lastOption
+      .map(d => spark.read.parquet(d.getAbsolutePath))
   }
 }

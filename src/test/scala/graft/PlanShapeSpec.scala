@@ -114,6 +114,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "partial agg missing")
   }
 
+  test("q_decontaminate broadcasts the benchmark shingles") {
+    // contamination detection must be a map-side hash join over the
+    // training shingles — the benchmark suite is the tiny side by nature
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "training shingles were shuffle-joined")
+  }
+
+  test("q_pack_sequences packs per shard, never a global window") {
+    // a corpus-global running sum would serialize into ONE partition;
+    // the window spec must carry the shard_id partition key
+    val p = plan("q_pack_sequences")
+    assert(p.contains("windowspecdefinition(shard_id"),
+      s"packing window is not shard-partitioned:\n${p.take(2000)}")
+  }
+
+  test("q_dedup_lines / q_text_scrub stay shuffle-free (pure projections)") {
+    for (name <- Seq("q_dedup_lines", "q_text_scrub")) {
+      val p = plan(name)
+      // one exchange is allowed for the final orderBy; no aggregate or
+      // join exchanges — the ops themselves are per-row codegen
+      assert(!p.contains("HashAggregate") && !p.contains("Join"),
+        s"$name grew an aggregate/join:\n${p.take(1500)}")
+    }
+  }
+
   test("whole-stage codegen covers the hot path of the flagship") {
     // AQE finalizes the plan only on execution; codegen'd operators carry
     // the "*(n)" prefix in the executed plan string.

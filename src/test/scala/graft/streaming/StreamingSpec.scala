@@ -551,6 +551,32 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(spark.table("t_avnow")) === sortedRows(batch))
   }
 
+  test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
+    // the foreachBatch exactly-once pattern: each micro-batch merges into
+    // a keyed table committed as an immutable batchId-named version —
+    // replaying a batch rewrites its own version with identical content
+    import org.apache.spark.sql.Dataset
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val mem = MemoryStream[Ev](spark)
+    val q = mem.toDS().writeStream
+      .foreachBatch((b: Dataset[Ev], id: Long) => Streams.upsertBatch(b, dir, id))
+      .start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.Graft.latestPerKey(all.toDF())
+    val cols = want.columns.map(col).toSeq
+    val got = Streams.latestTable(spark, dir).get
+    assert(sortedRows(got.select(cols: _*)) === sortedRows(want),
+      "upserted table diverges from batch latestPerKey")
+    // replay the LAST batch with its original batchId: table must not change
+    Streams.upsertBatch(batch3.toDS(), dir, 2L)
+    val again = Streams.latestTable(spark, dir).get
+    assert(sortedRows(again.select(cols: _*)) === sortedRows(want),
+      "replaying a committed batch changed the table — sink not idempotent")
+  }
+
   test("s_file_sink: exactly-once parquet sink across a restart") {
     // the file sink's _spark_metadata manifest is the exactly-once
     // mechanism a production pipeline lands on: files written by batches
