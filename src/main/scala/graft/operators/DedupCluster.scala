@@ -77,17 +77,24 @@ object DedupCluster {
       // id in the same component (it arrived there along edges), so the
       // inner self-join keeps every row; labels only decrease, so the
       // jump is sound and halves residual chain depth each round.
-      val jumped = hop.as("h")
-        .join(hop.as("p"), col("h.cluster_id") === col("p.doc_id"))
-        .select(col("h.doc_id").as("doc_id"),
-                col("p.cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
-      // rebuild from the checkpointed RDD: localCheckpoint preserves the
-      // origin plan's constraints, and the self-join's equality constraint
-      // references the pruned p-side attribute — next round's Union
-      // constraint rewrite would throw on it (key not found). A fresh
-      // LogicalRDD starts constraint-free.
-      val next = jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+      // ADAPTIVE: the jump is skipped for the first two rounds — near-dup
+      // components are near-cliques that converge by then, and the jump's
+      // extra join + materialization costs ~50% per round (measured at
+      // sf0.1); a deep chain survives past round 2 and from there halves
+      // each round, preserving the O(log diameter) bound.
+      val next = if (i < 2) hop else {
+        val jumped = hop.as("h")
+          .join(hop.as("p"), col("h.cluster_id") === col("p.doc_id"))
+          .select(col("h.doc_id").as("doc_id"),
+                  col("p.cluster_id").as("cluster_id"))
+          .localCheckpoint(true)
+        // rebuild from the checkpointed RDD: localCheckpoint preserves
+        // the origin plan's constraints, and the self-join's equality
+        // constraint references the pruned p-side attribute — the next
+        // round's Union constraint rewrite would throw on it (key not
+        // found). A fresh LogicalRDD starts constraint-free.
+        jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+      }
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))

@@ -227,6 +227,14 @@ class LlmOpsSpec extends SparkSpec {
     val got2 = Graft.dedupClusters((1L to 6L).toDF("doc_id"), chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2.values.toSet === Set(1L))
+    // a diameter-60 drift chain: pure min-label propagation needs 60
+    // rounds (past any sane budget); pointer jumping converges in
+    // ~2 + log2(60) rounds within the default maxIters
+    val long = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got3 = Graft.dedupClusters((1L to 61L).toDF("doc_id"), long)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3.values.toSet === Set(1L),
+      "deep chain did not collapse to one cluster")
   }
 
   test("q_text_fingerprint: equal texts ⇔ equal fingerprints on fixtures") {
