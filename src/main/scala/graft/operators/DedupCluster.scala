@@ -59,6 +59,15 @@ object DedupCluster {
     val verts = edges.select(col("src").as("doc_id")).distinct()
     var labels = verts.withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // convergence check: labels only ever DECREASE, so the label sum
+    // strictly decreases until the fixpoint — comparing exact decimal
+    // sums (no int64 overflow at any corpus scale) detects convergence
+    // with one aggregate over the materialized labels instead of a
+    // labels⋈next join per round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -95,12 +104,10 @@ object DedupCluster {
         // found). A fresh LogicalRDD starts constraint-free.
         jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
       }
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iters")

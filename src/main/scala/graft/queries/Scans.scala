@@ -242,7 +242,7 @@ object Scans {
            AND l_quantity BETWEEN 5.0 AND 30.0
            AND l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '2000-01-01'
-           AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
+           AND CAST(l_orderkey AS STRING) LIKE '%7'
          ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
     "q_filter_null" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -144,13 +144,14 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_win_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
-         DENSE_RANK() OVER w AS drk
-         FROM orders
-         WINDOW w AS (PARTITION BY o_custkey
-                      ORDER BY o_totalprice DESC, o_orderkey ASC)
-         QUALIFY rn <= 5 ORDER BY o_custkey, rn""",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+             DENSE_RANK() OVER w AS drk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE rn <= 5 ORDER BY o_custkey, rn""",
     "q_win_topk_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
