@@ -179,6 +179,18 @@ object Joins {
         .orderBy("n_name")
     }),
 
+    // The SQL-string front door as a DECLARED surface (SURVEY §3.2
+    // entry 2): register the fixtures as temp views and submit ONE
+    // shared ANSI text — the SAME string is the DuckDB oracle — through
+    // SparkSqlParser into the identical Catalyst pipeline every
+    // DataFrame entry uses. A TPC-H-Q3-shaped segment-revenue top-10:
+    // two shuffle joins + grouped decimal-exact revenue + top-k.
+    "q_sql_entry" -> ((s, d) => {
+      for (t <- Seq("customer", "orders", "lineitem"))
+        Tables.load(s, d, t).createOrReplaceTempView(t)
+      s.sql(sqlEntryText)
+    }),
+
     // Skew-mitigated join (salting): events (hot user_ids at scale) ⋈
     // customer, salted 8 ways. Result — and therefore the oracle SQL —
     // is identical to the plain equi-join; see operators/SaltedJoin.
@@ -207,7 +219,26 @@ object Joins {
     })
   )
 
+  /** ONE text for both engines: the Spark query SUBMITS this string and
+    * the driver runs it in DuckDB — entry-2 equivalence is the surface
+    * itself, not a translation. Revenue uses the decimal-factor form
+    * (§7.6) so both engines sum identical exact values. */
+  private val sqlEntryText: String =
+    """SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderkey
+       ORDER BY revenue DESC, o_orderkey ASC
+       LIMIT 10"""
+
   val oracle: Map[String, String] = Map(
+    "q_sql_entry" -> sqlEntryText,
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
