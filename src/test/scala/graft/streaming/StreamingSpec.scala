@@ -551,6 +551,44 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(spark.table("t_avnow")) === sortedRows(batch))
   }
 
+  test("s_state_eviction: watermark bounds stream-stream join state") {
+    // the 100-TB property behind every watermark: join state must be
+    // EVICTED once the watermark passes a row's join window, or state
+    // grows with the stream instead of with the window. Feed batches
+    // whose event times advance far past the 20-min watermark + 10-min
+    // window each step and assert the state-store row count does NOT
+    // grow monotonically with input (eviction keeps it window-bound).
+    val mem = MemoryStream[Ev](spark)
+    val df = mem.toDF()
+    val q = Streams.viewPurchaseJoin(
+        df.filter(col("event_type") === "view"),
+        df.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("t_evict").outputMode("append")
+      .start()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      // 6 waves, each 10 HOURS later: every wave obsoletes the previous
+      // wave's state entirely once the watermark advances
+      for (w <- 0 until 6) {
+        val base = w * 600L // minutes
+        mem.addData(Seq(
+          Ev(w * 10 + 1, ts(base + 1), 1, "view", 1.0),
+          Ev(w * 10 + 2, ts(base + 4), 1, "purchase", 10.0),
+          Ev(w * 10 + 3, ts(base + 2), 2, "view", 1.0)))
+        q.processAllAvailable()
+        for (p <- Option(q.lastProgress); so <- p.stateOperators.headOption)
+          stateRows += so.numRowsTotal
+      }
+    } finally q.stop()
+    assert(stateRows.nonEmpty, "no state-operator metrics captured")
+    // 18 input rows total; without eviction state ends >= 15 (all rows
+    // minus the final wave's unexpired). With eviction it stays at the
+    // last-two-waves level. Assert the END state is far below the total
+    // and did not keep growing across the final waves.
+    assert(stateRows.last < 10,
+      s"join state grew with the stream, not the window: $stateRows")
+  }
+
   test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
     // the foreachBatch exactly-once pattern: each micro-batch merges into
     // a keyed table committed as an immutable batchId-named version —
