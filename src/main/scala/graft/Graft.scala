@@ -182,6 +182,56 @@ object Graft {
       .select("doc_id", "term", "tfidf")
   }
 
+  // ---- training-data pipeline ----
+
+  /** Per-doc sequence-packing assignment: docs are concatenated in
+    * `idCol` order within each of `shards` id-mod shards and cut every
+    * `budget` tokens — a doc belongs to the chunk its FIRST token lands
+    * in. Returns (idCol, shard_id, n_tok, chunk_id); aggregate by
+    * (shard_id, chunk_id) for chunk manifests. Per-shard packing keeps
+    * the running sum partition-parallel (a corpus-global cumsum would
+    * serialize into one partition). */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", budget: Int = 256,
+                    shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(idCol)
+    docs.select(col(idCol),
+        pmod(col(idCol), lit(shards.toLong)).as("shard_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Benchmark decontamination: training docs sharing any word-`n`-gram
+    * with `bench`, with distinct shared-shingle and bench-doc counts.
+    * The bench side broadcasts — benchmark suites are tiny by nature, so
+    * contamination detection is a map-side join over the training
+    * shingles (the 100-TB side is never shuffled for the join). */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 3): DataFrame = {
+    val bsh = shingleRows(bench, idCol, textCol, n)
+      .select(col("shingle"), col(idCol).as("bench_id"))
+    shingleRows(train, idCol, textCol, n)
+      .join(broadcast(bsh), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(countDistinct("shingle").as("n_shared"),
+           countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** Dictionary/regex scrubbing (the PII-masking shape): adds `scrubbed`
+    * (pattern replaced) and `n_masked` (audit count) — one codegen
+    * projection, no shuffle. */
+  def scrubText(docs: DataFrame, pattern: String,
+                replacement: String = "<MASK>",
+                textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("scrubbed", regexp_replace(col(textCol), pattern, replacement))
+      .withColumn("n_masked",
+        regexp_count(col(textCol), lit(pattern)).cast("long"))
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

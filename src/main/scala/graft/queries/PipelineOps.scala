@@ -86,14 +86,8 @@ object PipelineOps {
     // shard's running sum is an independent window partition, so 1000
     // executors pack 1000 shards concurrently.
     "q_pack_sequences" -> ((s, d) => {
-      val budget = 256.0
-      val w = Window.partitionBy("shard_id").orderBy("doc_id")
-      Tables.documents(s, d)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard_id"),
-                size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .withColumn("chunk_id",
-          floor((col("cum") - col("n_tok")) / lit(budget)).cast("long"))
+      graft.Graft.packSequences(Tables.documents(s, d),
+          budget = 256, shards = 8)
         .groupBy("shard_id", "chunk_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
              min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -107,15 +101,9 @@ object PipelineOps {
     // executor and contamination detection is one map-side hash join
     // over the training shingles — no shuffle of the 100-TB side.
     "q_decontaminate" -> ((s, d) => {
-      val sh = LlmOps.shingles(Tables.documents(s, d))
+      val docs = Tables.documents(s, d)
       val isBench = pmod(col("doc_id"), lit(50L)) === 7L
-      val bench = sh.filter(isBench)
-        .select(col("shingle"), col("doc_id").as("bench_id"))
-      sh.filter(!isBench)
-        .join(broadcast(bench), Seq("shingle"))
-        .groupBy("doc_id")
-        .agg(countDistinct("shingle").as("n_shared"),
-             countDistinct("bench_id").as("n_bench_docs"))
+      graft.Graft.decontaminate(docs.filter(!isBench), docs.filter(isBench))
         .orderBy("doc_id")
     }),
 
@@ -124,13 +112,12 @@ object PipelineOps {
     // pattern for email/phone/ssn regexes, the plumbing is identical:
     // one codegen'd projection, no shuffle, audit stats aggregable.
     "q_text_scrub" -> ((s, d) => {
-      val pat = "\\b(customer|order|value)\\b"
-      val masked = regexp_replace(col("text"), pat, "<MASK>")
-      Tables.documents(s, d)
+      graft.Graft.scrubText(Tables.documents(s, d),
+          pattern = "\\b(customer|order|value)\\b")
         .select(col("doc_id"),
-          sha2(masked, 256).as("masked_hash"),
-          length(masked).cast("long").as("masked_len"),
-          regexp_count(col("text"), lit(pat)).cast("long").as("n_masked"))
+          sha2(col("scrubbed"), 256).as("masked_hash"),
+          length(col("scrubbed")).cast("long").as("masked_len"),
+          col("n_masked"))
         .orderBy("doc_id")
     }),
 

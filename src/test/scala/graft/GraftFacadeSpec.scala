@@ -18,6 +18,23 @@ class GraftFacadeSpec extends SparkSpec {
       === declared)
   }
 
+  test("Graft.packSequences / decontaminate / scrubText == their declared queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = Graft.packSequences(docs)
+      .groupBy("shard_id", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    assert(rows(chunks) === rows(SparkEntry.queries("q_pack_sequences")(spark, sf0001)))
+    val isBench = pmod(col("doc_id"), lit(50L)) === 7L
+    assert(rows(Graft.decontaminate(docs.filter(!isBench), docs.filter(isBench)))
+      === rows(SparkEntry.queries("q_decontaminate")(spark, sf0001)))
+    val scrubbed = Graft.scrubText(docs, "\\b(customer|order|value)\\b")
+      .select(col("doc_id"), sha2(col("scrubbed"), 256).as("masked_hash"),
+              length(col("scrubbed")).cast("long").as("masked_len"),
+              col("n_masked"))
+    assert(rows(scrubbed) === rows(SparkEntry.queries("q_text_scrub")(spark, sf0001)))
+  }
+
   test("Graft.knnCosine == q_knn_cosine") {
     val emb = Tables.embeddings(spark, sf0001)
     assert(rows(Graft.knnCosine(emb, "vec_id", "embedding", queryId = 0))
