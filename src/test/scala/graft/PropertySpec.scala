@@ -215,4 +215,66 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sequence packing: token-conserving, contiguous chunks, budget-bound starts") {
+    val genDocs: Gen[List[String]] = Gen.listOfN(25,
+      Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    forAll(genDocs) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val budget = 16
+        val packed = Graft.packSequences(docs, budget = budget, shards = 3)
+          .collect()
+        // token conservation: every doc appears once, n_tok preserved
+        assert(packed.length === texts.length)
+        val totTok = packed.map(_.getAs[Long]("n_tok")).sum
+        assert(totTok === texts.map(_.split(" ").length.toLong).sum)
+        // per-shard: chunk ids contiguous from 0, and a doc starts in
+        // chunk floor(preceding-tokens / budget) — so chunk k is reached
+        // iff the shard has > k*budget preceding tokens
+        for ((_, rows) <- packed.groupBy(_.getAs[Long]("shard_id"))) {
+          val byDoc = rows.sortBy(_.getAs[Long]("doc_id"))
+          var cum = 0L
+          for (r <- byDoc) {
+            assert(r.getAs[Long]("chunk_id") === cum / budget,
+              s"doc ${r.getAs[Long]("doc_id")} landed in chunk " +
+                s"${r.getAs[Long]("chunk_id")} with $cum tokens before it")
+            cum += r.getAs[Long]("n_tok")
+          }
+          val ids = byDoc.map(_.getAs[Long]("chunk_id")).distinct.sorted
+          assert(ids === (0L to ids.max).toArray.toSeq,
+            s"chunk ids not contiguous: ${ids.toSeq}")
+        }
+      }
+    }
+  }
+
+  test("decontaminate ≡ brute-force shingle intersection on generated docs") {
+    val genDocs: Gen[List[String]] = Gen.listOfN(14,
+      Gen.listOfN(6, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
+    forAll(genDocs) { texts =>
+      whenever(texts.size >= 4) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val isBench = col("doc_id") % 4 === 0
+        val got = Graft.decontaminate(docs.filter(!isBench), docs.filter(isBench))
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_shared"), r.getAs[Long]("n_bench_docs"))).toMap
+        // brute force over driver-side 3-gram shingle sets
+        def sh(t: String): Set[String] =
+          t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        val bench = texts.zipWithIndex.collect { case (t, i) if i % 4 == 0 => (i.toLong, sh(t)) }
+        val want = texts.zipWithIndex.collect { case (t, i) if i % 4 != 0 =>
+          val mine = sh(t)
+          val shared = bench.map(_._2).foldLeft(Set.empty[String])(_ ++ _) & mine
+          val nDocs = bench.count(_._2.exists(mine))
+          (i.toLong, (shared.size.toLong, nDocs.toLong))
+        }.filter { case (_, (s, _)) => s > 0 }.toMap
+        assert(got === want)
+      }
+    }
+  }
 }
