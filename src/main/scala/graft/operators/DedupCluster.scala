@@ -52,10 +52,17 @@ object DedupCluster {
     * can raise it. */
   def clusters(allIds: DataFrame, pairs: DataFrame,
                maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // materialize the PAIR PIPELINE once, before the symmetrization
+    // union — both union children would otherwise carry the caller's
+    // (potentially expensive: prefix filter + exact Jaccard) pair plan
+    // and compute it twice in one job (measured 2× the whole pair cost
+    // at the replica stress tier). The union itself is then two narrow
+    // projections over the materialized rows — no second checkpoint
+    // needed.
+    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
-        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+        p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val verts = edges.select(col("src").as("doc_id")).distinct()
     var labels = verts.withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
