@@ -380,6 +380,21 @@ object Streams {
       }
   }
 
+  /** KS `KStream#split().branch(pred)` analog: route one stream into
+    * disjoint substreams by predicate. In Structured Streaming each
+    * branch is its own sink query over the SAME source — Spark plans the
+    * filters independently (and pushes them to the source), so branches
+    * scale independently; together the two frames partition the input
+    * exactly (asserted in StreamingSpec). */
+  def branch(events: DataFrame,
+             pred: org.apache.spark.sql.Column): (DataFrame, DataFrame) =
+    (events.filter(pred), events.filter(!pred))
+
+  /** KS `KStream#merge` analog: interleave two streams of the same
+    * schema into one. Union of streaming sources is planned as one
+    * multi-source scan — no state, no shuffle. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
   /** foreachBatch idempotent UPSERT sink — the KS "materialize the KTable
     * to an external store" / exactly-once-sink analog. Each micro-batch
     * MERGEs into a keyed parquet table (newest row per user by

@@ -551,6 +551,74 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(spark.table("t_avnow")) === sortedRows(batch))
   }
 
+  test("s_branch: predicate routing partitions the stream exactly") {
+    // KS split().branch analog: same source, two filtered sink queries;
+    // together they must partition the input (disjoint and covering)
+    val mem = MemoryStream[Ev](spark)
+    val (hi, lo) = Streams.branch(mem.toDF(), col("value") >= 1.0)
+    val qHi = hi.writeStream.format("memory").queryName("t_branch_hi")
+      .outputMode("append").start()
+    val qLo = lo.writeStream.format("memory").queryName("t_branch_lo")
+      .outputMode("append").start()
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); qHi.processAllAvailable(); qLo.processAllAvailable()
+    } finally { qHi.stop(); qLo.stop() }
+    val got = spark.table("t_branch_hi").unionByName(spark.table("t_branch_lo"))
+    assert(sortedRows(got) === sortedRows(all.toDF()),
+      "branches do not partition the input")
+    val hiIds = spark.table("t_branch_hi").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val loIds = spark.table("t_branch_lo").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((hiIds & loIds).isEmpty, "branches overlap")
+  }
+
+  test("s_merge: two streams interleave into one, nothing lost or duplicated") {
+    val memA = MemoryStream[Ev](spark)
+    val memB = MemoryStream[Ev](spark)
+    val q = Streams.merge(memA.toDF(), memB.toDF())
+      .writeStream.format("memory").queryName("t_merge")
+      .outputMode("append").start()
+    try {
+      memA.addData(batch1); memB.addData(batch2); q.processAllAvailable()
+      memB.addData(batch3); q.processAllAvailable()
+    } finally q.stop()
+    assert(sortedRows(spark.table("t_merge")) === sortedRows(all.toDF()))
+  }
+
+  test("s_suppress: append-mode window agg emits each window once, only on close") {
+    // KS suppress(untilWindowCloses) analog: in APPEND mode a windowed
+    // aggregate emits a window exactly once, and only after the
+    // watermark passes its end — no partial results, no re-emissions
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.tumbling(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_suppress")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      // nothing can be final yet: watermark = max(ts) - 10 min is inside
+      // the latest open window
+      val early = spark.table("t_suppress").count()
+      mem.addData(batch2); q.processAllAvailable()
+      mem.addData(batch3); q.processAllAvailable()
+      mem.addData(flush); q.processAllAvailable()
+      val out = spark.table("t_suppress")
+        .select("ws_us", "event_type", "n", "sum_value").collect()
+      // each (window, type) exactly once
+      val keys = out.map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(keys.distinct.size === keys.size,
+        "a window re-emitted in append mode")
+      // and the final emission set equals the batch result for the
+      // closed windows (every fixture window closes once flush arrives)
+      val expected = Streams.tumbling(all.toDF())
+        .select("ws_us", "event_type", "n", "sum_value")
+      assert(out.map(_.toString).sorted.toSeq ===
+        expected.collect().map(_.toString).sorted.toSeq)
+      assert(early <= expected.count(),
+        "append mode emitted more than the final window set early")
+    } finally q.stop()
+  }
+
   test("s_state_eviction: watermark bounds stream-stream join state") {
     // the 100-TB property behind every watermark: join state must be
     // EVICTED once the watermark passes a row's join window, or state
