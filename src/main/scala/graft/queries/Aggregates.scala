@@ -205,10 +205,37 @@ object Aggregates {
         .groupBy("items")
         .agg(count(lit(1)).as("n_orders"), dsum(col("qty")).as("sum_qty"))
         .orderBy("items")
+    }),
+
+    // DETERMINISTIC arg-max as an AGGREGATE (vs the window top-1 shape):
+    // max_by/arg_max tie-breaks are engine- and partition-order-dependent,
+    // so the portable form is max over a (measure, -key) struct —
+    // lexicographic comparison picks the highest total and, on exact
+    // decimal ties, the LOWEST user id, identically on every engine and
+    // partitioning. One map-side-combinable aggregate, no window.
+    "q_agg_argmax" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast(DecimalType(28, 4))).as("total"))
+      perUser.groupBy("event_type")
+        .agg(max(struct(col("total"), (-col("user_id")).as("nu"))).as("m"))
+        .select(col("event_type"),
+          col("m.total").cast("double").as("top_value"),
+          (-col("m.nu")).as("top_user"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_argmax" ->
+      """WITH per_user AS (
+           SELECT event_type, user_id,
+                  SUM(CAST(value AS DECIMAL(28,4))) AS total
+           FROM events GROUP BY 1, 2)
+         SELECT event_type,
+           CAST(MAX({'t': total, 'u': -user_id}).t AS DOUBLE) AS top_value,
+           -MAX({'t': total, 'u': -user_id}).u AS top_user
+         FROM per_user GROUP BY 1 ORDER BY event_type""",
     "q_agg_hash" -> {
       val price = "CAST(l_extendedprice AS DECIMAL(12,2))"
       val discF = "CAST(1.0 - l_discount AS DECIMAL(4,2))"

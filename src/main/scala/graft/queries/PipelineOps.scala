@@ -182,6 +182,34 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- the WHOLE pipeline as ONE declared plan: normalize → exact
+    // dedup on normalized content (keeper = min id) → quality gate →
+    // deterministic 50% sample → per-lang corpus stats. Every stage is
+    // a narrow projection or one equi-join/aggregate — Catalyst fuses
+    // the projections and pushes the quality filter; the point is that
+    // "the pipeline" is a single lazy DataFrame a 100-TB run submits as
+    // one job, not N materialized intermediate tables.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val normed = docs.withColumn("norm_hash", sha2(norm, 256))
+      val keepers = normed.groupBy("norm_hash")
+        .agg(min("doc_id").as("doc_id"))
+      val deduped = normed.join(keepers, Seq("norm_hash", "doc_id"))
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val quality = deduped
+        .filter(col("n_chars") >= 50L && nTok >= 10L)
+      val sampled = quality.filter(
+        pmod(pmod(col("doc_id"), lit(1000000007L)) * 48271L + 11L,
+             lit(1000L)) < 500L)
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(nTok).as("n_tokens"),
+             min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    }),
+
     // ---- deterministic train/valid/test split (80/10/10 by id hash),
     // reported as per-(lang, split) counts — the lineage-free split
     // assignment a reproducible data pipeline wants.
@@ -230,6 +258,29 @@ object PipelineOps {
              lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
              AS n_stripped
          FROM documents ORDER BY doc_id""",
+    "q_pipeline_e2e" ->
+      """WITH normed AS (
+           SELECT doc_id, lang, n_chars, text,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+           FROM documents),
+         keepers AS (
+           SELECT norm_hash, MIN(doc_id) AS doc_id FROM normed GROUP BY 1),
+         deduped AS (
+           SELECT n.* FROM normed n JOIN keepers k
+           ON n.norm_hash = k.norm_hash AND n.doc_id = k.doc_id),
+         quality AS (
+           SELECT * FROM deduped
+           WHERE n_chars >= 50
+             AND len(string_split(text, ' ')) >= 10),
+         sampled AS (
+           SELECT * FROM quality
+           WHERE (((doc_id % 1000000007 + 1000000007) % 1000000007)
+                   * 48271 + 11) % 1000 < 500)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM sampled GROUP BY lang ORDER BY lang""",
     "q_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 8 AS shard_id,
