@@ -251,6 +251,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded top-k buffer ≡ sort-take-k under any partitioning + serde") {
+    val genEntries: Gen[List[(Double, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 9).map(_ / 4.0), Gen.choose(0L, 20L)))
+    forAll(genEntries, Gen.choose(1, 5)) { (xs, k) =>
+      whenever(xs.nonEmpty) {
+        val want = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+        val parts = xs.grouped(math.max(1, xs.size / 3)).toList
+        val bufs = parts.map { part =>
+          val b = new graft.functions.TopKBuffer(k)
+          part.foreach { case (s, i) => b.add(s, i) }
+          // serde round-trip every partial, like a real shuffle would
+          graft.functions.TopKBuffer.fromBytes(k, b.toBytes)
+        }
+        val merged = bufs.reduce { (a, b) => a.addAll(b); a }
+        val got = (0 until merged.n).map(j => (merged.scores(j), merged.ids(j))).toList
+        assert(got === want, s"k=$k xs=$xs")
+      }
+    }
+  }
+
   test("decontaminate ≡ brute-force shingle intersection on generated docs") {
     val genDocs: Gen[List[String]] = Gen.listOfN(14,
       Gen.listOfN(6, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" ")))
