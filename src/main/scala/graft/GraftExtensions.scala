@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TopKByScore}
 
 /** Session extensions for the engine — the supported plug-in point for
   * custom Catalyst surfaces (`spark.sql.extensions=graft.GraftExtensions`
@@ -23,6 +23,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_dot takes 2 arguments, got ${children.length}")
         DotProduct(children.head, children(1))
+      }))
+    // graft_topk(score, id, k): partial-aggregating bounded top-k —
+    // the analyzer wraps the returned AggregateFunction in a Complete
+    // AggregateExpression, exactly like built-in aggregates resolve.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getCanonicalName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_topk takes 3 arguments (score, id, k), got ${children.length}")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk: k must be an integer literal, got $other")
+        }
+        TopKByScore(children.head, children(1), k)
       }))
   }
 }

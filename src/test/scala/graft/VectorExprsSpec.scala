@@ -68,4 +68,28 @@ class VectorExprsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sqlSide === colSide)
   }
+
+  test("graft_topk is SQL-callable and matches a rank-window top-k") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.95, 4L),
+      (2L, 0.1, 1L), (2L, 0.2, 2L),
+      (3L, 0.3, 9L))
+      .toDF("grp", "score", "id")
+    rows.createOrReplaceTempView("t_topk")
+    val got = spark.sql(
+      """SELECT grp, t.id, t.score
+         FROM (SELECT grp, graft_topk(score, id, 2) AS top
+               FROM t_topk GROUP BY grp)
+         LATERAL VIEW explode(top) AS t
+         ORDER BY grp, t.score DESC, t.id""")
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val want = rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("grp", "id", "score")
+      .orderBy(col("grp"), col("score").desc, col("id"))
+      .collect().map(_.toString).toSeq
+    assert(got === want)
+  }
 }
