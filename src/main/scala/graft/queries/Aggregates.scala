@@ -183,6 +183,20 @@ object Aggregates {
         .orderBy("l_linestatus")
     }),
 
+    // The INVERSE of pivot — wide measures melted back to long
+    // (metric, value) rows via Dataset.unpivot (the melt/UNPIVOT
+    // surface). Applied to a tiny wide aggregate; at scale unpivot is a
+    // per-row Expand (rows × measures), no shuffle of its own.
+    "q_agg_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("qty"),
+             dsum(col("l_extendedprice")).as("price"))
+      wide.unpivot(Array(col("l_returnflag")),
+                   Array(col("qty"), col("price")), "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // Exact interpolated percentiles (sort-based `percentile`): median and
     // p90 — same continuous-quantile definition as DuckDB quantile_cont.
     "q_agg_percentile" -> ((s, d) => {
@@ -297,6 +311,16 @@ object Aggregates {
           ${sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
           ${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_unpivot" ->
+      s"""WITH w AS (
+            SELECT l_returnflag,
+              ${sqlDsum("l_quantity")} AS qty,
+              ${sqlDsum("l_extendedprice")} AS price
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+          UNION ALL
+          SELECT l_returnflag, 'price' AS metric, price AS value FROM w
+          ORDER BY l_returnflag, metric""",
     "q_agg_percentile" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
