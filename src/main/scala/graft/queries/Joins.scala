@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Q
-import graft.operators.{AsOf, SaltedJoin}
+import graft.operators.{AsOf, BloomJoin, RangeJoin, SaltedJoin}
 import graft.sources.Tables
 import graft.util.Det._
 
@@ -216,6 +216,46 @@ object Joins {
         .agg(count(lit(1)).as("n_suppliers"),
              dsum(col("s_acctbal")).as("sum_acctbal"))
         .orderBy("r_name")
+    }),
+
+    // Bloom semi-join reduction: the dim side (urgent orders, ~20% of
+    // orders — too many ROWS to broadcast at 100 TB, but the KEY SET is a
+    // megabyte sketch) prunes the fact scan before the join exchange via
+    // a scalar-subquery BloomFilterAggregate. Result ≡ the plain join —
+    // false positives only re-enter the exact join that follows — so the
+    // oracle is the plain join SQL. See operators/BloomJoin.scala.
+    "q_join_bloom" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      BloomJoin.join(
+          Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey",
+          expectedItems = 1000000L)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pure range join — NO equi key: parts priced within 20 cents of each
+    // other (competitor-pricing shape). Naively a cartesian/BNL join;
+    // operators.RangeJoin bucketizes the price into 20-cent cells so it
+    // runs as a shuffle equi-join on the cell id. Prices scale to integer
+    // cents first — exact bucket math, exact residual. Output aggregates
+    // per left brand, so the result stays small while the join does the
+    // real pair work (~1M pairs at sf0.1).
+    "q_join_range" -> ((s, d) => {
+      val cents = round(col("p_retailprice") * 100).cast("long")
+      val a = Tables.part(s, d)
+        .select(col("p_partkey").as("a_key"), col("p_brand").as("a_brand"),
+                cents.as("a_cents"))
+      val b = Tables.part(s, d)
+        .select(col("p_partkey").as("b_key"), cents.as("b_cents"))
+      RangeJoin.join(a, b, "a_cents", "b_cents", band = 20L)
+        .filter(col("a_key") < col("b_key"))
+        .groupBy("a_brand")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(abs(col("a_cents") - col("b_cents"))).as("sum_diff_cents"))
+        .orderBy("a_brand")
     })
   )
 
@@ -331,6 +371,23 @@ object Joins {
           FROM supplier
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
-          GROUP BY r_name ORDER BY r_name"""
+          GROUP BY r_name ORDER BY r_name""",
+    "q_join_bloom" ->  // plain join oracle: the bloom prefilter is result-neutral
+      s"""SELECT o_orderpriority, l_returnflag, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          ${sqlDsum("o_totalprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT'
+          GROUP BY o_orderpriority, l_returnflag ORDER BY l_returnflag""",
+    "q_join_range" ->  // plain band-predicate oracle: bucketing is result-neutral
+      """SELECT a.p_brand AS a_brand, COUNT(*) AS n_pairs,
+           CAST(SUM(abs(CAST(round(a.p_retailprice*100) AS BIGINT)
+                      - CAST(round(b.p_retailprice*100) AS BIGINT))) AS BIGINT)
+             AS sum_diff_cents
+         FROM part a JOIN part b
+           ON abs(CAST(round(a.p_retailprice*100) AS BIGINT)
+                - CAST(round(b.p_retailprice*100) AS BIGINT)) <= 20
+          AND a.p_partkey < b.p_partkey
+         GROUP BY 1 ORDER BY a_brand"""
   )
 }
