@@ -71,6 +71,33 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** KS CogroupedKStream analog: merge N keyed inputs into ONE keyed
+    * aggregate. `sides` are (frame, keyCol, valueCol) triples; the output
+    * has `key` plus, per input i, `n_i` (row count) and `sum_i`
+    * (decimal-exact value sum as double, null when input i has no rows
+    * for the key — full-outer semantics, as in KS).
+    *
+    * Plan shape: rows are union-tagged and aggregated through a SINGLE
+    * shuffle on the key (conditional aggregates per tag) — vs the naive
+    * join-of-aggregates, which shuffles every input separately and then
+    * joins the N outputs. At 100 TB: one exchange of (key, tag, value)
+    * instead of N exchanges + an N-way join. */
+  def cogroupAgg(sides: Seq[(DataFrame, String, String)]): DataFrame = {
+    require(sides.nonEmpty, "cogroupAgg needs at least one input")
+    val tagged = sides.zipWithIndex.map { case ((df, k, v), i) =>
+      df.select(col(k).as("key"), lit(i).as("src"),
+                col(v).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+                  .as("v"))
+    }
+    val aggCols = sides.indices.flatMap { i => Seq(
+      count(when(col("src") === i, lit(1))).as(s"n_$i"),
+      sum(when(col("src") === i, col("v"))).cast("double").as(s"sum_$i"))
+    }
+    tagged.reduce(_ unionByName _)
+      .groupBy("key")
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
   // ---- dedup ----
 
   /** Exact dedup: one row per distinct `textCol` value, keeping the

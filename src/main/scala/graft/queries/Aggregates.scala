@@ -237,6 +237,61 @@ object Aggregates {
           col("m.total").cast("double").as("top_value"),
           (-col("m.nu")).as("top_user"))
         .orderBy("event_type")
+    }),
+
+    // Statistical aggregates (corr / covar / stddev / var / linear
+    // regression) computed from DECIMAL-EXACT raw moments rather than the
+    // built-in streaming (Welford) kernels: engine-internal merge order
+    // perturbs the last ULPs of corr()/covar_samp() differently in Spark
+    // and DuckDB, so the hash gate would flake. One map-side-combinable
+    // aggregate produces exact (n, Σx, Σy, Σx², Σy², Σxy); both engines
+    // then evaluate the IDENTICAL double formula over bit-identical
+    // inputs — IEEE arithmetic is deterministic, so the outputs match
+    // exactly. Also the better plan at 100 TB: six moments in one pass
+    // instead of six stateful kernels.
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(15, 2))
+      val y = col("l_extendedprice").cast(DecimalType(15, 2))
+      val m = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+             sum(x * x).cast("double").as("sxx"),
+             sum(y * y).cast("double").as("syy"),
+             sum(x * y).cast("double").as("sxy"))
+      val nd = col("n").cast("double")
+      val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+                  (nd * col("sxx") - col("sx") * col("sx"))
+      m.select(col("l_returnflag"), col("n"),
+          round((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+             sqrt(nd * col("syy") - col("sy") * col("sy"))), 4).as("corr_qp"),
+          round((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1), 4)
+            .as("covar_qp"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)), 4)
+            .as("stddev_q"),
+          round((col("syy") - col("sy") * col("sy") / nd) / (nd - 1), 4)
+            .as("var_p"),
+          round(slope, 4).as("regr_slope"),
+          round(col("sy") / nd - slope * (col("sx") / nd), 4).as("regr_icept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // KS CogroupedKStream analog: N keyed inputs merged into ONE keyed
+    // aggregate. The relational anti-pattern is join-of-aggregates (N
+    // shuffles + an N-way join); the cogroup shape is union-tagged rows
+    // through a SINGLE shuffle with per-source conditional aggregates —
+    // at 100 TB that is one exchange of (key, tag, value) tuples instead
+    // of N exchanges plus a join of their outputs. See Graft.cogroupAgg.
+    "q_agg_cogroup" -> ((s, d) => {
+      val merged = graft.Graft.cogroupAgg(Seq(
+        (Tables.orders(s, d), "o_orderkey", "o_totalprice"),
+        (Tables.lineitem(s, d), "l_orderkey", "l_quantity")))
+      merged.select(col("key").as("order_key"),
+          col("n_0").as("n_orders"),
+          coalesce(col("sum_0"), lit(0.0)).as("total_price"),
+          col("n_1").as("n_lines"),
+          coalesce(col("sum_1"), lit(0.0)).as("sum_qty"))
+        .orderBy("order_key")
     })
   )
 
@@ -333,6 +388,47 @@ object Aggregates {
             SELECT l_orderkey, COUNT(*) AS items,
                    SUM(CAST(l_quantity AS DECIMAL(28,4))) AS qty
             FROM lineitem GROUP BY l_orderkey)
-          GROUP BY items ORDER BY items"""
+          GROUP BY items ORDER BY items""",
+    // same exact-moment formulation as the Spark side — NOT DuckDB's own
+    // corr()/covar_samp(): identical double formula over identical exact
+    // inputs is the only way the hash gate holds (see query comment)
+    "q_agg_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                    * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))
+                    * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1),
+         f AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m)
+         SELECT l_returnflag, n,
+           ROUND((nd*sxy - sx*sy) /
+                 (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 4) AS corr_qp,
+           ROUND((sxy - sx*sy/nd) / (nd - 1), 4) AS covar_qp,
+           ROUND(sqrt((sxx - sx*sx/nd) / (nd - 1)), 4) AS stddev_q,
+           ROUND((syy - sy*sy/nd) / (nd - 1), 4) AS var_p,
+           ROUND((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 4) AS regr_slope,
+           ROUND(sy/nd - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * (sx/nd), 4)
+             AS regr_icept
+         FROM f ORDER BY l_returnflag""",
+    "q_agg_cogroup" ->
+      """WITH u AS (
+           SELECT o_orderkey AS key, 0 AS src,
+                  CAST(o_totalprice AS DECIMAL(28,4)) AS v FROM orders
+           UNION ALL
+           SELECT l_orderkey, 1, CAST(l_quantity AS DECIMAL(28,4))
+           FROM lineitem)
+         SELECT key AS order_key,
+           COUNT(CASE WHEN src = 0 THEN 1 END) AS n_orders,
+           CAST(COALESCE(SUM(CASE WHEN src = 0 THEN v END), 0) AS DOUBLE)
+             AS total_price,
+           COUNT(CASE WHEN src = 1 THEN 1 END) AS n_lines,
+           CAST(COALESCE(SUM(CASE WHEN src = 1 THEN v END), 0) AS DOUBLE)
+             AS sum_qty
+         FROM u GROUP BY key ORDER BY order_key"""
   )
 }

@@ -208,6 +208,36 @@ object Scans {
         .groupBy("l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_linestatus")
+    }),
+
+    // Bucketed sink + co-located join: both join sides written as
+    // 8-bucket tables ON THE JOIN KEY (external tables under the scratch
+    // dir), then joined reading the bucket layout back — the join runs
+    // with NO shuffle exchange on either side (asserted in
+    // PlanShapeSpec). This is the 100-TB answer for a fact table joined
+    // repeatedly on the same key: pay the partitioning once at write
+    // time, never again per query. Oracle runs the plain join on the
+    // original parquet — bucketing is result-neutral.
+    "q_sink_bucketed" -> ((s, d) => {
+      val tmp = scratch("bucket", s, d)
+      val tag = java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+      val (tl, to) = (s"graft_bkt_l_$tag", s"graft_bkt_o_$tag")
+      for (t <- Seq(tl, to)) s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/l").saveAsTable(tl)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/o").saveAsTable(to)
+      s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -282,6 +312,12 @@ object Scans {
     "q_source_binary" ->
       """SELECT CAST(1 AS BIGINT) AS n_files,
          CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes
-         FROM documents"""
+         FROM documents""",
+    "q_sink_bucketed" ->  // plain join oracle: bucketing is result-neutral
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          ${sqlDsum("o_totalprice")} AS sum_price
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

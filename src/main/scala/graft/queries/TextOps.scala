@@ -96,6 +96,35 @@ object TextOps {
             .as("fingerprint"),
           size(col("codes")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality signals: per-doc top-bigram share
+    // and distinct-bigram (type/token) ratio — the filters that catch
+    // boilerplate/spam docs whose length and stopword stats look fine.
+    // Bigrams explode → (doc, bigram) count → per-doc max/sum: two
+    // map-side-combinable aggregates keyed by doc, linear at any corpus
+    // size (the bigram space is bounded by total token count, never a
+    // cross product). Docs under 2 tokens have no bigrams and drop out —
+    // same on both engines.
+    "q_quality_repetition" -> ((s, d) => {
+      val l = split(col("text"), " ")
+      val bigrams = zip_with(
+        slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+             count(lit(1)).as("n_distinct"),
+             max("cnt").as("top_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("top_n"),
+          round(col("top_n").cast("double") / col("n_bigrams"), 4)
+            .as("top_frac"),
+          round(col("n_distinct").cast("double") / col("n_bigrams"), 4)
+            .as("ttr"))
+        .orderBy("doc_id")
     })
   )
 
@@ -141,6 +170,21 @@ object TextOps {
                t -> CAST(131 * length(t) + ascii(substring(t, 1, 1)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_quality_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         b AS (
+           SELECT doc_id, u.bg FROM t,
+           UNNEST(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i+1])) AS u(bg)),
+         c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_n,
+                ROUND(CAST(MAX(cnt) AS DOUBLE)
+                      / CAST(SUM(cnt) AS DOUBLE), 4) AS top_frac,
+                ROUND(CAST(COUNT(*) AS DOUBLE)
+                      / CAST(SUM(cnt) AS DOUBLE), 4) AS ttr
+         FROM c GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -87,4 +87,18 @@ class GraftFacadeSpec extends SparkSpec {
       .select("view_id", "purchase_id")
     assert(rows(got) === rows(expected))
   }
+
+  test("Graft.cogroupAgg: full-outer per-key merge, null sums for absent sides") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
+    val b = Seq((2L, 100.0), (3L, 7.0)).toDF("k", "v")
+    val got = Graft.cogroupAgg(Seq((a, "k", "v"), (b, "k", "v")))
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getLong(3), Option(r.get(4)))).toSeq
+    assert(got === Seq(
+      (1L, 2L, Some(15.0), 0L, None),       // key only in a
+      (2L, 1L, Some(1.0), 1L, Some(100.0)), // both
+      (3L, 0L, None, 1L, Some(7.0))))       // key only in b
+  }
 }

@@ -140,6 +140,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_sink_bucketed joins co-bucketed tables with ZERO join-side shuffle") {
+    // the bucket layout satisfies the join's distribution requirement on
+    // BOTH sides — the only exchanges left are above the join (final agg
+    // + orderBy). A hashpartitioning on either join key means bucketing
+    // was ignored and the 100-TB win is gone.
+    val p = plan("q_sink_bucketed")
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+           !p.contains("hashpartitioning(o_orderkey"),
+      s"join re-shuffled a bucketed side:\n${p.take(2500)}")
+  }
+
+  test("q_agg_cogroup merges N inputs through ONE shuffle") {
+    // the cogroup shape's whole point: union-tag then a single exchange
+    // on the key — not one exchange per input plus a join
+    val p = plan("q_agg_cogroup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 key exchange, got $exchanges:\n${p.take(2500)}")
+    assert(p.contains("Union"), s"no union in cogroup plan:\n${p.take(1500)}")
+  }
+
+  test("q_agg_stats computes all six moments in one aggregate pass") {
+    val p = plan("q_agg_stats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"moments should need one exchange, got $exchanges")
+  }
+
   test("whole-stage codegen covers the hot path of the flagship") {
     // AQE finalizes the plan only on execution; codegen'd operators carry
     // the "*(n)" prefix in the executed plan string.
