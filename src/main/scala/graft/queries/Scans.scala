@@ -225,15 +225,25 @@ object Scans {
       for (t <- Seq(tl, to)) s.sql(s"DROP TABLE IF EXISTS $t")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$tmp/l").saveAsTable(tl)
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$tmp/o").saveAsTable(to)
-      s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      // hint("merge"): at THIS tier AQE would broadcast the 2-column
+      // lineitem side and never touch the bucket layout; at 100 TB
+      // neither side broadcasts and SMJ is the only option — the hint
+      // pins the plan the surface exists to demonstrate: a merge join
+      // with ZERO exchange on either side. (Local sorts remain in the
+      // plan, but over the pre-sorted single-file buckets they are
+      // linear detect-sorted-run passes, not spills.)
+      s.table(tl).hint("merge")
+        .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
              dsum(col("o_totalprice")).as("sum_price"))

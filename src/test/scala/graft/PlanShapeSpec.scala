@@ -146,9 +146,11 @@ class PlanShapeSpec extends SparkSpec {
     // + orderBy). A hashpartitioning on either join key means bucketing
     // was ignored and the 100-TB win is gone.
     val p = plan("q_sink_bucketed")
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n${p.take(2500)}")
     assert(!p.contains("hashpartitioning(l_orderkey") &&
            !p.contains("hashpartitioning(o_orderkey"),
       s"join re-shuffled a bucketed side:\n${p.take(2500)}")
+    assert(p.contains("Bucketed: true"), s"scan ignored the bucket layout")
   }
 
   test("q_agg_cogroup merges N inputs through ONE shuffle") {

@@ -586,6 +586,30 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(spark.table("t_merge")) === sortedRows(all.toDF()))
   }
 
+  test("s_cogroup: two streams merge into one keyed aggregate (KS cogroup)") {
+    // KS CogroupedKStream streaming twin of Graft.cogroupAgg: views and
+    // purchases co-aggregated per user through the SAME union-tagged
+    // single-shuffle plan, incrementally in update mode. Final state must
+    // equal the one-shot batch cogroup of all data.
+    val memV = MemoryStream[Ev](spark)
+    val memP = MemoryStream[Ev](spark)
+    def cg(v: DataFrame, p: DataFrame) =
+      graft.Graft.cogroupAgg(Seq((v, "user_id", "value"),
+                                 (p, "user_id", "value")))
+    val q = cg(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("t_cogroup")
+      .outputMode("complete").start()
+    val views = all.filter(_.event_type == "view")
+    val purchases = all.filter(_.event_type == "purchase")
+    try {
+      memV.addData(views.take(2)); q.processAllAvailable()
+      memP.addData(purchases); q.processAllAvailable()
+      memV.addData(views.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val expected = cg(views.toDF(), purchases.toDF())
+    assert(sortedRows(spark.table("t_cogroup")) === sortedRows(expected))
+  }
+
   test("s_suppress: append-mode window agg emits each window once, only on close") {
     // KS suppress(untilWindowCloses) analog: in APPEND mode a windowed
     // aggregate emits a window exactly once, and only after the
