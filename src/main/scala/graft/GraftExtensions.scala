@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, TopKByScore}
+import graft.functions.{DotProduct, FreqSketch, TopKByScore}
 
 /** Session extensions for the engine — the supported plug-in point for
   * custom Catalyst surfaces (`spark.sql.extensions=graft.GraftExtensions`
@@ -39,6 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_topk: k must be an integer literal, got $other")
         }
         TopKByScore(children.head, children(1), k)
+      }))
+    // graft_freq(term, m): Misra–Gries heavy-hitter sketch — bounded
+    // m-counter summaries merge associatively (mergeable-summaries
+    // bound), so the vocabulary never materializes on one node.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq"),
+      new ExpressionInfo(classOf[FreqSketch].getCanonicalName, "graft_freq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_freq takes 2 arguments (term, m), got ${children.length}")
+        val m = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_freq: m must be an integer literal, got $other")
+        }
+        FreqSketch(children.head, m)
       }))
   }
 }

@@ -129,6 +129,71 @@ object LlmOps {
         .orderBy("event_type")
     }),
 
+    // Ordered funnel conversion: first view → click within 24 h → purchase
+    // within 24 h of that click, per user; users counted at their deepest
+    // reached stage, with the exact total view→purchase dwell (µs,
+    // int64-exact) for full conversions. Three sequential keyed
+    // aggregates — each stage's min-timestamp depends on the previous
+    // stage's, so the dependency chain is irreducible, but every step is
+    // an equi-shuffle on user_id with map-side partial mins (no windows,
+    // no per-user sort, state is one timestamp per user — the 100-TB
+    // funnel shape). Users whose first event isn't a view never enter
+    // the funnel (stage anchors at view).
+    "q_events_funnel" -> ((s, d) => {
+      val winUs = 86400000000L // 24 h conversion window per stage
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("us") >= col("t1") && col("us") <= col("t1") + winUs)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("us") >= col("t2") && col("us") <= col("t2") + winUs)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1L) + col("t2").isNotNull.cast("long")
+                   + col("t3").isNotNull.cast("long")).as("stage"),
+          col("t1"), col("t3"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+             coalesce(sum(when(col("t3").isNotNull, col("t3") - col("t1"))),
+                      lit(0L)).as("total_conv_us"))
+        .orderBy("stage")
+    }),
+
+    // Per-(label, dimension) embedding feature stats — the whitening /
+    // normalization prep pass (and the class-conditional means a
+    // classifier sanity-check wants). Floats are fixed-pointed to exact
+    // 1e-7 units FIRST (round(x·1e7) is identical IEEE on both engines),
+    // so the moment sums are exact int64 arithmetic — order-independent,
+    // hash-stable — and mean/var derive from identical double formulas.
+    // int64 bound: |x| ≤ 2 ⟹ xe7² ≤ 4e14, safe to ~23k vectors per
+    // (label, dim) group per partition-sum; corpus-scale safety would
+    // bump to DECIMAL sums, same shape.
+    "q_embed_stats" -> ((s, d) => {
+      val st = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * 1e7).cast("long").as("xe7"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("xe7").as("s1"),
+             sum(col("xe7") * col("xe7")).as("s2"))
+      val nd = col("n").cast("double")
+      val mean = (col("s1").cast("double") / 1e7) / nd
+      st.select(col("label"), col("dim"), col("n"),
+          round(mean, 6).as("mean"),
+          round(((col("s2").cast("double") / 1e14) -
+                 (col("s1").cast("double") / 1e7) *
+                 (col("s1").cast("double") / 1e7) / nd) / (nd - 1), 6)
+            .as("var"))
+        .orderBy("label", "dim")
+    }),
+
     "q_text_lang" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang")
@@ -222,6 +287,53 @@ object LlmOps {
       """SELECT event_type, COUNT(*) AS n_users FROM (
            SELECT DISTINCT user_id, event_type FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "q_events_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (
+           SELECT user_id, MIN(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, MIN(e.us) AS t2
+           FROM ev e JOIN v ON e.user_id = v.user_id
+            AND e.us >= v.t1 AND e.us <= v.t1 + 86400000000
+           WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (
+           SELECT e.user_id, MIN(e.us) AS t3
+           FROM ev e JOIN c ON e.user_id = c.user_id
+            AND e.us >= c.t2 AND e.us <= c.t2 + 86400000000
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+         staged AS (
+           SELECT v.user_id,
+             1 + CAST(c.user_id IS NOT NULL AS BIGINT)
+               + CAST(p.user_id IS NOT NULL AS BIGINT) AS stage,
+             v.t1, p.t3
+           FROM v LEFT JOIN c ON v.user_id = c.user_id
+                  LEFT JOIN p ON v.user_id = p.user_id)
+         SELECT stage, COUNT(*) AS n_users,
+           CAST(COALESCE(SUM(CASE WHEN t3 IS NOT NULL THEN t3 - t1 END), 0)
+             AS BIGINT) AS total_conv_us
+         FROM staged GROUP BY stage ORDER BY stage""",
+    "q_embed_stats" ->
+      """WITH st AS (
+           SELECT CAST(label AS BIGINT) AS label, t.dim,
+             CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 10000000.0)
+               AS BIGINT) AS xe7
+           FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS t(dim)),
+         m AS (
+           SELECT label, dim, COUNT(*) AS n,
+             CAST(SUM(xe7) AS BIGINT) AS s1,
+             CAST(SUM(xe7 * xe7) AS BIGINT) AS s2
+           FROM st GROUP BY 1, 2)
+         SELECT label, dim, n,
+           ROUND((CAST(s1 AS DOUBLE) / 10000000.0) / CAST(n AS DOUBLE), 6)
+             AS mean,
+           ROUND(((CAST(s2 AS DOUBLE) / 100000000000000.0) -
+                  (CAST(s1 AS DOUBLE) / 10000000.0) *
+                  (CAST(s1 AS DOUBLE) / 10000000.0) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1), 6) AS var
+         FROM m ORDER BY label, dim""",
     "q_text_lang" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
           ${sqlDavg("n_chars")} AS avg_chars,

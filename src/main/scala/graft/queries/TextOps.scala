@@ -98,6 +98,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus heavy hitters EXACTLY, at sketch cost: terms appearing in
+    // ≥ 0.5% of all tokens. One pass builds a 256-counter Misra–Gries
+    // sketch (functions.FreqSketch — map-side m-sized partials, merge
+    // never materializes the vocabulary) plus the exact token total; the
+    // MG bound guarantees every term with count > n/257 survives as a
+    // candidate, so the ≤ 256 candidates broadcast back for one exact
+    // re-count and NOTHING above the n/200 threshold can be missed.
+    // Exact output from a sketch-pruned plan — the same candidate-first
+    // pattern as q_dedup_minhash; at 100 TB the first pass shuffles 256
+    // rows per map task instead of the term dictionary.
+    "q_text_heavyhitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val sk = toks.agg(count(lit(1)).as("n_total"),
+          graft.functions.FreqSketch.freq(col("term"), 256).as("sk"))
+      val cands = sk.select(col("n_total"), explode(col("sk")).as("c"))
+        .select(col("n_total"), col("c.term").as("term"))
+      toks.join(broadcast(cands), Seq("term"))
+        .groupBy("term", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200L >= col("n_total"))
+        .select(col("term"), col("cnt"),
+          round(col("cnt").cast("double") / col("n_total").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("cnt").desc, col("term").asc)
+    }),
+
     // Gopher-style repetition quality signals: per-doc top-bigram share
     // and distinct-bigram (type/token) ratio — the filters that catch
     // boilerplate/spam docs whose length and stopword stats look fine.
@@ -171,6 +198,17 @@ object TextOps {
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    "q_text_heavyhitters" ->  // pure-exact oracle: the sketch only PRUNES
+      """WITH toks AS (
+           SELECT t.term FROM documents,
+           UNNEST(string_split(text, ' ')) AS t(term)
+           WHERE length(t.term) > 0),
+         tot AS (SELECT COUNT(*) AS n_total FROM toks),
+         c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1)
+         SELECT term, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+         FROM c, tot WHERE cnt * 200 >= n_total
+         ORDER BY cnt DESC, term""",
     "q_quality_repetition" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS l FROM documents),
