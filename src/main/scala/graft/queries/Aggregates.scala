@@ -292,6 +292,25 @@ object Aggregates {
           col("n_1").as("n_lines"),
           coalesce(col("sum_1"), lit(0.0)).as("sum_qty"))
         .orderBy("order_key")
+    }),
+
+    // Group-member materialization (LISTAGG/ARRAY_AGG): the sorted member
+    // list per group as one delimited string. collect_list is partition-
+    // order-NONDETERMINISTIC by contract, so the deterministic form is
+    // collect → array_sort → join — and the scale rule the comment
+    // exists to state: only materialize BOUNDED groups (25 nations × ≤40
+    // suppliers here); an unbounded member list is a driver-OOM in
+    // disguise at 100 TB, where the windowed top-k (q_win_topk_group) or
+    // the aggregate top-k (graft_topk) is the right tool.
+    "q_agg_collect" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+             array_join(array_sort(collect_list(col("s_name"))), ",")
+               .as("members"))
+        .orderBy("n_name")
     })
   )
 
@@ -429,6 +448,11 @@ object Aggregates {
            COUNT(CASE WHEN src = 1 THEN 1 END) AS n_lines,
            CAST(COALESCE(SUM(CASE WHEN src = 1 THEN v END), 0) AS DOUBLE)
              AS sum_qty
-         FROM u GROUP BY key ORDER BY order_key"""
+         FROM u GROUP BY key ORDER BY order_key""",
+    "q_agg_collect" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+           string_agg(s_name, ',' ORDER BY s_name) AS members
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name"""
   )
 }

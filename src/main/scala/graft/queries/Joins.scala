@@ -256,6 +256,30 @@ object Joins {
         .agg(count(lit(1)).as("n_pairs"),
              sum(abs(col("a_cents") - col("b_cents"))).as("sum_diff_cents"))
         .orderBy("a_brand")
+    }),
+
+    // Null-safe equi-join (<=>): under ordinary `=` a NULL key matches
+    // nothing (three-valued logic silently drops rows); `<=>` treats
+    // NULL as a VALUE, so the null bucket joins like any other key — the
+    // semantics ETL wants when an unknown dimension key must land on the
+    // "unknown" dim row, not vanish. Fixtures are null-free, so nulls
+    // are derived (key % 1000 = 0 → NULL). Note the scale caution the
+    // comment IS the documentation for: the null bucket is a self-
+    // multiplying hot key (here 150×15 at sf0.1) — at 100 TB you size it
+    // or route it through the salted-join path like any skewed key.
+    "q_join_nullsafe" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("k",
+          when(pmod(col("o_custkey"), lit(1000L)) === 0L, lit(null))
+            .otherwise(col("o_custkey")))
+      val c = Tables.customer(s, d)
+        .withColumn("ck",
+          when(pmod(col("c_custkey"), lit(1000L)) === 0L, lit(null))
+            .otherwise(col("c_custkey")))
+      o.join(c, col("k") <=> col("ck"))
+        .groupBy(col("c_mktsegment"), col("ck").isNull.as("null_bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment", "null_bucket")
     })
   )
 
@@ -388,6 +412,17 @@ object Joins {
            ON abs(CAST(round(a.p_retailprice*100) AS BIGINT)
                 - CAST(round(b.p_retailprice*100) AS BIGINT)) <= 20
           AND a.p_partkey < b.p_partkey
-         GROUP BY 1 ORDER BY a_brand"""
+         GROUP BY 1 ORDER BY a_brand""",
+    "q_join_nullsafe" ->
+      s"""WITH o AS (
+            SELECT CASE WHEN o_custkey % 1000 = 0 THEN NULL
+                        ELSE o_custkey END AS k, o_totalprice FROM orders),
+          c AS (
+            SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL
+                        ELSE c_custkey END AS ck, c_mktsegment FROM customer)
+          SELECT c_mktsegment, (ck IS NULL) AS null_bucket, COUNT(*) AS n,
+          ${sqlDsum("o_totalprice")} AS sum_price
+          FROM o JOIN c ON k IS NOT DISTINCT FROM ck
+          GROUP BY 1, 2 ORDER BY c_mktsegment, null_bucket"""
   )
 }

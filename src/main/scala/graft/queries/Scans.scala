@@ -248,6 +248,58 @@ object Scans {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
              dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Bad-record-tolerant ingestion: at 100 TB some fraction of any JSON
+    // feed IS malformed, and the pipeline must count + quarantine it,
+    // not die (or worse, silently drop it). Stage a JSONL file where a
+    // deterministic 1/37 slice of lines is corrupted, read PERMISSIVE
+    // with an explicit schema + _corrupt_record, and account for every
+    // line: bad count, good count, and a checksum (doc_id sum) proving
+    // the good rows parsed with values intact. Oracle reproduces the
+    // same accounting from the corruption rule.
+    "q_source_badrecords" -> ((s, d) => {
+      val tmp = scratch("badrec", s, d)
+      val doc = Tables.documents(s, d)
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      doc.select(
+          when(pmod(col("doc_id"), lit(37L)) === 5L,
+               concat(lit("{corrupt "), line)).otherwise(line).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read
+        .schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .agg(
+          sum(col("_corrupt_record").isNotNull.cast("long")).as("n_bad"),
+          sum(col("_corrupt_record").isNull.cast("long")).as("n_good"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("good_id_sum"))
+    }),
+
+    // Small-files compaction — the table-maintenance op every long-lived
+    // 100-TB table needs: a fragmented write (64 shuffle files) is
+    // rewritten to a handful of scan-sized files; the data must survive
+    // byte-identical (agg checksum) and the file counts prove the
+    // layout change. repartition by a key (not coalesce) so the rewrite
+    // also CLUSTERS — coalesce would just glue neighbors and keep the
+    // row scatter.
+    "q_sink_compact" -> ((s, d) => {
+      val frag = scratch("frag", s, d)
+      val comp = scratch("compact", s, d)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      li.repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(4, col("l_orderkey"))
+        .write.mode("overwrite").parquet(comp)
+      val nFrag = s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*").load(frag).count()
+      val nComp = s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*").load(comp).count()
+      s.read.parquet(comp)
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_quantity")).as("sum_qty"))
+        .select(lit(nFrag).as("n_files_frag"), lit(nComp).as("n_files_compact"),
+                col("n_rows"), col("sum_qty"))
     })
   )
 
@@ -328,6 +380,20 @@ object Scans {
           ${sqlDsum("l_quantity")} AS sum_qty,
           ${sqlDsum("o_totalprice")} AS sum_price
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_source_badrecords" ->  // the corruption rule, replayed directly
+      """SELECT
+           CAST(COUNT(CASE WHEN doc_id % 37 = 5 THEN 1 END) AS BIGINT)
+             AS n_bad,
+           CAST(COUNT(CASE WHEN doc_id % 37 <> 5 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 37 <> 5 THEN doc_id END) AS BIGINT)
+             AS good_id_sum
+         FROM documents""",
+    "q_sink_compact" ->  // file counts are deterministic by construction
+      s"""SELECT CAST(64 AS BIGINT) AS n_files_frag,
+          CAST(4 AS BIGINT) AS n_files_compact,
+          COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+          FROM lineitem"""
   )
 }

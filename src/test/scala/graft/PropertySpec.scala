@@ -297,4 +297,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("range join ≡ naive band predicate for any values and band") {
+    val genVals: Gen[List[Long]] =
+      Gen.listOfN(40, Gen.choose(-300L, 300L))
+    val genBand: Gen[Long] = Gen.choose(1L, 50L)
+    forAll(genVals, genBand) { (vs, band) =>
+      whenever(vs.nonEmpty) {
+        val l = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("a_id", "a_v")
+        val r = vs.reverse.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("b_id", "b_v")
+        val fast = operators.RangeJoin.join(l, r, "a_v", "b_v", band)
+          .select("a_id", "b_id")
+        val naive = l.join(r, abs(col("a_v") - col("b_v")) <= band)
+          .select("a_id", "b_id")
+        assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+          s"range join diverged from naive at band=$band")
+      }
+    }
+  }
+
+  test("cogroup aggregate ≡ full-outer join of per-input aggregates") {
+    forAll(genPairs, genPairs) { (a, b) =>
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val A = a.map { case (k, v) => (k.toLong, v.toDouble) }.toDF("k", "v")
+        val B = b.map { case (k, v) => (k.toLong, v.toDouble) }.toDF("k", "v")
+        val got = Graft.cogroupAgg(Seq((A, "k", "v"), (B, "k", "v")))
+        val aggA = A.groupBy(col("k").as("key"))
+          .agg(count(lit(1)).as("n_0"), sum(col("v").cast("decimal(28,4)"))
+            .cast("double").as("sum_0"))
+        val aggB = B.groupBy(col("k").as("key"))
+          .agg(count(lit(1)).as("n_1"), sum(col("v").cast("decimal(28,4)"))
+            .cast("double").as("sum_1"))
+        val want = aggA.join(aggB, Seq("key"), "full_outer")
+          .select(col("key"), coalesce(col("n_0"), lit(0L)).as("n_0"),
+            col("sum_0"), coalesce(col("n_1"), lit(0L)).as("n_1"),
+            col("sum_1"))
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          "cogroup diverged from join-of-aggregates")
+      }
+    }
+  }
 }
