@@ -56,4 +56,24 @@ object PrefixFilter {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Candidate DIRECTED pairs for CONTAINMENT C(a→b) = |A∩B|/|A| >= t
+    * (the sub-document duplication predicate: a is mostly contained in
+    * b). The prefix bound applies to the CONTAINED side only:
+    * C(a→b) >= t implies |A∩B| >= ceil(t*|A|) =: alpha, so the
+    * order-smallest common shingle is followed within A by >= alpha-1
+    * other common shingles — it sits inside A's first
+    * |A| - ceil(t*|A|) + 1 shingles. No bound exists on its position
+    * in B (|B| may dwarf alpha), so the b side joins its FULL shingle
+    * set; with the df-ascending order A's prefix still holds only the
+    * rarest shingles, keeping the per-shingle join buckets small. */
+  def containmentCandidates(shingleRows: DataFrame,
+                            threshold: Double): DataFrame = {
+    val pre = prefixRows(shingleRows, threshold)
+    pre.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shingleRows.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
 }

@@ -66,7 +66,7 @@ class PlanShapeSpec extends SparkSpec {
     // conditionless tiny-side broadcasts (centroids, cell-pair metadata)
     val idCols = "(id_a|id_b|keep_id|dup_id|doc_a|doc_b|vec_a|vec_b)#".r
     for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_near",
-                     "q_dedup_embed", "q_sim_join")) {
+                     "q_dedup_embed", "q_sim_join", "q_dedup_containment")) {
       val bad = plan(name).linesIterator
         .filter(_.contains("BroadcastNestedLoopJoin"))
         .filter(l => idCols.findFirstIn(l).isDefined)
@@ -84,6 +84,12 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix filter missing from plan:\n${p.take(2000)}")
     assert(p.contains("row_number()"),
       s"df-order ranking missing from plan:\n${p.take(2000)}")
+  }
+
+  test("q_dedup_containment prefix-filters the CONTAINED side") {
+    val p = plan("q_dedup_containment")
+    assert(p.contains("prefix_pos"),
+      s"contained-side prefix filter missing from plan:\n${p.take(2000)}")
   }
 
   test("q_dedup_simhash candidates arrive via a band equi-join, no nested loop") {
