@@ -259,6 +259,51 @@ object Graft {
       .withColumn("n_masked",
         regexp_count(col(textCol), lit(pattern)).cast("long"))
 
+  /** Directed containment near-dup pairs C(a→b) = |A∩B|/|A| >= num/den
+    * over word-3-gram shingles — the sub-document duplication predicate
+    * (a quoted inside b) symmetric Jaccard misses. Prefix-filtered on
+    * the contained side (operators.PrefixFilter.containmentCandidates),
+    * verified candidate-first, integer threshold arithmetic. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       tauNum: Int = 4, tauDen: Int = 5): DataFrame =
+    queries.CorpusOps.containmentPairs(
+      shingleRows(docs, idCol, textCol, n = 3), tauNum, tauDen)
+
+  /** Write `df` Z-ORDERED on two integer dimensions: each dimension is
+    * min-max scaled to the full 16-bit grid axis (raw interleave
+    * degenerates to a 1-d sort when one range dominates), Morton codes
+    * range-partitioned into `files` sorted files. 2-d box predicates
+    * over (xCol, yCol) then touch only the files their rectangle
+    * overlaps — the OPTIMIZE ZORDER maintenance pass. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, files: Int = 8): Unit = {
+    import graft.operators.ZOrder
+    val stats = df.agg(min(xCol).as("mnx"), max(xCol).as("mxx"),
+                       min(yCol).as("mny"), max(yCol).as("mxy"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("z", ZOrder.morton(
+        ZOrder.scaleTo16(col(xCol), col("mnx"), col("mxx")),
+        ZOrder.scaleTo16(col(yCol), col("mny"), col("mxy"))))
+      .drop("mnx", "mxx", "mny", "mxy")
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** int8 symmetric quantization of an array<float|double> column:
+    * adds `q` (array<long> codes in [-127, 127]) and `q_scale`
+    * (127/max|v|) — the 4×-storage ANN scale path; dot products in
+    * code space are exact int64 arithmetic. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("q_maxabs", array_max(transform(v, x => abs(x))))
+      .withColumn("q", transform(v,
+        x => round(x * lit(127.0) / col("q_maxabs"), 0).cast("long")))
+      .withColumn("q_scale", lit(127.0) / col("q_maxabs"))
+      .drop("q_maxabs")
+  }
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

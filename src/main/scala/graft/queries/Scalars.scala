@@ -38,12 +38,16 @@ object Scalars {
 
     "q_date_funcs" -> ((s, d) => {
       // year/month/date_trunc/datediff/interval arithmetic, aggregated per
-      // order-month so the output is small and totally ordered. All the
-      // ORDER-side datetime expressions are computed BELOW the join (per
-      // 150 K orders, not per 600 K joined rows — Catalyst prunes columns
-      // through joins but never pushes expression WORK down, so the 4×
-      // reduction in datetime arithmetic is the query author's job); only
-      // ship_gap, which needs a lineitem column, is per joined row.
+      // order-month so the output is small and totally ordered. Two
+      // work-pushdown moves the optimizer will not make for us:
+      //  (1) ORDER-side datetime expressions computed below the join
+      //      (per 150 K orders, not per joined row — Catalyst prunes
+      //      columns through joins but never pushes expression WORK);
+      //  (2) lineitem PARTIALLY AGGREGATED to per-order (count, min/max
+      //      shipdate) BEFORE the join — o_date is constant per order, so
+      //      min/max of datediff(ship, o_date) ≡ datediff(min/max ship,
+      //      o_date): the join and all per-row datediff work run on 150 K
+      //      rows instead of 600 K (measured 0.47 → ~0.3 s at sf0.1).
       val o = Tables.orders(s, d).select(
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"),
@@ -51,15 +55,21 @@ object Scalars {
         month(col("o_orderdate")).cast("long").as("o_month"),
         epochMs(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
         epochMs(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ms"))
-      Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+             min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_year"), col("o_month"), col("month_start_ms"),
-          datediff(to_date(col("l_shipdate")), col("o_date"))
-            .cast("long").as("ship_gap"),
+          col("cnt"),
+          datediff(to_date(col("min_ship")), col("o_date"))
+            .cast("long").as("gap_lo"),
+          datediff(to_date(col("max_ship")), col("o_date"))
+            .cast("long").as("gap_hi"),
           col("due_ms"))
         .groupBy("o_year", "o_month", "month_start_ms")
-        .agg(count(lit(1)).as("n"),
-             min("ship_gap").as("min_gap"), max("ship_gap").as("max_gap"),
+        .agg(sum("cnt").as("n"),
+             min("gap_lo").as("min_gap"), max("gap_hi").as("max_gap"),
              min("due_ms").as("min_due_ms"))
         .orderBy("o_year", "o_month")
     }),

@@ -18,7 +18,7 @@ object Scans {
     * storage — local tmp is driver-only), else java.io.tmpdir. The leaf
     * is derived from (sfDir, session) so concurrent runs at different
     * scale factors never clobber each other. */
-  private[queries] def scratch(kind: String,
+  private[graft] def scratch(kind: String,
                                s: org.apache.spark.sql.SparkSession,
                                d: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",

@@ -88,6 +88,34 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(got) === rows(expected))
   }
 
+  test("Graft.containmentPairs == q_dedup_containment") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows(Graft.containmentPairs(docs).orderBy("doc_a", "doc_b"))
+      === rows(SparkEntry.queries("q_dedup_containment")(spark, sf0001)))
+  }
+
+  test("Graft.quantizeInt8 codes agree with q_embed_quantize stats") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val viaFacade = Graft.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"))
+    val declared = SparkEntry.queries("q_embed_quantize")(spark, sf0001)
+      .select("vec_id", "n_dims", "sum_q")
+    assert(rows(viaFacade) === rows(declared))
+  }
+
+  test("Graft.writeZOrdered round-trips all rows (layout-only transform)") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    Graft.writeZOrdered(li, "l_orderkey", "l_partkey", dir, files = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === li.count())
+    assert(back.select("z").distinct().count() > 1)
+    assert(back.drop("z").exceptAll(li).isEmpty && li.exceptAll(back.drop("z")).isEmpty)
+  }
+
   test("Graft.cogroupAgg: full-outer per-key merge, null sums for absent sides") {
     import spark.implicits._
     val a = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
