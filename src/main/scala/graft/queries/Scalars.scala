@@ -47,7 +47,12 @@ object Scalars {
       //      shipdate) BEFORE the join — o_date is constant per order, so
       //      min/max of datediff(ship, o_date) ≡ datediff(min/max ship,
       //      o_date): the join and all per-row datediff work run on 150 K
-      //      rows instead of 600 K (measured 0.47 → ~0.3 s at sf0.1).
+      //      rows instead of 600 K. Profiled r6: the sf0.1 wall time is
+      //      floor-bound (~0.45 s = two scans + the partial agg; the
+      //      datediff/join tail it removes was ~0.05 s there), but the
+      //      replica probe tier shows the real effect (0.47 → 0.33 s) —
+      //      and no join hint: AQE broadcasts the small side at this
+      //      scale and switches to shuffle when orders outgrow it.
       val o = Tables.orders(s, d).select(
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"),
@@ -59,7 +64,7 @@ object Scalars {
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("cnt"),
              min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_year"), col("o_month"), col("month_start_ms"),
           col("cnt"),
           datediff(to_date(col("min_ship")), col("o_date"))

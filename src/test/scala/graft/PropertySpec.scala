@@ -339,4 +339,67 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("containment candidates ⊇ all directed pairs with C ≥ t on generated docs") {
+    // the directed analog of the prefix-filter law: generated token docs,
+    // brute-force directed containment vs the contained-side prefix path
+    val genDocs: Gen[List[List[Int]]] =
+      Gen.listOfN(8, Gen.listOfN(12, Gen.choose(0, 6)))
+    forAll(genDocs) { docsTok =>
+      val docs = docsTok.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sh = Graft.shingleRows(docs, "doc_id", "text", n = 2)
+      val got = graft.queries.CorpusOps.containmentPairs(sh, 4, 5)
+        .select("doc_a", "doc_b")
+      val brute = {
+        val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        a.join(b, Seq("shingle")).filter(col("doc_a") =!= col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh")), Seq("doc_a"))
+          .filter(col("i") * 5 >= col("n_sh") * 4)
+          .select("doc_a", "doc_b")
+      }
+      assert(brute.exceptAll(got).isEmpty && got.exceptAll(brute).isEmpty,
+        "directed containment diverged from brute force")
+    }
+  }
+
+  test("morton interleave is injective on the 16-bit grid") {
+    val genPts: Gen[List[(Int, Int)]] =
+      Gen.listOfN(60, Gen.zip(Gen.choose(0, 65535), Gen.choose(0, 65535)))
+    forAll(genPts) { pts =>
+      val d = pts.distinct.map { case (x, y) => (x.toLong, y.toLong) }
+        .toDF("x", "y")
+      val n = d.count()
+      val z = d.select(graft.operators.ZOrder.morton(col("x"), col("y")))
+        .distinct().count()
+      assert(z == n, "two grid points collided in morton space")
+    }
+  }
+
+  test("merge-upsert algebra: empty change-set is identity, reapply is idempotent") {
+    forAll(genPairs) { base =>
+      whenever(base.nonEmpty) {
+        // model: newest-wins keyed upsert — one full-outer join pass, the
+        // q_merge_upsert shape reduced to its algebra
+        def applyChanges(b: DataFrame, c: DataFrame): DataFrame =
+          b.join(c.withColumnsRenamed(Map("v" -> "cv")), Seq("k"), "full_outer")
+            .select(col("k"), coalesce(col("cv"), col("v")).as("v"))
+        val B = base.distinctBy(_._1).toDF("k", "v")
+        val empty = Seq.empty[(Int, Int)].toDF("k", "v")
+        val id = applyChanges(B, empty)
+        assert(id.exceptAll(B).isEmpty && B.exceptAll(id).isEmpty,
+          "empty change-set must be identity")
+        val changes = base.take(5).map { case (k, v) => (k, v + 100) }
+          .distinctBy(_._1).toDF("k", "v")
+        val once = applyChanges(B, changes)
+        val twice = applyChanges(once, changes)
+        assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+          "reapplying the same change-set must be a no-op")
+      }
+    }
+  }
 }
