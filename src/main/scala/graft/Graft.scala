@@ -268,7 +268,8 @@ object Graft {
                        textCol: String = "text",
                        tauNum: Int = 4, tauDen: Int = 5): DataFrame =
     queries.CorpusOps.containmentPairs(
-      shingleRows(docs, idCol, textCol, n = 3), tauNum, tauDen)
+      shingleRows(docs, idCol, textCol, n = 3).localCheckpoint(true),
+      tauNum, tauDen)
 
   /** Write `df` Z-ORDERED on two integer dimensions: each dimension is
     * min-max scaled to the full 16-bit grid axis (raw interleave

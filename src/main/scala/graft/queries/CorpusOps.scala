@@ -46,13 +46,11 @@ object CorpusOps {
     * arithmetic. Factored out so the spec can run the identical path
     * on synthetic sub-document corpora. tau must be a small rational
     * p/q given as (p, q) to keep the predicate float-free. */
-  private[graft] def containmentPairs(shRaw: org.apache.spark.sql.DataFrame,
+  /** Callers pass an already-materialized shingle frame (LlmOps.shingles
+    * localCheckpoints — five consumers read it here: df ranking, prefix
+    * join side, full b side, both verify sides). */
+  private[graft] def containmentPairs(sh: org.apache.spark.sql.DataFrame,
                                       tauNum: Int, tauDen: Int) = {
-    // the shingle explode feeds FIVE consumers (df ranking, prefix join
-    // side, full b side, both verify sides) and Catalyst replans it for
-    // each — materialize once; same localCheckpoint trade-off as
-    // DedupCluster (measured 3.33 → 2.48 s on this key at sf0.1)
-    val sh = shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cands = PrefixFilter.containmentCandidates(sh, tauNum.toDouble / tauDen)
     cands
