@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorExprs
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search") — the compression half of the canonical
+  * IVF+PQ ANN stack: split each d-dim vector into m subvectors, learn a
+  * small L2 codebook per subspace, store each vector as m byte-sized
+  * codes (here m=8, k=16 → 8 codes ≈ 4 bytes per 64-dim vector, a 64×
+  * compression over float32), and score queries with an Asymmetric
+  * Distance Computation table: one k×m table of exact query-to-centroid
+  * distances, then each candidate's approximate distance is m table
+  * lookups — no float vector is ever touched at query time.
+  *
+  * Everything is Catalyst-native and deterministic:
+  *  - subspace rows via ONE posexplode of sliced arrays;
+  *  - seeding by smallest xxhash64(vec_id, seed) per subspace (no RNG);
+  *  - Lloyd assignment = broadcast join + window top-1 (ties to the
+  *    lowest code id — total order), centroid update = component-wise
+  *    decimal-exact mean (partition-order-independent, bit-identical
+  *    run to run);
+  *  - ADC sums go through DECIMAL(28,12), so the m-term additions are
+  *    order-independent too.
+  *
+  * At 100 TB: codebooks train on a hash-sample and broadcast (k×m×sub
+  * doubles — bytes); encoding is an embarrassingly parallel map; the
+  * codes table is what the cluster stores and shuffles, at ~4 bytes a
+  * vector instead of 256.
+  */
+object ProductQuantizer {
+
+  /** (vec_id, sub, sv: array<double>) — vector split into m contiguous
+    * subvectors. `dim` must be divisible by m. */
+  def subvectors(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val w = dim / m
+    emb.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $w + 1, $w))"))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** Squared L2 distance via three codegen'd dots. */
+  private def dist2(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column) =
+    VectorExprs.dot(a, a) - lit(2.0) * VectorExprs.dot(a, b) +
+      VectorExprs.dot(b, b)
+
+  /** Per-subspace L2 codebooks: (sub, code_id, cv: array<double>) after
+    * `iters` Lloyd rounds from hash-sampled seeds. */
+  def codebooks(subs: DataFrame, k: Int, iters: Int,
+                seed: Int = 7): DataFrame = {
+    val seedW = Window.partitionBy("sub")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+    var cb = subs.withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= k)
+      .select(col("sub"), col("rn").as("code_id"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("d2").asc, col("code_id").asc)
+      val assigned = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", dist2(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("sub"), col("code_id"), col("sv"))
+      cb = assigned
+        .select(col("sub"), col("code_id"),
+                posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
+              count(lit(1))).as("m"))
+        .groupBy("sub", "code_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e("m")).as("cv"))
+    }
+    cb
+  }
+
+  /** (vec_id, sub, code_id) — each subvector's nearest codeword. */
+  def encode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("code_id").asc)
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", dist2(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "code_id")
+  }
+
+  /** ADC top-`n`: query subvectors → k×m distance table → each encoded
+    * vector scored by m table lookups, decimal-exact sum, ties to the
+    * lowest vec_id. Returns (vec_id, approx_d2). */
+  def adcTopK(codes: DataFrame, cb: DataFrame, qsubs: DataFrame,
+              n: Int): DataFrame = {
+    val dtab = qsubs.select(col("sub"), col("sv").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("sub"), col("code_id"),
+              dist2(col("qv"), col("cv")).as("d"))
+    codes.join(broadcast(dtab), Seq("sub", "code_id"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("d").cast(DecimalType(28, 12))).cast("double"), 6)
+        .as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+      .limit(n)
+  }
+}

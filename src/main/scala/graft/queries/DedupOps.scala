@@ -185,6 +185,28 @@ object DedupOps {
       ivfProbe(emb, cents, nprobe = 2)
     }),
 
+    // ---- Product-quantized ANN (the compression half of IVF+PQ): m=16
+    // subspaces × k=16 L2 codewords = 8 bytes per 64-dim vector (32×
+    // under float32); query scored via the ADC table (m lookups per
+    // candidate, no float vector touched at query time). Vectors are
+    // L2-NORMALIZED first so squared-L2 order ≡ cosine order
+    // (d² = 2 − 2cos). Test-oracled: codebook training is not
+    // SQL-expressible — and the fixture embeddings are quasi-random
+    // (top-10 cosines 0.27–0.33, inter-rank gaps below any quantizer's
+    // error), so ProductQuantizerSpec pins recall ≥ 0.8 on a
+    // deterministic CLUSTERED corpus and a closer-than-average law
+    // here.
+    "q_knn_pq" -> ((s, d) => {
+      import graft.operators.ProductQuantizer._
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+      val subs = subvectors(emb, m = 16, dim = 64).localCheckpoint(true)
+      val cb = codebooks(subs, k = 16, iters = 2)
+      val codes = encode(subs.filter(col("vec_id") =!= 0), cb)
+      adcTopK(codes, cb, subs.filter(col("vec_id") === 0), n = 10)
+    }),
+
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
     // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
     // query). Distributed block join via the VectorSimJoin cell
