@@ -305,6 +305,25 @@ object Graft {
       .drop("q_maxabs")
   }
 
+  /** Product-quantized approximate kNN of `queryId` (operators.
+    * ProductQuantizer): L2-normalize, train m×kCodes codebooks, encode
+    * the corpus to m-byte codes, score via the ADC table. Returns
+    * (vec_id, approx_d2) — squared L2 in normalized space, monotone
+    * with cosine. */
+  def pqKnn(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+            n: Int = 10, m: Int = 16, kCodes: Int = 16): DataFrame = {
+    import graft.operators.ProductQuantizer._
+    val v = col(vecCol).cast("array<double>")
+    val nrm = graft.functions.VectorExprs.norm(v)
+    val emb = df.select(col(idCol).as("vec_id"),
+      transform(v, x => x / nrm).as("v"))
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val subs = subvectors(emb, m, dim).localCheckpoint(true)
+    val cb = codebooks(subs, kCodes, iters = 2)
+    val codes = encode(subs.filter(col("vec_id") =!= queryId), cb)
+    adcTopK(codes, cb, subs.filter(col("vec_id") === queryId), n)
+  }
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

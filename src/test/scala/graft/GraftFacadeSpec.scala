@@ -116,6 +116,12 @@ class GraftFacadeSpec extends SparkSpec {
     assert(back.drop("z").exceptAll(li).isEmpty && li.exceptAll(back.drop("z")).isEmpty)
   }
 
+  test("Graft.pqKnn == q_knn_pq") {
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(rows(Graft.pqKnn(emb, "vec_id", "embedding", queryId = 0))
+      === rows(SparkEntry.queries("q_knn_pq")(spark, sf0001)))
+  }
+
   test("Graft.cogroupAgg: full-outer per-key merge, null sums for absent sides") {
     import spark.implicits._
     val a = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
