@@ -319,7 +319,11 @@ object Graft {
       transform(v, x => x / nrm).as("v"))
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val subs = subvectors(emb, m, dim).localCheckpoint(true)
-    val cb = codebooks(subs, kCodes, iters = 2)
+    // train on a deterministic quarter-sample (constant training cost
+    // at any corpus size — matches the declared q_knn_pq path)
+    val train = subs.filter(
+      pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
+    val cb = codebooks(train, kCodes, iters = 2)
     val codes = encode(subs.filter(col("vec_id") =!= queryId), cb)
     adcTopK(codes, cb, subs.filter(col("vec_id") === queryId), n)
   }

@@ -202,7 +202,13 @@ object DedupOps {
         .select(col("vec_id"),
           transform(col("v"), x => x / col("nrm")).as("v"))
       val subs = subvectors(emb, m = 16, dim = 64).localCheckpoint(true)
-      val cb = codebooks(subs, k = 16, iters = 2)
+      // codebooks train on a deterministic quarter-sample — the actual
+      // 100-TB discipline (training cost stays constant as the corpus
+      // grows; only encode/ADC scale), not just a Scaladoc promise.
+      // ProductQuantizerSpec pins recall on the sampled path too.
+      val train = subs.filter(
+        pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
+      val cb = codebooks(train, k = 16, iters = 2)
       val codes = encode(subs.filter(col("vec_id") =!= 0), cb)
       adcTopK(codes, cb, subs.filter(col("vec_id") === 0), n = 10)
     }),

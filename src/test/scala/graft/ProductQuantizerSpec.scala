@@ -70,7 +70,11 @@ class ProductQuantizerSpec extends SparkSpec {
     val e = raw.select(col("vec_id"),
       transform(col("v"), x => x / nrm).as("v")).cache()
     val subs = subvectors(e, m = 16, dim = dim).localCheckpoint(true)
-    val cb = codebooks(subs, k = 16, iters = 2)
+    // train on the same deterministic quarter-sample the declared query
+    // uses — the recall floor must hold on the SAMPLED path
+    val train = subs.filter(
+      pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
+    val cb = codebooks(train, k = 16, iters = 2)
     val codes = graft.operators.ProductQuantizer
       .encode(subs.filter(col("vec_id") =!= 0), cb)
     val approx = adcTopK(codes, cb, subs.filter(col("vec_id") === 0), n = 10)

@@ -28,7 +28,8 @@ class SqlEntrySpec extends SparkSpec {
     "q_sort_multi", "q_topk", "q_limit_offset",
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
     "q_win_rank", "q_win_topk_group", "q_win_dist",
-    "q_sample_stratified", "q_split_train", "q_sql_entry")
+    "q_sample_stratified", "q_split_train", "q_sql_entry",
+    "q_sample_reservoir", "q_merge_upsert", "q_sink_delete")
   // Excluded, with the DuckDB-only construct that blocks Spark's parser /
   // resolver: q_agg_grouping_sets (2-arg GROUPING), q_win_analytic +
   // every epoch_us oracle, the string_split/list-lambda family
