@@ -53,15 +53,21 @@ object CorpusOps {
                                       tauNum: Int, tauDen: Int) = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cands = PrefixFilter.containmentCandidates(sh, tauNum.toDouble / tauDen)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+            Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+            Seq("doc_b"))
+      // LENGTH prefilter (sound): |A∩B| <= |B|, so C(a→b) >= t forces
+      // t·|A| <= |B| — candidates with a small b side can never qualify
+      // and are dropped BEFORE their shingle sets are pulled (the
+      // directed analog of the All-Pairs length filter)
+      .filter(col("n_b") * tauDen >= col("n_a") * tauNum)
     cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
             Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-            Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-            Seq("doc_b"))
+      .join(cands.select("doc_a", "doc_b", "n_a", "n_b"), Seq("doc_a", "doc_b"))
       .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_inter"),
