@@ -107,4 +107,64 @@ object ProductQuantizer {
       .orderBy(col("approx_d2").asc, col("vec_id").asc)
       .limit(n)
   }
+
+  /** The composed IVF+PQ index (FAISS IVFPQ shape): coarse cells from
+    * `cents` = (cent_id, cv, cnrm), PQ codebooks trained on RESIDUALS
+    * (v − coarse centroid — residuals concentrate near 0, so the same
+    * k codewords quantize them far better than raw vectors), and a
+    * per-probed-cell ADC table (the query residual differs per cell).
+    * Only the `nprobe` probed cells' members are scored — the IVF
+    * pruning — and each is scored by m table lookups on its 8-byte
+    * code row. Returns (vec_id, approx_d2) top-`n`.
+    *
+    * At 100 TB: the corpus artifact is (cell, codes) — cell id is the
+    * partition key, codes are ~8 bytes/vector; a query broadcasts
+    * nprobe k×m tables and reads only the probed cells' partitions. */
+  def ivfpqTopK(emb: DataFrame, cents: DataFrame, m: Int, dim: Int,
+                kCodes: Int, nprobe: Int, queryId: Long,
+                n: Int): DataFrame = {
+    // cell assignment: max-cosine (≡ min-L2 for unit vectors) coarse cell
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .localCheckpoint(true)
+    // residual subvectors; PQ codebooks from a deterministic quarter-sample
+    val subs = subvectors(assigned.select(col("vec_id"), col("rv").as("v")),
+        m, dim)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .localCheckpoint(true)
+    val cb = codebooks(
+      subs.filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L),
+      kCodes, iters = 2)
+    val codes = encode(subs.filter(col("vec_id") =!= queryId), cb)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    // probe cells + per-cell query-residual ADC tables
+    val q = emb.filter(col("vec_id") === queryId)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("cent_id").as("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+    val qsubs = probed.select(col("cell"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(qrv, s * ${dim / m} + 1, ${dim / m}))"))
+      .as(Seq("sub", "qv")))
+    val dtab = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("cell"), col("sub"), col("code_id"),
+              dist2(col("qv"), col("cv")).as("d"))
+    codes.join(broadcast(dtab), Seq("cell", "sub", "code_id"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("d").cast(DecimalType(28, 12))).cast("double"), 6)
+        .as("approx_d2"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+      .limit(n)
+  }
 }

@@ -213,6 +213,25 @@ object DedupOps {
       adcTopK(codes, cb, subs.filter(col("vec_id") === 0), n = 10)
     }),
 
+    // ---- The COMPOSED IVF+PQ index (FAISS IVFPQ shape): coarse cells
+    // prune the corpus to nprobe partitions, PQ codebooks quantize the
+    // RESIDUALS (v − cell centroid — concentrated near 0, so the same
+    // 16 codewords fit far tighter than on raw vectors), and each
+    // probed cell gets its own query-residual ADC table. The corpus
+    // artifact is (cell, 8-byte codes): cell id partitions, codes
+    // scan. Test-oracled like the other ANN variants.
+    "q_knn_ivfpq" -> ((s, d) => {
+      val e0 = LlmOps.embDouble(Tables.embeddings(s, d))
+      val emb = e0
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+        .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 2)
+      graft.operators.ProductQuantizer.ivfpqTopK(
+        emb, cents, m = 16, dim = 64, kCodes = 16, nprobe = 2,
+        queryId = 0, n = 10)
+    }),
+
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
     // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
     // query). Distributed block join via the VectorSimJoin cell

@@ -48,27 +48,47 @@ class ProductQuantizerSpec extends SparkSpec {
       s"two Lloyd rounds must not raise quantization error: $e0 -> $e2")
   }
 
-  test("recall@10 >= 0.8 on clustered data (where ANN is meaningful)") {
-    // the fixture's embeddings are quasi-random (vec 0's top-10 cosines
-    // are 0.27–0.33, gaps far below ANY quantizer's error — the PQ
-    // pathological case), so the recall law runs on a deterministic
-    // clustered corpus: 20 centers × 25 members, small per-point
-    // perturbation. Point 0's true top-10 are its cluster mates.
+  /** Deterministic clustered corpus: 20 distinct centers × 25 members
+    * with aperiodic per-point noise. The moduli are chosen so no two
+    * centers coincide (37 invertible mod 101, j < 20) and no two ids
+    * share a noise pattern (940 = 7919 mod 997 generates all residues
+    * over id < 500) — an earlier periodic generator silently made
+    * clusters 0/13 identical and produced duplicate points, which
+    * invalidated an assumed ground truth. Ground truth is therefore
+    * COMPUTED by brute force below, never assumed. */
+  private def clustered(dim: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val dim = 64
     val pts = for (j <- 0 until 20; i <- 0 until 25) yield {
       val id = (j * 25 + i).toLong
       val v = Array.tabulate(dim) { d =>
-        val center = ((j * 31 + d * 17) % 13 - 6) / 6.0
-        val noise = ((id * 7 + d * 3) % 5 - 2) / 50.0
+        val center = ((j * 37 + d * 17) % 101 - 50) / 50.0
+        val noise = ((id * 7919 + d * 104729) % 997 - 498) / 4000.0
         center + noise
       }
       (id, v)
     }
     val raw = pts.toDF("vec_id", "v")
     val nrm = graft.functions.VectorExprs.norm(col("v"))
-    val e = raw.select(col("vec_id"),
-      transform(col("v"), x => x / nrm).as("v")).cache()
+    raw.select(col("vec_id"), transform(col("v"), x => x / nrm).as("v"))
+  }
+
+  /** Brute-force exact top-10 neighbor ids of vec 0 (normalized L2). */
+  private def exactTop10(e: org.apache.spark.sql.DataFrame): Set[Long] = {
+    val q0 = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0).crossJoin(q0)
+      .select(col("vec_id"),
+        (lit(2.0) - lit(2.0) * graft.functions.VectorExprs
+          .dot(col("v"), col("qv"))).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+      .limit(10).collect().map(_.getLong(0)).toSet
+  }
+
+  test("recall@10 >= 0.8 on clustered data (where ANN is meaningful)") {
+    // the fixture's embeddings are quasi-random (vec 0's top-10 cosines
+    // are 0.27–0.33, gaps far below ANY quantizer's error — the PQ
+    // pathological case), so the recall law runs on the clustered corpus
+    val dim = 64
+    val e = clustered(dim).cache()
     val subs = subvectors(e, m = 16, dim = dim).localCheckpoint(true)
     // train on the same deterministic quarter-sample the declared query
     // uses — the recall floor must hold on the SAMPLED path
@@ -79,9 +99,23 @@ class ProductQuantizerSpec extends SparkSpec {
       .encode(subs.filter(col("vec_id") =!= 0), cb)
     val approx = adcTopK(codes, cb, subs.filter(col("vec_id") === 0), n = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val exact = (1L to 24L).toSet // cluster j=0 mates of point 0
-    val recall = (approx & exact).size
+    val recall = (approx & exactTop10(e)).size
     assert(recall >= 8, s"PQ recall@10 on clustered data: $recall/10")
+    e.unpersist()
+  }
+
+  test("IVF+PQ recall@10 >= 0.8 on clustered data (residual quantization)") {
+    val dim = 64
+    val e0 = clustered(dim)
+    val e = e0.withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      .cache()
+    val cents = graft.operators.IvfKMeans.centroids(e, k = 8, iters = 2)
+    val approx = graft.operators.ProductQuantizer.ivfpqTopK(
+        e, cents, m = 16, dim = dim, kCodes = 16, nprobe = 3,
+        queryId = 0, n = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (approx & exactTop10(e)).size
+    assert(recall >= 8, s"IVF+PQ recall@10 on clustered data: $recall/10")
     e.unpersist()
   }
 
