@@ -12,12 +12,14 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SortsSets.queries ++ Scalars.queries ++
       LlmOps.queries ++ DedupOps.queries ++ TextOps.queries ++
-      PipelineOps.queries ++ CorpusOps.queries ++ MaintenanceOps.queries
+      PipelineOps.queries ++ CorpusOps.queries ++ MaintenanceOps.queries ++
+      AnalyticsOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SortsSets.oracle ++ Scalars.oracle ++
       LlmOps.oracle ++ DedupOps.oracle ++ TextOps.oracle ++
-      PipelineOps.oracle ++ CorpusOps.oracle ++ MaintenanceOps.oracle
+      PipelineOps.oracle ++ CorpusOps.oracle ++ MaintenanceOps.oracle ++
+      AnalyticsOps.oracle
 }
