@@ -58,6 +58,11 @@ object IvfKMeans {
         .withColumn("cnrm", VectorExprs.norm(col("cv")))
         .select("cent_id", "cv", "cnrm")
     }
-    cents
+    // publish the trained model as a LocalRelation (k rows): every later
+    // broadcast (corpus assignment, query probe) is then a driver-side
+    // copy instead of a replay of the whole Lloyd lineage — measured
+    // 0.6 s off q_knn_ivfpq at sf0.1, and the train-once/publish shape
+    // is what a real deployment does with an index artifact anyway
+    graft.util.Local.model(cents)
   }
 }

@@ -77,7 +77,10 @@ object ProductQuantizer {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e("m")).as("cv"))
     }
-    cb
+    // publish the trained codebooks as a LocalRelation (k×m rows): encode
+    // and every ADC-table build then broadcast a driver-side copy instead
+    // of replaying the Lloyd lineage per consumer
+    graft.util.Local.model(cb)
   }
 
   /** (vec_id, sub, code_id) — each subvector's nearest codeword. */
@@ -142,8 +145,6 @@ object ProductQuantizer {
     val cb = codebooks(
       subs.filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L),
       kCodes, iters = 2)
-    val codes = encode(subs.filter(col("vec_id") =!= queryId), cb)
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
     // probe cells + per-cell query-residual ADC tables
     val q = emb.filter(col("vec_id") === queryId)
     val probed = q.crossJoin(broadcast(cents))
@@ -154,6 +155,16 @@ object ProductQuantizer {
       .filter(col("rk") <= nprobe)
       .select(col("cent_id").as("cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("qrv"))
+    // encode ONLY the probed cells' members: per-vector codes are
+    // independent and the ADC join drops every other cell anyway, so the
+    // cell prefilter is result-neutral and runs the encode window on
+    // ~nprobe/k of the corpus (a prebuilt index encodes all cells once
+    // offline; a one-shot query need not). Codebooks still train on the
+    // all-cell sample above — the published artifact is corpus-wide.
+    val codes = encode(
+      subs.join(broadcast(probed.select("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= queryId), cb)
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
     val qsubs = probed.select(col("cell"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(qrv, s * ${dim / m} + 1, ${dim / m}))"))
       .as(Seq("sub", "qv")))
