@@ -144,6 +144,59 @@ object AnalyticsOps {
         .limit(20)
     }),
 
+    // ---- SCD2 (slowly-changing-dimension type 2) build: turn a keyed
+    // changelog into validity INTERVALS — each change row becomes a
+    // version with valid_from = its time and valid_to = the next
+    // change's time (null = current version). ONE window lead per key
+    // (state = one following row), the canonical warehouse-dimension
+    // materialization that latestPerKey (keep newest only) cannot
+    // express. At 100 TB the per-key window parallelizes across users
+    // and the only shuffle is the key partitioning.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          epochUs(col("ts")).as("us"), col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("event_type"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ---- series anomaly flags: per-type hourly event counts scored by
+    // the z-score against that type's own distribution — the monitoring/
+    // data-quality gate shape. Moments are EXACT integer sums (n, Σx,
+    // Σx²) so both engines evaluate the identical IEEE sqrt/division
+    // formula on identical inputs — the q_agg_stats discipline; rows
+    // with |z| ≥ 2 survive. Two map-side-combinable aggregates + one
+    // broadcast-size join back; nothing is per-series state.
+    "q_events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"${epochUsSql("ts")} div $usPerHour").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("cnt").as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .filter(col("n_hours") >= 2)
+        .withColumn("mean",
+          col("s1").cast("double") / col("n_hours").cast("double"))
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double") * col("mean"))
+            / (col("n_hours") - 1).cast("double")))
+        .filter(col("sd") > 0.0 &&
+          abs(col("cnt").cast("double") - col("mean")) >= lit(2.0) * col("sd"))
+        .select(col("event_type"), col("hr"), col("cnt"),
+          round(col("mean"), 4).as("mean"),
+          round((col("cnt").cast("double") - col("mean")) / col("sd"), 4)
+            .as("z"))
+        .orderBy("event_type", "hr")
+    }),
+
     // ---- correlated LATERAL join: the top-3 customers by balance FOR
     // EACH nation, written as the SQL-standard lateral subquery (the
     // per-row-top-k API shape). Catalyst decorrelates the LIMIT-inside-
@@ -250,6 +303,41 @@ object AnalyticsOps {
          FROM c2 JOIN c1 USING (w1) JOIN cb USING (w2) CROSS JOIN tot
          WHERE n2 >= 5
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    "q_scd2" ->
+      """SELECT user_id,
+                CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                event_id,
+                epoch_us(ts) AS valid_from_us,
+                LEAD(epoch_us(ts), 1) OVER w AS valid_to_us,
+                event_type,
+                (LEAD(epoch_us(ts), 1) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY user_id, version""",
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, COUNT(*) AS n_hours,
+                  CAST(SUM(cnt) AS BIGINT) AS s1,
+                  CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+           FROM hourly GROUP BY 1),
+         calc AS (
+           SELECT h.event_type, h.hr, h.cnt,
+                  CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE) AS mean,
+                  SQRT((CAST(s.s2 AS DOUBLE)
+                        - CAST(s.s1 AS DOUBLE)
+                          * (CAST(s.s1 AS DOUBLE) / CAST(s.n_hours AS DOUBLE)))
+                       / CAST(s.n_hours - 1 AS DOUBLE)) AS sd
+           FROM hourly h JOIN stats s USING (event_type)
+           WHERE s.n_hours >= 2)
+         SELECT event_type, hr, cnt, ROUND(mean, 4) AS mean,
+                ROUND((CAST(cnt AS DOUBLE) - mean) / sd, 4) AS z
+         FROM calc
+         WHERE sd > 0 AND ABS(CAST(cnt AS DOUBLE) - mean) >= 2.0 * sd
+         ORDER BY event_type, hr""",
     "q_join_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
          FROM nation n CROSS JOIN LATERAL (

@@ -63,6 +63,27 @@ object SortsSets {
         .except(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
           .select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
+    }),
+
+    // ---- the MULTISET set ops (bag semantics — INTERSECT ALL keeps
+    // min(multiplicity) copies, EXCEPT ALL subtracts multiplicities):
+    // the API surface dropDuplicates-style distinct set ops miss.
+    // Spark plans both as one aggregate of per-side counts + a
+    // generate — no row-hash shuffle of duplicates.
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+        .orderBy("o_custkey")
     })
   )
 
@@ -98,6 +119,16 @@ object SortsSets {
       """SELECT c_custkey FROM customer
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey""",
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         ORDER BY o_custkey"""
   )
 }

@@ -113,6 +113,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.map(_.toString).sorted.toSeq === twin)
   }
 
+  test("q_scd2: intervals chain per key, exactly one current version") {
+    val d = sf0001
+    val out = SparkEntry.queries("q_scd2")(spark, d).collect()
+    val nEvents = spark.read.parquet(s"$d/events.parquet").count()
+    assert(out.length === nEvents, "every change row becomes a version")
+    for ((_, rows) <- out.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.count(_.getBoolean(6)) === 1, "one current version per key")
+      assert(sorted.last.getBoolean(6), "the current version is the last")
+      for (Array(a, b) <- sorted.sliding(2).filter(_.length == 2))
+        assert(a.getLong(4) === b.getLong(3),
+          "valid_to must equal the next version's valid_from")
+    }
+  }
+
+  test("q_events_anomaly: every flagged row is >= 2 sigma from its mean") {
+    val out = SparkEntry.queries("q_events_anomaly")(spark, sf0001).collect()
+    assert(out.nonEmpty, "the fixture has hourly outliers")
+    for (r <- out)
+      assert(math.abs(r.getDouble(4)) >= 1.9995,
+        s"|z| below threshold after rounding: $r")
+  }
+
+  test("q_intersect_all / q_except_all obey multiset count laws") {
+    val d = sf0001
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_custkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val a = counts(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    val b = counts(o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey"))
+    val inter = counts(SparkEntry.queries("q_intersect_all")(spark, d))
+    val exc = counts(SparkEntry.queries("q_except_all")(spark, d))
+    for (k <- a.keySet ++ b.keySet) {
+      assert(inter(k) === math.min(a(k), b(k)),
+        s"INTERSECT ALL multiplicity law broken for key $k")
+      assert(exc(k) === math.max(a(k) - b(k), 0L),
+        s"EXCEPT ALL multiplicity law broken for key $k")
+    }
+  }
+
   test("q_join_lateral decorrelates — no per-outer-row nested loop") {
     val p = SparkEntry.queries("q_join_lateral")(spark, sf0001)
       .queryExecution.executedPlan.toString
