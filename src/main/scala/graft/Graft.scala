@@ -328,6 +328,119 @@ object Graft {
     adcTopK(codes, cb, subs.filter(col("vec_id") === queryId), n)
   }
 
+  // ---- warehouse / series maintenance ----
+
+  /** SCD2 (type-2 slowly-changing-dimension) build: each changelog row
+    * becomes a version with `version` (1-based per key), `valid_to`
+    * (the NEXT change's `timeCol` value, null = current) and
+    * `is_current`. `tieBreak` columns break equal-time ordering (pass a
+    * unique id — versions must be totally ordered per key). ONE window
+    * per key: state is a single following row, keys parallelize, the
+    * key partitioning is the only shuffle. `q_scd2` is the oracle-
+    * verified exemplar. */
+  def scd2(changelog: DataFrame, keyCol: String, timeCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy((col(timeCol) +: tieBreak.map(col)): _*)
+    changelog
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Two-snapshot reconciliation: every key classified added / removed /
+    * changed / unchanged through ONE full-outer join on `keyCols`, the
+    * non-key columns compared by hash. Schemas must match. Returns the
+    * key columns + `diff_class`; join back to either snapshot for
+    * payloads. The audit twin of a MERGE: q_merge_upsert APPLIES a
+    * changeset, this DERIVES one. `q_table_diff` is the oracle-verified
+    * exemplar (with decimal-exact money rollups). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val valCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty, "no non-key columns to compare")
+    def hashed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+
+        xxhash64(valCols.map(col): _*).as(as): _*)
+    hashed(oldDf, "__old_h")
+      .join(hashed(newDf, "__new_h"), keyCols, "full_outer")
+      .withColumn("diff_class",
+        when(col("__old_h").isNull, "added")
+          .when(col("__new_h").isNull, "removed")
+          .when(col("__old_h") =!= col("__new_h"), "changed")
+          .otherwise("unchanged"))
+      .drop("__old_h", "__new_h")
+  }
+
+  /** Dense-grid gap fill + forward fill of a keyed integer-tick series:
+    * every key gets a row for EVERY tick in the corpus [min, max] range
+    * (grid generated from a 1-row broadcast bounds aggregate — never
+    * shuffled wide), missing ticks flagged `is_gap` and `valCol` carried
+    * forward per key (null until a key's first observation). The fill
+    * window is one sequential pass per key. `q_timeseries_fill` is the
+    * oracle-verified exemplar. */
+  def gapFillForward(series: DataFrame, keyCol: String, tickCol: String,
+                     valCol: String): DataFrame = {
+    val bounds = series.agg(min(col(tickCol)).as("__mn"),
+                            max(col(tickCol)).as("__mx"))
+    val grid = series.select(keyCol).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"))).as(tickCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tickCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(series, Seq(keyCol, tickCol), "left")
+      .withColumn("is_gap", col(valCol).isNull)
+      .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
+  /** PMI-ranked bigram collocations with support ≥ `minCount` — the
+    * tokenizer-induction / phrase-mining statistic. Three bounded-key
+    * count-aggregates over one bigram explode; marginals broadcast at
+    * any corpus size (vocabulary cardinality, not corpus).
+    * `q_text_collocations` is the oracle-verified exemplar. */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 5L): DataFrame = {
+    val bg = docs.select(split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(l) - 2)," +
+          " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val cb = bg.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val tot = bg.agg(count(lit(1)).as("n_total"))
+    c2.join(c1, Seq("w1")).join(cb, Seq("w2")).crossJoin(broadcast(tot))
+      .filter(col("n2") >= minCount)
+      .select(col("w1"), col("w2"), col("n2"),
+        round(log((col("n2") * col("n_total")).cast("double")
+          / (col("n1") * col("nb")).cast("double")), 6).as("pmi"))
+  }
+
+  /** Per-doc cross-document duplicated-n-gram stats (the RefinedWeb
+    * boilerplate filter): (doc_id, n_shingles, n_dup, dup_frac) where
+    * n_dup counts shingles shared with ANY other document. One
+    * map-side-combinable document-frequency aggregate + one equi-join
+    * on the 64-bit shingle hash. `q_quality_dupngrams` is the
+    * oracle-verified exemplar. */
+  def dupNgramStats(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, 1)).as("n_dup"),
+        round(count(when(col("df") >= 2, 1)).cast("double")
+          / count(lit(1)), 6).as("dup_frac"))
+  }
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Q
@@ -42,24 +41,17 @@ object AnalyticsOps {
     // the grid is |keys| × |hours| and the fill window is one
     // sequential pass per key (keys parallelize across executors).
     "q_timeseries_fill" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val hourly = Tables.events(s, d)
         .select(col("event_type"),
           expr(s"${epochUsSql("ts")} div $usPerHour").as("hr"),
           col("value"))
-      val hourly = ev.groupBy("event_type", "hr")
+        .groupBy("event_type", "hr")
         .agg(round(sum(col("value").cast(DecimalType(28, 6))).cast("double"), 4)
           .as("v_obs"))
-      val bounds = ev.agg(min("hr").as("mn"), max("hr").as("mx"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"),
-          explode(sequence(col("mn"), col("mx"))).as("hr"))
-      val w = Window.partitionBy("event_type").orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("event_type", "hr"), "left")
-        .withColumn("gap", col("v_obs").isNull.cast("int").cast("long"))
-        .withColumn("v_fill", last(col("v_obs"), ignoreNulls = true).over(w))
-        .select("event_type", "hr", "gap", "v_fill")
+      graft.Graft.gapFillForward(hourly, "event_type", "hr", "v_obs")
+        .select(col("event_type"), col("hr"),
+          col("is_gap").cast("int").cast("long").as("gap"),
+          col("v_obs").as("v_fill"))
         .orderBy("event_type", "hr")
     }),
 
@@ -105,17 +97,8 @@ object AnalyticsOps {
     // map-side-combinable document-frequency aggregate + one equi-join
     // back on the 64-bit shingle hash — counts are hash-invariant, so
     // the text-shingle oracle matches the hashed plan exactly.
-    "q_quality_dupngrams" -> ((s, d) => {
-      val sh = LlmOps.shingles(Tables.documents(s, d))
-      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(df, Seq("shingle"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          count(when(col("df") >= 2, 1)).as("n_dup"),
-          round(count(when(col("df") >= 2, 1)).cast("double")
-            / count(lit(1)), 6).as("dup_frac"))
-        .orderBy("doc_id")
-    }),
+    "q_quality_dupngrams" -> ((s, d) =>
+      graft.Graft.dupNgramStats(Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- PMI collocations: pointwise mutual information of adjacent
     // token pairs under a min-support cut — the tokenizer-induction /
@@ -123,26 +106,10 @@ object AnalyticsOps {
     // explode (all map-side combinable, keyed by bounded vocabulary),
     // marginals joined back, ONE exactly-rounded IEEE division inside
     // ln() so both engines see bit-identical inputs.
-    "q_text_collocations" -> ((s, d) => {
-      val bg = Tables.documents(s, d)
-        .select(split(col("text"), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(l) - 2)," +
-            " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("bg"))
-        .select(col("bg.w1"), col("bg.w2"))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-      val cb = bg.groupBy("w2").agg(count(lit(1)).as("nb"))
-      val tot = bg.agg(count(lit(1)).as("n_total"))
-      c2.join(c1, Seq("w1")).join(cb, Seq("w2")).crossJoin(broadcast(tot))
-        .filter(col("n2") >= 5)
-        .select(col("w1"), col("w2"), col("n2"),
-          round(log((col("n2") * col("n_total")).cast("double")
-            / (col("n1") * col("nb")).cast("double")), 6).as("pmi"))
+    "q_text_collocations" -> ((s, d) =>
+      graft.Graft.collocations(Tables.documents(s, d))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // ---- SCD2 (slowly-changing-dimension type 2) build: turn a keyed
     // changelog into validity INTERVALS — each change row becomes a
@@ -153,15 +120,12 @@ object AnalyticsOps {
     // express. At 100 TB the per-key window parallelizes across users
     // and the only shuffle is the key partitioning.
     "q_scd2" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      Tables.events(s, d)
+      val changelog = Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           epochUs(col("ts")).as("us"), col("event_type"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
-        .withColumn("is_current", col("valid_to_us").isNull)
+      graft.Graft.scd2(changelog, "user_id", "us", tieBreak = Seq("event_id"))
         .select(col("user_id"), col("version"), col("event_id"),
-          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("us").as("valid_from_us"), col("valid_to").as("valid_to_us"),
           col("event_type"), col("is_current"))
         .orderBy("user_id", "version")
     }),

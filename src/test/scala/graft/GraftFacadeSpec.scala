@@ -122,6 +122,62 @@ class GraftFacadeSpec extends SparkSpec {
       === rows(SparkEntry.queries("q_knn_pq")(spark, sf0001)))
   }
 
+  test("Graft.scd2 / collocations / dupNgramStats == their declared queries") {
+    // the declared queries call straight into the facade; these assert the
+    // GENERIC parameterizations reproduce them (column wiring included)
+    val d = sf0001
+    val changelog = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        graft.util.Det.epochUs(col("ts")).as("us"), col("event_type"))
+    val scd = Graft.scd2(changelog, "user_id", "us", Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("us").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("event_type"), col("is_current"))
+    assert(rows(scd) === rows(SparkEntry.queries("q_scd2")(spark, d)))
+    val docs = Tables.documents(spark, d)
+    assert(rows(Graft.collocations(docs)
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20))
+      === rows(SparkEntry.queries("q_text_collocations")(spark, d)))
+    assert(rows(Graft.dupNgramStats(docs))
+      === rows(SparkEntry.queries("q_quality_dupngrams")(spark, d)))
+  }
+
+  test("Graft.snapshotDiff classes agree with q_table_diff counts") {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast(DecimalType(28, 2)).as("p"),
+        pmod(col("o_orderkey"), lit(10L)).as("m"))
+    val bumped = round(col("p") *
+      lit(new java.math.BigDecimal("1.05")), 2).cast(DecimalType(28, 2))
+    val newSnap = o.filter(col("m") =!= 7L)
+      .select(col("k"),
+        when(col("m") === 3L, bumped).otherwise(col("p")).as("p"))
+      .unionAll(o.filter(col("m") === 5L)
+        .select((col("k") + 1000000000L).as("k"), col("p")))
+    val got = Graft.snapshotDiff(o.select("k", "p"), newSnap, Seq("k"))
+      .groupBy("diff_class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val declared = SparkEntry.queries("q_table_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === declared)
+  }
+
+  test("Graft.gapFillForward: dense grid, observed rows unchanged") {
+    import spark.implicits._
+    val s = Seq(("a", 1L, 10.0), ("a", 4L, 20.0), ("b", 2L, 5.0))
+      .toDF("k", "t", "v")
+    val got = Graft.gapFillForward(s, "k", "t", "v")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("a", 1L, Some(10.0), false), ("a", 2L, Some(10.0), true),
+      ("a", 3L, Some(10.0), true), ("a", 4L, Some(20.0), false),
+      ("b", 1L, None, true), ("b", 2L, Some(5.0), false),
+      ("b", 3L, Some(5.0), true), ("b", 4L, Some(5.0), true)))
+  }
+
   test("Graft.cogroupAgg: full-outer per-key merge, null sums for absent sides") {
     import spark.implicits._
     val a = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
