@@ -24,6 +24,12 @@ case class EnrichedEv(event_id: Long, user_id: Long, value: Double,
                       matched: Boolean, table_event_id: Long,
                       table_value: Double)
 
+/** One SCD2 dimension version emitted by [[Streams.scd2Stream]] —
+  * mirrors the batch `q_scd2` output (valid_to_us = None ⟺ current). */
+case class ScdVer(user_id: Long, version: Long, event_id: Long,
+                  valid_from_us: Long, valid_to_us: Option[Long],
+                  event_type: String, is_current: Boolean)
+
 /** Structured Streaming operators — SURVEY.md §2.9, the reference's native
   * semantics (a Kafka Streams join example → Spark Structured Streaming).
   *
@@ -250,6 +256,49 @@ object Streams {
               state.update(newest)
               Iterator.single(newest)
             }
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming SCD2 build — the continuous CDC→dimension twin of
+    * [[graft.Graft.scd2]] / `q_scd2`: every change row appends to its
+    * key's version chain; the key's CORRECTED chain (closed previous
+    * version + new current) is re-emitted in Update mode whenever it
+    * changes. State carries the key's raw change set (ListState — the
+    * dimension history IS the state, as in a KS changelog-backed KTable),
+    * so a LATE change splices into the middle of the chain and the
+    * downstream materialization (last emission per (user, version))
+    * still converges to exactly the batch result — StreamingSpec proves
+    * equivalence on an out-of-order fixture. Per-batch cost is
+    * O(chain length) per TOUCHED key only; state shards by key across
+    * executors (RocksDB on a real cluster). */
+  def scd2Stream(events: Dataset[Ev]): Dataset[ScdVer] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, ScdVer] {
+          @transient private var chain:
+            org.apache.spark.sql.streaming.ListState[Ev] = _
+          override def init(outputMode: OutputMode,
+                            timeMode: TimeMode): Unit =
+            chain = getHandle.getListState[Ev](
+              "chain", Encoders.product[Ev], TTLConfig.NONE)
+          override def handleInputRows(user: Long, rows: Iterator[Ev],
+              timers: org.apache.spark.sql.streaming.TimerValues)
+              : Iterator[ScdVer] = {
+            val merged = (chain.get().toSeq ++ rows)
+              .distinctBy(_.event_id)
+              .sortBy(e => (tsUs(e.ts), e.event_id))
+            chain.clear()
+            chain.appendList(merged.toArray)
+            merged.zipWithIndex.map { case (e, i) =>
+              val us = tsUs(e.ts)
+              val next = merged.lift(i + 1).map(n => tsUs(n.ts))
+              ScdVer(user, (i + 1).toLong, e.event_id, us, next,
+                e.event_type, next.isEmpty)
+            }.iterator
           }
         },
         TimeMode.None(), OutputMode.Update())

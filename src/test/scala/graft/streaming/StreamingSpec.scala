@@ -496,6 +496,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamFinal === batchFinal)
   }
 
+  test("s_scd2: streaming CDC→SCD2 chain converges to batch scd2" +
+       " under out-of-order input") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = Streams.scd2Stream(mem.toDS())
+      .writeStream.format("memory").queryName("t_scd2")
+      .outputMode("update").start()
+    // the fixture is genuinely out of order across batches (user 2's
+    // event 5 arrives after its later event 4) — the chain splice must
+    // absorb it
+    try Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // materialize the streamed dimension: last emission per (user, version)
+    val streamed = spark.table("t_scd2").as[ScdVer].collect().toSeq
+      .zipWithIndex
+      .groupBy(r => (r._1.user_id, r._1.version))
+      .map { case (_, emits) => emits.maxBy(_._2)._1 }.toSeq
+    val batchChain = graft.Graft.scd2(
+        all.toDF().withColumn("us", graft.util.Det.epochUs(col("ts"))),
+        "user_id", "us", tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("us").as("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("event_type"), col("is_current"))
+      .as[ScdVer].collect().toSeq
+    assert(streamed.sortBy(r => (r.user_id, r.version))
+      === batchChain.sortBy(r => (r.user_id, r.version)))
+  }
+
   test("s_checkpoint_recovery: stateful query resumes from checkpoint") {
     // THE state-store guarantee everything in §2.9 rests on: kill a
     // stateful query mid-stream, restart from its checkpoint, feed the
