@@ -402,4 +402,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2: versions partition the timeline for any changelog") {
+    // (key, time, attr) triples with duplicate times — the event-id tie
+    // break must still produce a total order
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 20L), Gen.choose(0, 3)))
+    forAll(gen) { xs =>
+      whenever(xs.nonEmpty) {
+        val log = xs.zipWithIndex
+          .map { case ((k, t, a), id) => (k.toLong, id.toLong, t, s"a$a") }
+          .toDF("k", "id", "t", "attr")
+        val out = Graft.scd2(log, "k", "t", tieBreak = Seq("id")).collect()
+        assert(out.length === xs.length, "every change becomes a version")
+        for ((_, rows) <- out.groupBy(_.getLong(0))) {
+          val sorted = rows.sortBy(_.getLong(4)) // version column
+          assert(sorted.map(_.getLong(4)).toSeq === (1L to rows.length).toSeq)
+          assert(sorted.count(_.getBoolean(6)) === 1, "exactly one current")
+          for (Array(a, b) <- sorted.sliding(2).filter(_.length == 2))
+            assert(a.getLong(5) === b.getLong(2), // valid_to == next t
+              "intervals must chain")
+        }
+      }
+    }
+  }
+
+  test("snapshotDiff: classes partition both snapshots; diff of X with X" +
+       " is all-unchanged") {
+    forAll(genPairs, genPairs) { (a, b) =>
+      whenever(a.nonEmpty && b.nonEmpty) {
+        val A = a.distinctBy(_._1).toDF("k", "v")
+        val B = b.distinctBy(_._1).toDF("k", "v")
+        val d = Graft.snapshotDiff(A, B, Seq("k")).collect()
+          .map(r => r.getInt(0) -> r.getString(1)).toMap
+        assert(d.values.count(c => c != "added") === A.count(),
+          "old rows = removed + changed + unchanged")
+        assert(d.values.count(c => c != "removed") === B.count(),
+          "new rows = added + changed + unchanged")
+        val self = Graft.snapshotDiff(A, A, Seq("k"))
+          .filter(col("diff_class") =!= "unchanged").count()
+        assert(self === 0L, "X vs X must be all-unchanged")
+      }
+    }
+  }
+
+  test("gapFillForward: dense grid, idempotent, observed values kept") {
+    val gen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L), Gen.choose(1.0, 9.0)))
+    forAll(gen) { xs =>
+      whenever(xs.nonEmpty) {
+        val s = xs.distinctBy(x => (x._1, x._2)).toDF("k", "t", "v")
+        val filled = Graft.gapFillForward(s, "k", "t", "v")
+        val span = s.agg(max("t")).head.getLong(0) -
+          s.agg(min("t")).head.getLong(0) + 1
+        val keys = s.select("k").distinct().count()
+        assert(filled.count() === span * keys, "grid must be dense")
+        // observed rows keep their value
+        val kept = filled.filter(!col("is_gap"))
+          .join(s.withColumnRenamed("v", "v0"), Seq("k", "t"))
+        assert(kept.filter(col("v") =!= col("v0")).count() === 0L)
+        // idempotence: filling the filled series changes nothing
+        val again = Graft.gapFillForward(
+          filled.select("k", "t", "v"), "k", "t", "v")
+        assert(again.filter(col("is_gap")).count()
+          === filled.filter(col("v").isNull).count(),
+          "second fill only flags leading nulls")
+      }
+    }
+  }
 }
