@@ -31,25 +31,40 @@ object DedupOps {
     * one shuffle on the shingle hash enumerates all sharing pairs. */
   private[graft] def jaccardPairs(sh: DataFrame,
                                     candidates: Option[DataFrame]): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val pairRows = candidates match {
+    val counted = candidates match {
       case Some(c) =>
-        // no broadcast hint: the candidate set scales with OUTPUT size
-        // (100x-replica probe: 2.5M pairs), so forcing a broadcast is a
-        // scale bug — AQE broadcasts small candidate sets automatically
-        // and shuffles large ones on the doc-id keys
-        c.join(a, Seq("doc_a")).join(b, Seq("doc_b", "shingle"))
+        // verify per PAIR against per-doc shingle PROFILES (sorted array
+        // + size): one codegen'd array_intersect per candidate instead of
+        // the candidate×shingle explode + re-aggregation shuffle
+        // (containmentPairs rationale; measured 3.3 → 1.7 s there).
+        // No broadcast hint: the candidate set scales with OUTPUT size
+        // (100x-replica probe: 2.5M pairs) — AQE broadcasts small sets
+        // and shuffles large ones on the doc-id keys.
+        val sets = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("ss"),
+               count(lit(1)).as("n_sh"))
+        c.join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+                           col("n_sh").as("n_a")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+                            col("n_sh").as("n_b")), Seq("doc_b"))
+          .withColumn("n_inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .select("doc_a", "doc_b", "n_a", "n_b", "n_inter")
       case None =>
-        a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+        // exhaustive form: pairs must first be FOUND, which only the
+        // shingle equi-join can do without candidates
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+                Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+                Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+                Seq("doc_b"))
     }
-    pairRows
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-            Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-            Seq("doc_b"))
+    counted
       // jaccard_raw is the UNROUNDED similarity: threshold filters must use
       // it, because the prefix-filter theorem (PrefixFilter) only guarantees
       // candidate coverage for true J >= t — filtering on the 6-dp rounded
