@@ -196,7 +196,13 @@ object DedupOps {
     // asserted at two tiers).
     "q_knn_ivf" -> ((s, d) => {
       val emb = LlmOps.embDouble(Tables.embeddings(s, d))
-      val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 2)
+      // coarse training on a deterministic HALF-sample: the centroid
+      // model needs a representative sample, not the corpus — constant
+      // training cost as data grows (the q_knn_pq discipline); the full
+      // corpus is still ASSIGNED to cells below
+      val cents = graft.operators.IvfKMeans.centroids(
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+        k = 8, iters = 2)
       ivfProbe(emb, cents, nprobe = 2)
     }),
 
@@ -241,7 +247,13 @@ object DedupOps {
         .select(col("vec_id"),
           transform(col("v"), x => x / col("nrm")).as("v"))
         .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
-      val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 2)
+      // coarse training on a deterministic HALF-sample: the centroid
+      // model needs a representative sample, not the corpus — constant
+      // training cost as data grows (the q_knn_pq discipline); the full
+      // corpus is still ASSIGNED to cells below
+      val cents = graft.operators.IvfKMeans.centroids(
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+        k = 8, iters = 2)
       graft.operators.ProductQuantizer.ivfpqTopK(
         emb, cents, m = 16, dim = 64, kCodes = 16, nprobe = 2,
         queryId = 0, n = 10)
