@@ -239,6 +239,22 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Portable deterministic MODE: built-in mode() tie-breaking is
+    // engine/partition-dependent, so the portable form is the argmax
+    // shape over (count, -value) — most frequent l_quantity per flag,
+    // exact ties to the SMALLEST quantity. Two map-side-combinable
+    // aggregates, no window, no engine-specific mode kernel.
+    "q_agg_mode" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("n"), (-col("l_quantity")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+          col("m.n").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Statistical aggregates (corr / covar / stddev / var / linear
     // regression) computed from DECIMAL-EXACT raw moments rather than the
     // built-in streaming (Welford) kernels: engine-internal merge order
@@ -315,6 +331,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_quantity, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag,
+                -MAX({'n': n, 'nq': -l_quantity}).nq AS mode_qty,
+                MAX({'n': n, 'nq': -l_quantity}).n AS n
+         FROM c GROUP BY 1 ORDER BY l_returnflag""",
     "q_agg_argmax" ->
       """WITH per_user AS (
            SELECT event_type, user_id,
