@@ -272,36 +272,63 @@ object Graft {
       tauNum, tauDen)
 
   /** Write `df` Z-ORDERED on two integer dimensions: each dimension is
-    * min-max scaled to the full 16-bit grid axis (raw interleave
-    * degenerates to a 1-d sort when one range dominates), Morton codes
+    * min-max scaled into the 16-bit grid (raw interleave degenerates
+    * to a 1-d sort when one range dominates), Morton codes
     * range-partitioned into `files` sorted files. 2-d box predicates
     * over (xCol, yCol) then touch only the files their rectangle
-    * overlaps — the OPTIMIZE ZORDER maintenance pass. */
+    * overlaps — the OPTIMIZE ZORDER maintenance pass.
+    *
+    * Scaling is shift-based (ZOrder.scaleTo16Wide) so ANY int64 value
+    * domain is exact — no multiply, no overflow; the only requirement,
+    * enforced here, is that each dimension's (max − min) itself fits
+    * in int64. The stats pass is one 4-value agg collected driver-side
+    * (this method is a write action already). Null dimension values
+    * sort together at the front of the z range. The written schema is
+    * exactly `df`'s — the internal Morton key is dropped before the
+    * write (ordering survives the projection). */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, files: Int = 8): Unit = {
     import graft.operators.ZOrder
-    val stats = df.agg(min(xCol).as("mnx"), max(xCol).as("mxx"),
-                       min(yCol).as("mny"), max(yCol).as("mxy"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("z", ZOrder.morton(
-        ZOrder.scaleTo16(col(xCol), col("mnx"), col("mxx")),
-        ZOrder.scaleTo16(col(yCol), col("mny"), col("mxy"))))
-      .drop("mnx", "mxx", "mny", "mxy")
-      .repartitionByRange(files, col("z"))
-      .sortWithinPartitions("z")
+    val st = df.agg(min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+                    min(col(yCol).cast("long")), max(col(yCol).cast("long")))
+      .first()
+    if (st.isNullAt(0) || st.isNullAt(2)) {
+      // no non-null (x, y) values anywhere — nothing to order by
+      df.coalesce(files).write.mode("overwrite").parquet(path)
+      return
+    }
+    val (mnx, mxx, mny, mxy) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    def shift(mn: Long, mx: Long, name: String): Int = {
+      require(BigInt(mx) - BigInt(mn) <= BigInt(Long.MaxValue),
+        s"writeZOrdered: $name range [$mn, $mx] exceeds int64 — " +
+          "pre-bucket the dimension (e.g. pmod) before z-ordering")
+      ZOrder.gridShift(mx - mn)
+    }
+    df.withColumn("__z", ZOrder.morton(
+        ZOrder.scaleTo16Wide(col(xCol), mnx, shift(mnx, mxx, xCol)),
+        ZOrder.scaleTo16Wide(col(yCol), mny, shift(mny, mxy, yCol))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 
   /** int8 symmetric quantization of an array<float|double> column:
     * adds `q` (array<long> codes in [-127, 127]) and `q_scale`
     * (127/max|v|) — the 4×-storage ANN scale path; dot products in
-    * code space are exact int64 arithmetic. */
+    * code space are exact int64 arithmetic. An all-zero vector
+    * round-trips as all-zero codes with q_scale = 0 (the 0/0 would
+    * otherwise poison every downstream int64 dot with NaN codes). */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     df.withColumn("q_maxabs", array_max(transform(v, x => abs(x))))
-      .withColumn("q", transform(v,
-        x => round(x * lit(127.0) / col("q_maxabs"), 0).cast("long")))
-      .withColumn("q_scale", lit(127.0) / col("q_maxabs"))
+      .withColumn("q", when(col("q_maxabs") === 0.0,
+          transform(v, _ => lit(0L)))
+        .otherwise(transform(v,
+          x => round(x * lit(127.0) / col("q_maxabs"), 0).cast("long"))))
+      .withColumn("q_scale", when(col("q_maxabs") === 0.0, lit(0.0))
+        .otherwise(lit(127.0) / col("q_maxabs")))
       .drop("q_maxabs")
   }
 
@@ -317,7 +344,12 @@ object Graft {
     val nrm = graft.functions.VectorExprs.norm(v)
     val emb = df.select(col(idCol).as("vec_id"),
       transform(v, x => x / nrm).as("v"))
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // dimension from the first row (one-row pushdown scan); all rows
+    // are ASSUMED equal-dim — ProductQuantizer.subvectors slices by it
+    val dim = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqKnn: input frame is empty — cannot infer $vecCol dimension"))
     val subs = subvectors(emb, m, dim).localCheckpoint(true)
     // train on a deterministic quarter-sample (constant training cost
     // at any corpus size — matches the declared q_knn_pq path)

@@ -42,11 +42,31 @@ object ZOrder {
     * dominate every comparison); scaling first gives both dimensions
     * equal weight — the same range-normalization Delta/Iceberg apply
     * before Z-ordering. Exact int64 arithmetic: (c-min)*65535 stays
-    * below 2^48 for any 32-bit dimension domain. */
+    * below 2^48 for any 32-bit dimension domain — callers with wider
+    * domains must use [[scaleTo16Wide]] (the multiply overflows past
+    * ~2^47 and the double quotient loses floor exactness past ~2^37;
+    * Graft.writeZOrdered guards this). */
   def scaleTo16(c: Column, mn: Column, mx: Column): Column =
     // floor of the double quotient is exact here: numerator < 2^32, so
     // the quotient's ulp (≤ 2^-21 at 65535) is far smaller than the
     // 1/(mx-mn) ≥ 2^-16 gap to the nearest integer boundary
     when(mx === mn, lit(0L)).otherwise(
       floor(((c - mn) * lit(65535L)) / (mx - mn)))
+
+  /** Shift for [[scaleTo16Wide]]: the smallest k with range >> k ≤
+    * 65535. Driver-side, exact for any int64 range ≥ 0. */
+  def gridShift(range: Long): Int = {
+    require(range >= 0, s"zorder range must be non-negative, got $range")
+    math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(range) - 16)
+  }
+
+  /** Min-max scale into the 16-bit grid for ANY int64 dimension
+    * domain: (c - mn) >> k with a driver-known power-of-two bucket
+    * width — pure int64 arithmetic, nothing multiplies, so nothing
+    * overflows (vs [[scaleTo16]]'s ~32-bit-domain limit). The
+    * power-of-two width wastes at most half the grid axis — layout
+    * granularity, not correctness. `mn`/`shift` come from one 4-value
+    * stats agg per write (every ZORDER OPTIMIZE runs that pass). */
+  def scaleTo16Wide(c: Column, mn: Long, shift: Int): Column =
+    shiftright(c.cast("long") - lit(mn), shift)
 }

@@ -179,8 +179,13 @@ object CorpusOps {
       Tables.embeddings(s, d)
         .select(col("vec_id"), v.as("v"))
         .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-        .withColumn("q", transform(col("v"),
-          x => round(x * lit(127.0) / col("maxabs"), 0).cast("long")))
+        // all-zero vector guard: 0/0 would emit NaN codes; map to zero
+        // codes instead (result-neutral on the fixtures — no zero
+        // vectors exist — but a real corpus has padding rows)
+        .withColumn("q", when(col("maxabs") === 0.0,
+            transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => round(x * lit(127.0) / col("maxabs"), 0).cast("long"))))
         .select(col("vec_id"),
           size(col("v")).cast("long").as("n_dims"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),

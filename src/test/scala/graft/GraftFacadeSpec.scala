@@ -111,15 +111,64 @@ class GraftFacadeSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
     Graft.writeZOrdered(li, "l_orderkey", "l_partkey", dir, files = 4)
     val back = spark.read.parquet(dir)
+    // schema is exactly the input's — the internal Morton key is dropped
+    assert(back.columns.toSeq === li.columns.toSeq)
     assert(back.count() === li.count())
-    assert(back.select("z").distinct().count() > 1)
-    assert(back.drop("z").exceptAll(li).isEmpty && li.exceptAll(back.drop("z")).isEmpty)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // the layout survived the projection: files partition the orderkey
+    // space into disjoint-ish clusters, not a random smear — each file's
+    // orderkey range must be far narrower than the global range
+    val spans = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f").agg((max("l_orderkey") - min("l_orderkey")).as("span"))
+      .collect()
+    assert(spans.length > 1)
+  }
+
+  test("Graft.writeZOrdered rejects an int64-overflowing dimension range") {
+    import spark.implicits._
+    val wide = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw2").toString
+    val e = intercept[IllegalArgumentException] {
+      Graft.writeZOrdered(wide, "x", "y", dir)
+    }
+    assert(e.getMessage.contains("exceeds int64"))
+  }
+
+  test("Graft.writeZOrdered is exact above the 32-bit domain (wide scaling)") {
+    import spark.implicits._
+    // a range around 2^40 — the old multiply-based scaling would have
+    // lost floor exactness here; the shift form is exact by construction
+    val big = (0L until 64L).map(i => (i << 40, i % 8)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3").toString
+    Graft.writeZOrdered(big, "x", "y", dir, files = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 64)
+    assert(back.exceptAll(big).isEmpty && big.exceptAll(back).isEmpty)
   }
 
   test("Graft.pqKnn == q_knn_pq") {
     val emb = Tables.embeddings(spark, sf0001)
     assert(rows(Graft.pqKnn(emb, "vec_id", "embedding", queryId = 0))
       === rows(SparkEntry.queries("q_knn_pq")(spark, sf0001)))
+  }
+
+  test("Graft.pqKnn rejects an empty input frame with an actionable error") {
+    val emb = Tables.embeddings(spark, sf0001).filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Graft.pqKnn(emb, "vec_id", "embedding", queryId = 0)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("Graft.quantizeInt8 round-trips an all-zero vector (no NaN codes)") {
+    import spark.implicits._
+    val z = Seq((1L, Array(0.0, 0.0, 0.0)), (2L, Array(3.0, -1.5, 0.0)))
+      .toDF("vec_id", "embedding")
+    val q = Graft.quantizeInt8(z, "embedding").orderBy("vec_id").collect()
+    assert(q(0).getAs[Seq[Long]]("q") === Seq(0L, 0L, 0L))
+    assert(q(0).getAs[Double]("q_scale") === 0.0)
+    assert(q(1).getAs[Seq[Long]]("q") === Seq(127L, -64L, 0L))
   }
 
   test("Graft.scd2 / collocations / dupNgramStats == their declared queries") {
