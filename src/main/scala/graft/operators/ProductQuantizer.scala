@@ -44,8 +44,8 @@ object ProductQuantizer {
   }
 
   /** Squared L2 distance via three codegen'd dots. */
-  private def dist2(a: org.apache.spark.sql.Column,
-                    b: org.apache.spark.sql.Column) =
+  private[operators] def dist2(a: org.apache.spark.sql.Column,
+                               b: org.apache.spark.sql.Column) =
     VectorExprs.dot(a, a) - lit(2.0) * VectorExprs.dot(a, b) +
       VectorExprs.dot(b, b)
 

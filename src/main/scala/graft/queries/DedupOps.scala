@@ -259,6 +259,31 @@ object DedupOps {
         queryId = 0, n = 10)
     }),
 
+    // ---- IVF+PQ index AT REST (operators.AnnIndex): the artifact form
+    // of q_knn_ivfpq. First call per (session, sf) TRAINS and PERSISTS
+    // the index — (cell, 8-byte codes) parquet partitioned by coarse
+    // cell, plus centroid/codebook model tables; every later call (and
+    // any real deployment, where the build is an offline job) answers
+    // the probe purely from storage: static partition pruning reads
+    // only the nprobe probed cells' files, ADC tables broadcast, no
+    // raw vector is touched. Result is bit-identical to q_knn_ivfpq
+    // (same training samples/seeds/expressions — pinned in
+    // AnnIndexSpec). Test-oracled like the other ANN surfaces.
+    "q_knn_index_query" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val root = Scans.scratch("annindex", s, d)
+      lazy val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+      if (!AnnIndex.exists(s, root))
+        AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16)
+      // the query VECTOR is an input a retrieval API receives, not part
+      // of the index: one pushed-down single-row scan
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v")).first().getSeq[Double](0)
+      AnnIndex.query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
+    }),
+
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
     // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
     // query). Distributed block join via the VectorSimJoin cell
