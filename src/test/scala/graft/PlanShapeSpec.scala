@@ -10,6 +10,19 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  /** The AQE-FINAL plan (exchange reuse only materializes once the plan
+    * has executed), truncated before the "== Initial Plan ==" section so
+    * assertions don't match pre-adaptive operators. */
+  private def executedFinal(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    s.indexOf("== Initial Plan ==") match {
+      case -1 => s
+      case i  => s.substring(0, i)
+    }
+  }
+
   test("q_join_bcast uses BroadcastHashJoin (GlobalKTable analog)") {
     assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
   }
@@ -172,6 +185,30 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_agg_stats")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"moments should need one exchange, got $exchanges")
+  }
+
+  test("q_dedup_simhash reuses the signature exchange across the bands self-join") {
+    // the expensive subtree (tokenize + 64 partial sums + shuffle) must
+    // compute ONCE; the second join side reads it back as ReusedExchange.
+    // Guards the silent-double-compute class the r6 profile-verify
+    // rewrite could have introduced (audited: reuse held; this pins it).
+    val p = executedFinal("q_dedup_simhash")
+    assert("ReusedExchange \\[[^\\]]*sum#".r.findFirstIn(p).isDefined,
+      s"signature exchange not reused:\n${p.take(3000)}")
+    val docScans = "FileScan parquet \\[doc_id".r.findAllIn(p).size
+    assert(docScans == 1,
+      s"documents scanned $docScans times — signature subtree duplicated")
+  }
+
+  test("dedup verify paths reuse the per-doc profile subtree (one build each)") {
+    // jaccardPairs/containmentPairs join the SAME profile frame for the
+    // doc_a and doc_b sides; the b-side must arrive as a ReusedExchange
+    // of the a-side's broadcast, not a second aggregate build
+    for (name <- Seq("q_dedup_near", "q_dedup_minhash", "q_dedup_containment")) {
+      val p = executedFinal(name)
+      assert("ReusedExchange \\[doc_b".r.findFirstIn(p).isDefined,
+        s"$name rebuilt the doc_b profile side:\n${p.take(3000)}")
+    }
   }
 
   test("whole-stage codegen covers the hot path of the flagship") {
