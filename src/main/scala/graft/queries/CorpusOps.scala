@@ -62,7 +62,7 @@ object CorpusOps {
     // t·|A| <= |B| — joined on the NARROW size projection first, so a
     // failing candidate never pulls either side's shingle array (the
     // directed analog of the All-Pairs length filter)
-    val cands = PrefixFilter.containmentCandidates(sh, tauNum.toDouble / tauDen)
+    val cands = PrefixFilter.containmentCandidates(sh, tauNum, tauDen)
       .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
             Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
