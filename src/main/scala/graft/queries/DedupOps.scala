@@ -289,6 +289,9 @@ object DedupOps {
     // query). Distributed block join via the VectorSimJoin cell
     // machinery; ranking totalized on (rounded cosine desc, id asc).
     "q_knn_join" -> ((s, d) => {
+      // foreign-session guard: the TopKByScore partial reduce needs
+      // ObjectHashAggregate headroom (util.Confs Scaladoc)
+      graft.util.Confs.ensureObjectHashHeadroom(s)
       graft.operators.VectorSimJoin
         .knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
         .orderBy(col("vec_id"), col("cos_sim").desc, col("nbr_id"))

@@ -109,6 +109,9 @@ object TextOps {
     // pattern as q_dedup_minhash; at 100 TB the first pass shuffles 256
     // rows per map task instead of the term dictionary.
     "q_text_heavyhitters" -> ((s, d) => {
+      // foreign-session guard: the Misra–Gries partial merge needs
+      // ObjectHashAggregate headroom (util.Confs Scaladoc)
+      graft.util.Confs.ensureObjectHashHeadroom(s)
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)

@@ -108,6 +108,23 @@ class PreflightSpec extends SparkSpec {
     }
   }
 
+  test("q_knn_join / q_text_heavyhitters self-configure on a foreign session") {
+    // a user's own SparkSession won't carry the repo entry points'
+    // objectHashAggregate headroom; the two affected queries must raise
+    // it themselves (monotone — a higher user setting is kept)
+    val key = graft.util.Confs.ObjHashKey
+    val foreign = spark.newSession()
+    foreign.conf.set(key, "128") // Spark's default
+    SparkEntry.queries("q_text_heavyhitters")(foreign, sf0001).count()
+    assert(foreign.conf.get(key).toInt >= 500000,
+      "heavyhitters left the fallback threshold at the degraded default")
+    val generous = spark.newSession()
+    generous.conf.set(key, "900000")
+    SparkEntry.queries("q_knn_join")(generous, sf0001).count()
+    assert(generous.conf.get(key).toInt === 900000,
+      "a user's higher setting must never be lowered")
+  }
+
   test("oracle SQL is single-statement and bare-table-referenced") {
     for ((k, sql) <- SparkEntry.oracleSql) {
       assert(!sql.contains(";"), s"$k: multi-statement oracle")
