@@ -681,19 +681,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("s_state_eviction: watermark bounds stream-stream join state") {
-    // the 100-TB property behind every watermark: join state must be
-    // EVICTED once the watermark passes a row's join window, or state
-    // grows with the stream instead of with the window. Feed batches
-    // whose event times advance far past the 20-min watermark + 10-min
-    // window each step and assert the state-store row count does NOT
-    // grow monotonically with input (eviction keeps it window-bound).
+  /** The 100-TB property behind every watermark: join state must be
+    * EVICTED once the watermark passes a row's join window, or state
+    * grows with the stream instead of with the window. Feed batches
+    * whose event times advance far past the 20-min watermark + 10-min
+    * window each step and assert the state-store row count does NOT
+    * grow monotonically with input (eviction keeps it window-bound).
+    * Parameterized by state-store provider: the property must hold on
+    * the default (HDFS-backed) store AND on RocksDB — the store a real
+    * cluster runs stream-stream joins on (its eviction path — range
+    * scans over the watermark index — is entirely different code). */
+  private def assertJoinStateEvicted(queryName: String,
+                                     provider: Option[String]): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    provider.foreach(spark.conf.set(providerKey, _))
     val mem = MemoryStream[Ev](spark)
     val df = mem.toDF()
     val q = Streams.viewPurchaseJoin(
         df.filter(col("event_type") === "view"),
         df.filter(col("event_type") === "purchase"))
-      .writeStream.format("memory").queryName("t_evict").outputMode("append")
+      .writeStream.format("memory").queryName(queryName).outputMode("append")
       .start()
     val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
     try {
@@ -709,7 +717,13 @@ class StreamingSpec extends SparkSpec {
         for (p <- Option(q.lastProgress); so <- p.stateOperators.headOption)
           stateRows += so.numRowsTotal
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
     assert(stateRows.nonEmpty, "no state-operator metrics captured")
     // 18 input rows total; without eviction state ends >= 15 (all rows
     // minus the final wave's unexpired). With eviction it stays at the
@@ -717,6 +731,15 @@ class StreamingSpec extends SparkSpec {
     // and did not keep growing across the final waves.
     assert(stateRows.last < 10,
       s"join state grew with the stream, not the window: $stateRows")
+  }
+
+  test("s_state_eviction: watermark bounds stream-stream join state") {
+    assertJoinStateEvicted("t_evict", None)
+  }
+
+  test("s_state_eviction holds on RocksDB (the store a cluster runs)") {
+    assertJoinStateEvicted("t_evict_rocks", Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 
   test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
