@@ -331,23 +331,31 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    // pure-ANSI row_number top-1 (no DuckDB struct literals): the same
+    // SQL also drives Spark's SQL entry in SqlEntrySpec — three engines
+    // on one oracle text
     "q_agg_mode" ->
       """WITH c AS (
            SELECT l_returnflag, l_quantity, COUNT(*) AS n
-           FROM lineitem GROUP BY 1, 2)
-         SELECT l_returnflag,
-                -MAX({'n': n, 'nq': -l_quantity}).nq AS mode_qty,
-                MAX({'n': n, 'nq': -l_quantity}).n AS n
-         FROM c GROUP BY 1 ORDER BY l_returnflag""",
+           FROM lineitem GROUP BY 1, 2),
+         ranked AS (
+           SELECT l_returnflag, l_quantity, n, ROW_NUMBER() OVER
+             (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) rn
+           FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, n
+         FROM ranked WHERE rn = 1 ORDER BY l_returnflag""",
     "q_agg_argmax" ->
       """WITH per_user AS (
            SELECT event_type, user_id,
                   SUM(CAST(value AS DECIMAL(28,4))) AS total
-           FROM events GROUP BY 1, 2)
-         SELECT event_type,
-           CAST(MAX({'t': total, 'u': -user_id}).t AS DOUBLE) AS top_value,
-           -MAX({'t': total, 'u': -user_id}).u AS top_user
-         FROM per_user GROUP BY 1 ORDER BY event_type""",
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, total, user_id, ROW_NUMBER() OVER
+             (PARTITION BY event_type ORDER BY total DESC, user_id ASC) rn
+           FROM per_user)
+         SELECT event_type, CAST(total AS DOUBLE) AS top_value,
+                user_id AS top_user
+         FROM ranked WHERE rn = 1 ORDER BY event_type""",
     "q_agg_hash" -> {
       val price = "CAST(l_extendedprice AS DECIMAL(12,2))"
       val discF = "CAST(1.0 - l_discount AS DECIMAL(4,2))"

@@ -17,24 +17,44 @@ import graft.sources.Tables
   */
 class SqlEntrySpec extends SparkSpec {
 
-  /** Oracle SQL that is valid in both dialects (verified by this spec). */
+  /** Oracle SQL that is valid in both dialects (verified by this spec).
+    * Membership is maintained by the SqlEntryScan diagnostic
+    * (Test/runMain graft.SqlEntryScan), which classifies every declared
+    * oracle as OK / MISMATCH / parse-error against spark.sql. */
   private val ansiCommon = Seq(
     "q_agg_hash", "q_agg_distinct", "q_agg_having", "q_agg_rollup",
-    "q_agg_cube",
-    "q_filter_pred", "q_filter_null", "q_case_when",
+    "q_agg_cube", "q_agg_pivot", "q_agg_unpivot", "q_agg_udaf",
+    "q_agg_sort_fallback", "q_agg_stats", "q_agg_cogroup",
+    "q_agg_argmax", "q_agg_mode",
+    "q_filter_pred", "q_filter_null", "q_case_when", "q_cond_funcs",
+    "q_project_arith", "q_math_funcs", "q_str_pad", "q_udf_scalar",
+    "q_scan_prune",
     "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
     "q_join_semi", "q_join_anti", "q_join_cross", "q_join_theta",
     "q_join_multiway", "q_join_fk_agg", "q_join_bcast",
+    "q_join_bloom", "q_join_range", "q_join_salted", "q_join_nullsafe",
+    "q_join_lateral",
     "q_sort_multi", "q_topk", "q_limit_offset",
     "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_intersect_all", "q_except_all",
     "q_win_rank", "q_win_topk_group", "q_win_dist",
     "q_sample_stratified", "q_split_train", "q_sql_entry",
-    "q_sample_reservoir", "q_merge_upsert", "q_sink_delete")
+    "q_sample_reservoir", "q_merge_upsert", "q_table_diff", "q_dedup",
+    "q_text_lang",
+    "q_sink_delete", "q_sink_roundtrip", "q_sink_partitioned",
+    "q_sink_json", "q_sink_csv", "q_sink_orc", "q_sink_bucketed",
+    "q_sink_compact", "q_sink_zorder", "q_source_badrecords")
   // Excluded, with the DuckDB-only construct that blocks Spark's parser /
-  // resolver: q_agg_grouping_sets (2-arg GROUPING), q_win_analytic +
-  // every epoch_us oracle, the string_split/list-lambda family
-  // (q_tok_hist, text/dedup oracles), sha256 (Spark: sha2), `//` integer
-  // division (q_mix_sources), WITH RECURSIVE (q_dedup_cluster).
+  // resolver: q_agg_grouping_sets (2-arg GROUPING), q_agg_percentile
+  // (quantile_cont), q_agg_collect (string_agg ORDER BY — DuckDB 1.0 has
+  // no WITHIN GROUP), q_win_analytic + every epoch_us/epoch_ms oracle
+  // (events/windows/scans/scd2/asof/interval/tumbling/sliding/session),
+  // the string_split/list-lambda family (q_tok_hist, text/dedup/quality/
+  // pack/multimodal oracles), sha256 (Spark: sha2), xor / week /
+  // json_extract_string / array_to_string / list_max / range / encode
+  // scalar-name gaps, `//` integer division (q_mix_sources),
+  // WITH RECURSIVE (q_dedup_cluster), and the vector keys' CAST of
+  // float[] (q_knn_*, q_sim_join, q_dedup_embed, q_embed_*).
 
   private def registerViews(): Unit =
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
