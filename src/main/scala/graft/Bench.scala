@@ -25,7 +25,16 @@ object Bench {
     // ambient VM load was measured swinging full-bench totals ±30%, and the
     // min is the statistic that converges on the true operator cost).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional key filter (comma-separated) for targeted tiers — e.g. the
+    // heavy tail at a 10x replica tier, written to its OWN artifact so
+    // the canonical full-suite BENCH.json is never clobbered by a subset
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = keyFilter match {
+      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None     => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -53,7 +62,8 @@ object Bench {
     // checkout; a failed write must say so, not masquerade as fresh.
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
                                      System.getProperty("user.dir"))
-    for (path <- Seq(s"$repoRoot/BENCH.json",
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    for (path <- Seq(s"$repoRoot/$artifact",
                      s"${System.getProperty("java.io.tmpdir")}/graft_bench_last.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line)
       catch { case e: Throwable =>
