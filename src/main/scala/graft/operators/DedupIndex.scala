@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH dedup index AT REST — the artifact-centric half of the
+  * near-dup stack, mirroring [[AnnIndex]] for retrieval.
+  *
+  * q_dedup_minhash demonstrates the banded-LSH *math* end-to-end, but
+  * re-signatures the whole corpus inside every execution. No 100-TB
+  * dedup pipeline works that way: the corpus is signatured ONCE, the
+  * artifact lives on shared storage, and each incoming batch (a crawl
+  * snapshot, a day of documents) is deduped AGAINST the stored index —
+  * then appended to it. Artifacts:
+  *
+  *   root/bands/    — (band_idx, band_hash, doc_id)   corpus band buckets
+  *   root/profiles/ — (doc_id, ss, n_sh)              sorted shingle sets
+  *
+  * Scale shape of the query path (the whole point of the artifact):
+  *  - the BATCH side is signatured in flight (batch ≪ corpus) and its
+  *    band rows are BROADCAST, so candidate generation is one streaming
+  *    scan of the stored band table through a BroadcastHashJoin — the
+  *    corpus is never shuffled, and the band files are written sorted on
+  *    (band_idx, band_hash) so parquet min/max row-group stats prune
+  *    buckets that no batch band touches;
+  *  - exact-Jaccard verification joins the (batch-bounded) candidate set
+  *    against the stored PROFILES table the same way — candidates
+  *    broadcast, profile scan streams, zero corpus shuffle. Precision is
+  *    exact (array_intersect on the stored sorted sets); the only
+  *    approximation is banding recall at the threshold, identical to
+  *    q_dedup_minhash (b=8, r=2: P(candidate | J=0.8) ≈ 0.9997).
+  *
+  * The batch-vs-corpus contract means a pipeline alternates
+  * queryBatch → append: accepted batches join the index incrementally
+  * (parquet append of their band + profile rows), so the corpus is
+  * signatured exactly once across its lifetime.
+  */
+object DedupIndex {
+
+  private def bandsDir(root: String)    = s"$root/bands"
+  private def profilesDir(root: String) = s"$root/profiles"
+
+  /** True iff a complete index exists under `root` (profiles are written
+    * last, so their _SUCCESS marker implies the whole artifact). */
+  def exists(s: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${profilesDir(root)}/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Per-doc profile rows (doc_id, ss: sorted shingle array, n_sh) from
+    * (doc_id, shingle) rows — the exact-verify artifact. */
+  private def profiles(shingleRows: DataFrame): DataFrame =
+    shingleRows.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("ss"),
+           count(lit(1)).as("n_sh"))
+
+  /** Signature the corpus once and persist the index. `shingleRows` =
+    * (doc_id, shingle:int64) rows (graft.Graft.shingleRows). */
+  def build(shingleRows: DataFrame, root: String, k: Int = 16, b: Int = 8,
+            r: Int = 2): Unit =
+    writeRows(shingleRows, root, k, b, r, overwrite = true)
+
+  /** Incrementally index an accepted batch: append its band + profile
+    * rows. The corpus is never re-signatured — this is the step that
+    * makes 100-TB dedup O(batch) per day instead of O(corpus). */
+  def append(shingleRows: DataFrame, root: String, k: Int = 16, b: Int = 8,
+             r: Int = 2): Unit =
+    writeRows(shingleRows, root, k, b, r, overwrite = false)
+
+  private def writeRows(shingleRows: DataFrame, root: String, k: Int,
+                        b: Int, r: Int, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val bd = MinHashLSH.bands(MinHashLSH.signatures(shingleRows, k), b, r)
+    // sorted on the probe key: bucket lookups skip row groups via
+    // parquet min/max stats instead of scanning every band file
+    bd.repartition(col("band_idx"))
+      .sortWithinPartitions("band_idx", "band_hash")
+      .write.mode(mode).parquet(bandsDir(root))
+    profiles(shingleRows).write.mode(mode).parquet(profilesDir(root))
+  }
+
+  /** Near-duplicate pairs (batch_doc, corpus_doc, jaccard) between an
+    * incoming batch and the STORED corpus index: banded candidates from
+    * the band artifact, exact Jaccard >= `threshold` from the profile
+    * artifact. The corpus documents themselves are never read — only
+    * their (8-byte band rows, shingle profiles) at rest. */
+  def queryBatch(s: SparkSession, root: String, batchShingles: DataFrame,
+                 k: Int = 16, b: Int = 8, r: Int = 2,
+                 threshold: Double = 0.8): DataFrame = {
+    val batchBands =
+      MinHashLSH.bands(MinHashLSH.signatures(batchShingles, k), b, r)
+        .withColumnRenamed("doc_id", "batch_doc")
+    // candidate generation: batch bands broadcast, stored bands stream
+    val cands = s.read.parquet(bandsDir(root))
+      .join(broadcast(batchBands), Seq("band_idx", "band_hash"))
+      .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
+      .distinct()
+    // exact verify: candidates (batch-bounded) broadcast against the
+    // stored profiles; batch profiles computed in flight
+    val verified = cands
+      .join(profiles(batchShingles)
+              .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
+                      col("n_sh").as("n_a")), Seq("batch_doc"))
+    s.read.parquet(profilesDir(root))
+      .select(col("doc_id").as("corpus_doc"), col("ss").as("sb"),
+              col("n_sh").as("n_b"))
+      .join(broadcast(verified), Seq("corpus_doc"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_raw",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"),
+              round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+}

@@ -284,6 +284,33 @@ object DedupOps {
       AnnIndex.query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
     }),
 
+    // ---- MinHash/LSH dedup index AT REST (operators.DedupIndex): the
+    // artifact form of q_dedup_minhash, and the INCREMENTAL dedup shape —
+    // the corpus (doc_id % 5 != 0, standing in for the already-indexed
+    // 100-TB store) is signatured once into a stored band + profile
+    // index; the incoming batch (doc_id % 5 == 0, a day's documents) is
+    // signatured in flight and deduped against the index with ZERO
+    // corpus shuffle (batch bands broadcast; stored bands/profiles
+    // stream). First call per (session, sf) builds the artifact, every
+    // later call — and any real deployment, where the build is the
+    // initial backfill — answers purely from storage. SQL-oracled like
+    // q_dedup_minhash: exact-Jaccard verify makes precision exact, and
+    // banding recall at the fixture's J distribution is 1 (equality vs
+    // the exhaustive pair set asserted in DedupIndexSpec at two tiers).
+    "q_dedup_index_query" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val root = Scans.scratch("dedupindex", s, d)
+      val docs = Tables.documents(s, d)
+      if (!DedupIndex.exists(s, root))
+        DedupIndex.build(
+          LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+          root)
+      DedupIndex.queryBatch(s, root,
+          LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          threshold = 0.8)
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
     // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
     // query). Distributed block join via the VectorSimJoin cell
@@ -349,6 +376,33 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> exactJaccardOracleSql,
+    // the incremental form: exhaustive batch×corpus exact Jaccard — the
+    // same shingle/Jaccard definition as exactJaccardOracleSql with the
+    // pair universe restricted to the batch/corpus split
+    "q_dedup_index_query" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                  COUNT(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           GROUP BY 1, 2)
+         SELECT batch_doc, corpus_doc,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON batch_doc = sa.doc_id
+         JOIN sizes sb ON corpus_doc = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+         ORDER BY batch_doc, corpus_doc""",
     "q_knn_join" ->
       """WITH pairs AS (
            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
