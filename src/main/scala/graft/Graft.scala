@@ -177,14 +177,14 @@ object Graft {
     * corpora); for sub-quadratic APPROXIMATE search use the LSH/IVF
     * probes (q_knn_lsh / q_knn_ivf). */
   def similarityJoin(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, cells: Int = 16): DataFrame =
+                     threshold: Double, cells: Int = -1): DataFrame =
     operators.VectorSimJoin.pairs(df, idCol, vecCol, threshold, cells)
 
   /** Exact corpus-wide kNN join: top `k` cosine neighbors of every
     * vector (self excluded) — see operators.VectorSimJoin.knnJoin for
     * the distributed block-join shape and its Ω(N²) honesty note. */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
-              k: Int = 10, cells: Int = 16): DataFrame =
+              k: Int = 10, cells: Int = -1): DataFrame =
     operators.VectorSimJoin.knnJoin(df, idCol, vecCol, k, cells)
 
   // ---- text analysis ----

@@ -31,19 +31,24 @@ import org.apache.spark.sql.functions._
   *    q_dedup_minhash (b=8, r=2: P(candidate | J=0.8) ≈ 0.9997).
   *
   * The batch-vs-corpus contract means a pipeline alternates
-  * queryBatch → append: accepted batches join the index incrementally
-  * (parquet append of their band + profile rows), so the corpus is
-  * signatured exactly once across its lifetime.
+  * queryBatch → append: accepted batches join the index incrementally,
+  * so the corpus is signatured exactly once across its lifetime. Both
+  * artifacts are hive-partitioned by INGEST id (`bands/ingest=N/`):
+  * each append overwrites only its own ingest partition, which makes
+  * re-delivery of a batch (a streaming replay after failure) exactly
+  * idempotent — the property [[graft.streaming.Streams.dedupIndexIngest]]
+  * builds on — and gives per-batch lineage/retention at rest for free.
   */
 object DedupIndex {
 
   private def bandsDir(root: String)    = s"$root/bands"
   private def profilesDir(root: String) = s"$root/profiles"
 
-  /** True iff a complete index exists under `root` (profiles are written
-    * last, so their _SUCCESS marker implies the whole artifact). */
+  /** True iff an index exists under `root` (the backfill's profiles are
+    * written last, so their _SUCCESS marker implies the whole artifact). */
   def exists(s: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${profilesDir(root)}/_SUCCESS")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${profilesDir(root)}/ingest=0/_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -54,29 +59,40 @@ object DedupIndex {
       .agg(sort_array(collect_list(col("shingle"))).as("ss"),
            count(lit(1)).as("n_sh"))
 
-  /** Signature the corpus once and persist the index. `shingleRows` =
-    * (doc_id, shingle:int64) rows (graft.Graft.shingleRows). */
+  /** Signature the initial corpus (the backfill) and persist the index
+    * as ingest partition 0, wiping any previous artifact under `root`.
+    * `shingleRows` = (doc_id, shingle:int64) rows (Graft.shingleRows). */
   def build(shingleRows: DataFrame, root: String, k: Int = 16, b: Int = 8,
-            r: Int = 2): Unit =
-    writeRows(shingleRows, root, k, b, r, overwrite = true)
+            r: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(
+      shingleRows.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeRows(shingleRows, root, 0L, k, b, r)
+  }
 
-  /** Incrementally index an accepted batch: append its band + profile
-    * rows. The corpus is never re-signatured — this is the step that
-    * makes 100-TB dedup O(batch) per day instead of O(corpus). */
-  def append(shingleRows: DataFrame, root: String, k: Int = 16, b: Int = 8,
-             r: Int = 2): Unit =
-    writeRows(shingleRows, root, k, b, r, overwrite = false)
+  /** Incrementally index an accepted batch as ingest partition
+    * `ingestId` (> 0, unique per batch — a streaming batchId). The
+    * corpus is never re-signatured — this is the step that makes 100-TB
+    * dedup O(batch) per day instead of O(corpus) — and re-delivering
+    * the same batch overwrites its own partition, so replays are
+    * exactly idempotent. */
+  def append(shingleRows: DataFrame, root: String, ingestId: Long,
+             k: Int = 16, b: Int = 8, r: Int = 2): Unit = {
+    require(ingestId > 0, s"ingestId must be > 0 (0 is the backfill): $ingestId")
+    writeRows(shingleRows, root, ingestId, k, b, r)
+  }
 
-  private def writeRows(shingleRows: DataFrame, root: String, k: Int,
-                        b: Int, r: Int, overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
+  private def writeRows(shingleRows: DataFrame, root: String,
+                        ingestId: Long, k: Int, b: Int, r: Int): Unit = {
     val bd = MinHashLSH.bands(MinHashLSH.signatures(shingleRows, k), b, r)
     // sorted on the probe key: bucket lookups skip row groups via
     // parquet min/max stats instead of scanning every band file
     bd.repartition(col("band_idx"))
       .sortWithinPartitions("band_idx", "band_hash")
-      .write.mode(mode).parquet(bandsDir(root))
-    profiles(shingleRows).write.mode(mode).parquet(profilesDir(root))
+      .write.mode("overwrite").parquet(s"${bandsDir(root)}/ingest=$ingestId")
+    profiles(shingleRows).write.mode("overwrite")
+      .parquet(s"${profilesDir(root)}/ingest=$ingestId")
   }
 
   /** Near-duplicate pairs (batch_doc, corpus_doc, jaccard) between an

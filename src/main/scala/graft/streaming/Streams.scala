@@ -474,6 +474,63 @@ object Streams {
   private def versionDir(tableDir: String, v: Long): String =
     f"$tableDir/v=$v%06d"
 
+  /** Continuous-ingest near-duplicate detection — the streaming face of
+    * [[graft.operators.DedupIndex]], and the shape a 100-TB corpus
+    * actually dedups in: an index at rest (backfilled once, possibly
+    * empty), a stream of document batches, and per micro-batch
+    *   (1) WITHIN-batch near-dup pairs via banded-LSH candidates +
+    *       exact-Jaccard verify (the q_dedup_minhash machinery),
+    *   (2) CROSS pairs of the batch against the STORED index — zero
+    *       corpus shuffle (DedupIndex.queryBatch's broadcast-batch plan),
+    *   (3) the union committed as an immutable batchId-named version
+    *       (the upsertBatch exactly-once pattern), and
+    *   (4) the batch appended to the index as its OWN ingest partition.
+    * Every step is idempotent under replay: (3) overwrites the batch's
+    * version, (4) overwrites the batch's ingest partition, and (2)
+    * anti-joins away matches against the batch's own (re-delivered)
+    * rows. The union of committed versions over any batch partitioning
+    * of a corpus equals the corpus-wide exact near-dup pair set — each
+    * pair is emitted exactly once, by whichever batch completes it
+    * (asserted against q_dedup_minhash in StreamingSpec). */
+  def dedupIndexIngest(batch: DataFrame, root: String, pairsDir: String,
+                       batchId: Long): Unit = {
+    import graft.operators.{DedupIndex, MinHashLSH}
+    val s = batch.sparkSession
+    require(DedupIndex.exists(s, root),
+      s"no dedup index under $root — build the backfill first (may be empty)")
+    val sh = graft.Graft.shingleRows(batch, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    val within = graft.queries.DedupOps
+      .jaccardPairs(sh, Some(MinHashLSH.candidatePairs(sh)))
+      .filter(col("jaccard_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cross = DedupIndex.queryBatch(s, root, sh)
+      // replay guard: a re-delivered batch is already IN the index; its
+      // own rows must not match themselves (batch ids are batch-bounded
+      // — the broadcast is the same size class as queryBatch's own)
+      .join(broadcast(batch.select(col("doc_id").as("corpus_doc"))),
+            Seq("corpus_doc"), "left_anti")
+      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+              greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"),
+              col("jaccard"))
+    within.unionByName(cross)
+      .write.mode("overwrite").parquet(versionDir(pairsDir, batchId))
+    // ingest ids start at 1: 0 is the backfill's partition
+    DedupIndex.append(sh, root, ingestId = batchId + 1)
+  }
+
+  /** Union of all near-dup pairs committed by [[dedupIndexIngest]] —
+    * readers see whole batches only (version dirs marked _SUCCESS). */
+  def committedPairs(spark: org.apache.spark.sql.SparkSession,
+                     pairsDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+                   new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName).map(_.getAbsolutePath)
+    require(dirs.nonEmpty, s"no committed pair versions under $pairsDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Highest COMMITTED version of the upserted table, if any exists. */
   def latestTable(spark: org.apache.spark.sql.SparkSession,
                   tableDir: String): Option[DataFrame] = {

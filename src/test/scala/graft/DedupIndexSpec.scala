@@ -77,7 +77,7 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(
       shingles(sf001, corpusPred && col("doc_id") < 250), incr)
     DedupIndex.append(
-      shingles(sf001, corpusPred && col("doc_id") >= 250), incr)
+      shingles(sf001, corpusPred && col("doc_id") >= 250), incr, ingestId = 1)
     val batch = shingles(sf001, pmod(col("doc_id"), lit(5)) === 0)
       .localCheckpoint(true)
     def ask(root: String) =

@@ -117,7 +117,13 @@ class VectorSimJoinSpec extends SparkSpec {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val out = VectorSimJoin.pairs(df, "vec_id", "embedding", threshold = 0.95)
+      // k pinned at 16: the adaptive √N default (64 cells here) spreads
+      // the hot cluster over many near-identical centroids and genuinely
+      // removes the skew this test exists to provoke — a SMALL fixed cell
+      // count is exactly the regime where one cell goes hot and AQE must
+      // carry the split
+      val out = VectorSimJoin.pairs(df, "vec_id", "embedding",
+        threshold = 0.95, k = 16)
       // execute THIS DataFrame's plan (count() would plan its own query
       // and the skew decision would land there, not here), then read the
       // finalized adaptive plan

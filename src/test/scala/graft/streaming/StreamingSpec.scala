@@ -742,6 +742,50 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 
+  test("s_dedup_index: continuous ingest emits exactly the corpus near-dup pairs, replay-idempotent") {
+    // the streaming face of the dedup index at rest: an (empty) backfill
+    // index, documents arriving in interleaved micro-batches, each batch
+    // deduped WITHIN itself and AGAINST the stored index, pairs committed
+    // as immutable versions, the batch appended as its own ingest
+    // partition. Invariant: over ANY batch partitioning of the corpus the
+    // committed pairs equal the corpus-wide exact near-dup pair set —
+    // each pair emitted exactly once, by whichever batch completes it.
+    import graft.operators.DedupIndex
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = s"$tmp/graft_sdedupindex_root"
+    val pairsDir = s"$tmp/graft_sdedupindex_pairs"
+    for (p <- Seq(root, pairsDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // empty backfill: this stream IS the corpus from scratch
+    DedupIndex.build(graft.Graft.shingleRows(
+      Tables.documents(spark, sf0001).filter(lit(false)),
+      "doc_id", "text", n = 3), root)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // interleaved thirds: near-dup pairs form both within and across batches
+    val groups = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.dedupIndexIngest(b, root, pairsDir, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    val want = sortedRows(
+      graft.SparkEntry.queries("q_dedup_minhash")(spark, sf0001))
+    def committed() = sortedRows(Streams.committedPairs(spark, pairsDir)
+      .select("doc_a", "doc_b", "jaccard"))
+    assert(committed() === want,
+      "streamed ingest pair set diverges from the batch corpus-wide dedup")
+    // replay the LAST batch with its original batchId: the re-delivered
+    // rows are already in the index — pair set and index must not change
+    Streams.dedupIndexIngest(groups.last.toDF("doc_id", "text"), root,
+      pairsDir, (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the pair set — ingest not idempotent")
+  }
+
   test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
     // the foreachBatch exactly-once pattern: each micro-batch merges into
     // a keyed table committed as an immutable batchId-named version —
