@@ -56,5 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FreqSketch(children.head, m)
       }))
+    // DuckDB-dialect compat pack (functions.DuckDbCompat): name shims
+    // over Spark's own expressions with identical semantics, so the
+    // SAME oracle SQL text runs on DuckDB, spark.sql, and the DataFrame
+    // path — and DuckDB migrations parse unchanged. None of these names
+    // exists as a Spark builtin (no shadowing).
+    for ((name, builder) <- graft.functions.DuckDbCompat.functions)
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(graft.functions.DuckDbCompat.getClass.getCanonicalName,
+                           name),
+        builder))
   }
 }

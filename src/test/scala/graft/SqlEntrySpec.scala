@@ -43,18 +43,30 @@ class SqlEntrySpec extends SparkSpec {
     "q_text_lang",
     "q_sink_delete", "q_sink_roundtrip", "q_sink_partitioned",
     "q_sink_json", "q_sink_csv", "q_sink_orc", "q_sink_bucketed",
-    "q_sink_compact", "q_sink_zorder", "q_source_badrecords")
+    "q_sink_compact", "q_sink_zorder", "q_source_badrecords",
+    // unlocked by the DuckDB-compat function pack (GraftExtensions /
+    // functions.DuckDbCompat): the identical oracle text now resolves
+    // on spark.sql through name shims with exact-equal semantics
+    // (epoch_us/epoch_ms/sha256/xor/json_extract_string/quantile_cont)
+    "q_scan_full", "q_scan_filter_pushdown", "q_join_interval",
+    "q_session", "q_scd2",
+    "q_win_analytic", "q_win_frame_rows", "q_win_frame_time",
+    "q_events_session", "q_events_transitions", "q_events_funnel",
+    "q_agg_percentile", "q_bit_funcs", "q_dedup_exact", "q_json_funcs")
   // Excluded, with the DuckDB-only construct that blocks Spark's parser /
-  // resolver: q_agg_grouping_sets (2-arg GROUPING), q_agg_percentile
-  // (quantile_cont), q_agg_collect (string_agg ORDER BY — DuckDB 1.0 has
-  // no WITHIN GROUP), q_win_analytic + every epoch_us/epoch_ms oracle
-  // (events/windows/scans/scd2/asof/interval/tumbling/sliding/session),
-  // the string_split/list-lambda family (q_tok_hist, text/dedup/quality/
-  // pack/multimodal oracles), sha256 (Spark: sha2), xor / week /
-  // json_extract_string / array_to_string / list_max / range / encode
-  // scalar-name gaps, `//` integer division (q_mix_sources),
-  // WITH RECURSIVE (q_dedup_cluster), and the vector keys' CAST of
-  // float[] (q_knn_*, q_sim_join, q_dedup_embed, q_embed_*).
+  // resolver (classification maintained by the SqlEntryScan diagnostic):
+  // q_agg_grouping_sets (2-arg GROUPING), q_agg_collect (string_agg
+  // ORDER BY — DuckDB 1.0 has no WITHIN GROUP), the string_split/
+  // list-lambda/UNNEST-table family (q_tok_hist, text/dedup/quality/
+  // pack/multimodal oracles — UNNEST(...) AS t(x) is not Spark table
+  // syntax, so function shims cannot help), list_max/list_reduce/range
+  // list builtins, 1-arg encode, `//` integer division (q_mix_sources),
+  // WITH RECURSIVE (q_dedup_cluster), DOUBLE[]-style array casts of the
+  // vector keys (q_knn_*, q_sim_join, q_dedup_embed, q_embed_*),
+  // interval/time_bucket syntax (q_tumbling, q_sliding, asof, date
+  // funcs), and q_date_extract — a true dialect TRAP, not a gap:
+  // dayofweek exists in BOTH engines with different numbering (DuckDB
+  // 0=Sunday, Spark 1=Sunday), and shimming would shadow a builtin.
 
   private def registerViews(): Unit =
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
