@@ -89,10 +89,68 @@ object MaintenanceOps {
              round(sum(col("price")).cast("double"), 2).as("total"),
              min("key").as("min_key"), max("key").as("max_key"))
         .orderBy("row_kind")
+    }),
+
+    // ---- incremental aggregate maintenance (materialized-rollup delta
+    // application): the nightly-ETL pattern a 100-TB fact table lives
+    // by — a STORED rollup of all history (mergeable partials: counts +
+    // decimal sums, never averages) absorbs one period's delta by
+    // re-aggregating (stored ∪ delta-partials), so the daily job reads
+    // ONE day of facts plus a rollup whose size is the GROUP count, not
+    // the corpus. History before the cutoff is aggregated once per
+    // (session, sf) into a scratch artifact (the index-at-rest
+    // discipline); the delta scan carries a pushed-down shipdate
+    // predicate (row-group skip — at rest this is the partition prune
+    // of a date-partitioned fact table). Output ≡ a full recompute —
+    // which is exactly what the DuckDB oracle runs; equality IS the
+    // correctness statement of incremental view maintenance.
+    "q_agg_incremental" -> ((s, d) => {
+      val root = Scans.scratch("aggbase", s, d)
+      val li = Tables.lineitem(s, d)
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      // mergeable partials in EXACT decimal: double partials would make
+      // (base + delta) ordering visible in the 15th digit; decimal sums
+      // merge associatively and cast to double only at the very end
+      def partials(df: org.apache.spark.sql.DataFrame) = {
+        val price = col("l_extendedprice").cast(DecimalType(12, 2))
+        val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+        df.groupBy(col("l_returnflag"), col("l_linestatus"),
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+              .cast("long").as("ship_ym"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("l_quantity").cast(DecimalType(28, 4))).as("p_qty"),
+               sum(price * discF).as("p_rev"))
+      }
+      val marker = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
+      if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(marker))
+        partials(li.filter(col("l_shipdate") < cutoff))
+          .write.mode("overwrite").parquet(root)
+      val delta = partials(li.filter(col("l_shipdate") >= cutoff))
+      s.read.parquet(root).unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus", "ship_ym")
+        .agg(sum(col("n_rows")).as("n_rows"),
+             sum(col("p_qty")).cast("double").as("sum_qty"),
+             sum(col("p_rev")).cast("double").as("sum_disc_price"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_ym")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the incremental result must equal a FULL recompute — the oracle IS
+    // that recompute, over the whole fact table in one pass
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS ship_ym,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS sum_disc_price
+         FROM lineitem
+         GROUP BY 1, 2, 3
+         ORDER BY l_returnflag, l_linestatus, ship_ym""",
     "q_sink_delete" ->
       """SELECT
            (SELECT COUNT(*) FROM documents) AS n_before,

@@ -72,4 +72,46 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(reported.compareTo(expected) == 0,
       s"merged totals drifted: $reported vs $expected")
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  /** Full single-pass recompute of the q_agg_incremental rollup — the
+    * law incremental view maintenance must satisfy. */
+  private def fullRecompute(sfDir: String) = {
+    import org.apache.spark.sql.types.DecimalType
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ship_ym"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(DecimalType(28, 4)))
+             .cast("double").as("sum_qty"),
+           sum(price * discF).cast("double").as("sum_disc_price"))
+      .orderBy("l_returnflag", "l_linestatus", "ship_ym")
+  }
+
+  test("q_agg_incremental == full recompute at two tiers (IVM law)") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val inc = rows(SparkEntry.queries("q_agg_incremental")(spark, sf))
+      assert(inc === rows(fullRecompute(sf)), s"IVM law broken at $sf")
+      assert(inc.nonEmpty)
+    }
+  }
+
+  test("q_agg_incremental answers from the stored rollup on repeat calls") {
+    // first call (previous test) built the artifact; this run must merge
+    // stored partials + delta — assert the plan reads the rollup parquet
+    // and the DELTA lineitem scan carries the pushed shipdate bound
+    val df = SparkEntry.queries("q_agg_incremental")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_aggbase_"),
+      s"stored rollup not read:\n${plan.take(1200)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"delta scan lost its pushed cutoff predicate:\n$plan")
+    // and repeat answers are identical (artifact is stable)
+    assert(rows(df) === rows(SparkEntry.queries("q_agg_incremental")(spark, sf0001)))
+  }
 }
