@@ -470,4 +470,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup-index ingest: exactly-once pairs over ANY batch partitioning") {
+    // the s_dedup_index invariant on GENERATED corpora, not just the
+    // fixture: however the corpus is split into sequential ingest
+    // batches, the union of committed pair versions equals the
+    // corpus-wide exhaustive exact-Jaccard pair set — each pair emitted
+    // exactly once, by whichever batch completes it
+    import graft.operators.DedupIndex
+    import graft.streaming.Streams
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val genCorpus: Gen[List[List[Int]]] = for {
+      n <- Gen.choose(6, 10)
+      lens <- Gen.listOfN(n, Gen.choose(6, 12))
+      base <- Gen.sequence[List[List[Int]], List[Int]](
+        lens.map(l => Gen.listOfN(l, Gen.choose(0, vocab.size - 1))))
+    } yield base
+    forAll(genCorpus) { base =>
+      val docs =
+        base.zipWithIndex.map { case (ws, i) =>
+          (i.toLong, ws.map(vocab).mkString(" "))
+        } ++ base.zipWithIndex.collect {
+          // near-dup clones (append one word: J ≈ 0.9) and exact clones
+          case (ws, i) if i % 3 == 0 =>
+            ((100 + i).toLong, (ws :+ ws.head).map(vocab).mkString(" "))
+          case (ws, i) if i % 4 == 1 =>
+            ((200 + i).toLong, ws.map(vocab).mkString(" "))
+        }
+      val docsDf = docs.toDF("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_prop_didx").toString
+      val pairsDir = java.nio.file.Files
+        .createTempDirectory("graft_prop_pairs").toString
+      DedupIndex.build(graft.Graft.shingleRows(
+        docsDf.filter(lit(false)), "doc_id", "text", n = 3), root)
+      // deterministic scatter of docs over 3 sequential batches
+      for (b <- 0 until 3)
+        Streams.dedupIndexIngest(
+          docsDf.filter(pmod(col("doc_id") * 7919L, lit(3L)) === b.toLong),
+          root, pairsDir, b.toLong)
+      val got = Streams.committedPairs(spark, pairsDir)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect().map(_.toString).sorted.toSeq
+      val sh = graft.Graft.shingleRows(docsDf, "doc_id", "text", n = 3)
+      val want = graft.queries.DedupOps.jaccardPairs(sh, None)
+        .filter(col("jaccard_raw") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, "ingest pair set diverges from exhaustive truth")
+      assert(want.nonEmpty, "generator must produce near-dup pairs")
+    }
+  }
 }
