@@ -16,7 +16,7 @@ import graft.functions.VectorExprs
   *
   *   root/centroids/ — (cent_id, cv, cnrm)            k rows
   *   root/codebooks/ — (sub, code_id, cv)             m×kCodes rows
-  *   root/codes/     — (vec_id, codes)  PARTITIONED BY cell
+  *   root/codes/     — (vec_id, codes)  PARTITIONED BY (cell, batch)
   *
   * The codes table is the corpus at rest: ~m bytes per vector (16 int
   * codes here ≈ 8 information bytes at kCodes=16) instead of dim×8 raw —
@@ -53,8 +53,39 @@ object AnnIndex {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Max-cosine cell assignment against `cents` (a k-row model frame):
+    * (vec_id, cell, rv = v − centroid). Shared verbatim by build() and
+    * append() so an appended vector lands exactly where a rebuilt index
+    * would put it. */
+  private def assign(emb0: DataFrame, cents: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("v"),
+      VectorExprs.norm(col("v")).as("nrm"))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+  }
+
+  /** Pack each vector's m subspace codes into one array row ordered by
+    * subspace — the ~8-byte-per-vector corpus artifact. */
+  private def packCodes(subs: DataFrame, assigned: DataFrame,
+                        cb: DataFrame): DataFrame =
+    ProductQuantizer.encode(subs, cb)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code_id")))),
+        e => e("code_id")).as("codes"))
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+
   /** Train and persist the index. `emb` = (vec_id, v: array<double>)
-    * with v already L2-normalized (squared-L2 order ≡ cosine order). */
+    * with v already L2-normalized (squared-L2 order ≡ cosine order).
+    * The codes table is written as ingest batch 0 — append() adds
+    * later batches under their own partitions. */
   def build(emb0: DataFrame, root: String, k: Int = 8, m: Int = 16,
             dim: Int = 64, kCodes: Int = 16): Unit = {
     val emb = emb0.select(col("vec_id"), col("v"),
@@ -65,16 +96,7 @@ object AnnIndex {
       emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
       k, iters = 2)
     // assign EVERY vector to its max-cosine cell; residual = v − centroid
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
-      .localCheckpoint(true)
+    val assigned = assign(emb, cents).localCheckpoint(true)
     val subs = ProductQuantizer.subvectors(
         assigned.select(col("vec_id"), col("rv").as("v")), m, dim)
       .localCheckpoint(true)
@@ -83,16 +105,42 @@ object AnnIndex {
       kCodes, iters = 2)
     cents.write.mode("overwrite").parquet(centroidsDir(root))
     cb.write.mode("overwrite").parquet(codebooksDir(root))
-    // pack each vector's m codes into one array row ordered by subspace —
-    // the ~8-byte-per-vector corpus artifact — and hive-partition on the
-    // coarse cell so probes prune at the FILE LISTING level
-    ProductQuantizer.encode(subs, cb)
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code_id")))),
-        e => e("code_id")).as("codes"))
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(codesDir(root))
+    // hive-partition on (coarse cell, ingest batch): probes prune on
+    // cell at the FILE LISTING level; appends overwrite only their own
+    // batch partitions (exactly-once under replay)
+    packCodes(subs, assigned, cb)
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(codesDir(root))
+  }
+
+  /** Encode and store a NEW batch of vectors against the STORED models —
+    * the incremental-maintenance half of the index-at-rest story. No
+    * retraining: centroids and codebooks are read back (model-sized),
+    * the batch is assigned/encoded with the exact expressions build()
+    * uses, and written under `batch=batchId` partitions with DYNAMIC
+    * partition overwrite — replaying a batch id overwrites only itself,
+    * so ingest is exactly-once however often a batch is re-delivered.
+    * Per-row cost is O(batch), never O(corpus); the stored corpus is
+    * untouched. Batching-invariant by construction: encode is per-row
+    * arithmetic against fixed models. */
+  def append(emb0: DataFrame, root: String, batchId: Long,
+             m: Int = 16, dim: Int = 64): Unit = {
+    val s = emb0.sparkSession
+    require(exists(s, root),
+      s"no ANN index under $root — build the backfill first")
+    require(batchId > 0L, "batch 0 is the backfill partition")
+    val cents = s.read.parquet(centroidsDir(root))
+    val cb = s.read.parquet(codebooksDir(root))
+    val assigned = assign(emb0, cents).localCheckpoint(true)
+    val subs = ProductQuantizer.subvectors(
+      assigned.select(col("vec_id"), col("rv").as("v")), m, dim)
+    packCodes(subs, assigned, cb)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
+      .parquet(codesDir(root))
   }
 
   /** Top-`n` approximate neighbors of `qv` (an L2-normalized query

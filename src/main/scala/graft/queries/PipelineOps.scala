@@ -182,6 +182,41 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- temperature-based source rebalancing (α = 0.5, the
+    // multilingual-sampling rule of mT5/XLM-R): where q_mix_sources
+    // applies FIXED target shares, here the target share is computed
+    // FROM the data — share(lang) ∝ count^α, flattening the head and
+    // boosting the tail — then realized as a deterministic per-mille
+    // keep rate under a 50% total budget. Weights are 64-bit fixed
+    // point (milli-units, sqrt is IEEE-exact and the half-up round can
+    // never tie on an irrational), the rate is floor of an
+    // exactly-representable double quotient, and the keep decision is
+    // pure id arithmetic — three engines agree bit-for-bit, and the
+    // sampled corpus is reproducible forever from ids alone. Plan: one
+    // tiny aggregate (|langs| rows) broadcast back over a map-only scan.
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("w_milli",
+          round(sqrt(col("n").cast("double")) * 1000.0, 0).cast("long"))
+      val rates = w
+        .withColumn("t", sum("n").over(Window.partitionBy()))
+        .withColumn("sw", sum("w_milli").over(Window.partitionBy()))
+        .withColumn("rate_pm", least(lit(1000L),
+          floor((col("w_milli") * col("t") * lit(500.0)) /
+                (col("sw") * col("n")))))
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 40503L + 17L,
+                   lit(1000L))
+      docs.join(broadcast(
+          rates.select("lang", "n", "w_milli", "rate_pm")), Seq("lang"))
+        .filter(h < col("rate_pm"))
+        .groupBy("lang", "n", "w_milli", "rate_pm")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("lang"), col("n").as("n_total"), col("w_milli"),
+                col("rate_pm"), col("n_kept"))
+        .orderBy("lang")
+    }),
+
     // ---- the WHOLE pipeline as ONE declared plan: normalize → exact
     // dedup on normalized content (keeper = min id) → quality gate →
     // deterministic 50% sample → per-lang corpus stats. Every stage is
@@ -353,6 +388,25 @@ object PipelineOps {
          WHERE (((d.doc_id % 1000000007 + 1000000007) % 1000000007)
                  * 48271 + 11) % 1000 < r.rate
          GROUP BY 1, 2, 3 ORDER BY d.lang""",
+    "q_mix_temperature" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         w AS (
+           SELECT lang, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000.0, 0) AS BIGINT)
+               AS w_milli
+           FROM cnt),
+         r AS (
+           SELECT lang, n, w_milli,
+             LEAST(1000, CAST(floor((w_milli * SUM(n) OVER () * 500.0)
+                              / (SUM(w_milli) OVER () * n)) AS BIGINT))
+               AS rate_pm
+           FROM w)
+         SELECT d.lang, r.n AS n_total, r.w_milli, r.rate_pm,
+                COUNT(*) AS n_kept
+         FROM documents d JOIN r ON d.lang = r.lang
+         WHERE (((d.doc_id % 1000000007 + 1000000007) % 1000000007)
+                 * 40503 + 17) % 1000 < r.rate_pm
+         GROUP BY 1, 2, 3, 4 ORDER BY d.lang""",
     "q_split_train" ->
       """SELECT lang,
            CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007)

@@ -82,6 +82,38 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality-rule GATE (Rae et al. 2021 §A1.1, adapted to
+    // the fixture's synthetic prose): where q_text_quality reports raw
+    // per-doc metrics, this is the downstream keep/drop decision a
+    // pipeline actually filters on — token-count bounds, mean-token-
+    // length bounds, ≥2 stopword hits, single-char-token fraction ≤ 20%,
+    // distinct-token fraction > 30%. Every rule is INTEGER cross-
+    // multiplication (mean length as chars·1 vs tokens·[3,7], fractions
+    // as n·k vs total·m) — no float quotient anywhere, so three engines
+    // agree on every boundary document bit-for-bit. Map-only plan.
+    "q_quality_gopher" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val charsEx = length(col("text")).cast("long") - nTok + lit(1L)
+      val nStop = size(filter(toks, t => t.isin("a", "the"))).cast("long")
+      val nSingle = size(filter(toks, t => length(t) === 1)).cast("long")
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          (nTok >= 15L && nTok <= 90L).cast("int").as("r_count"),
+          (charsEx >= nTok * 3L && charsEx <= nTok * 7L).cast("int")
+            .as("r_meanlen"),
+          (nStop >= 2L).cast("int").as("r_stopwords"),
+          (nSingle * 5L <= nTok).cast("int").as("r_singles"),
+          (nDistinct * 10L > nTok * 3L).cast("int").as("r_distinct"))
+        .withColumn("keep",
+          (col("r_count") + col("r_meanlen") + col("r_stopwords") +
+            col("r_singles") + col("r_distinct") === 5).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: order-sensitive rolling hash over the token
     // stream — h = fold(h*31 + code(tok)) mod 1e9+7, code = 131*len +
     // first-codepoint. Exact int64 arithmetic on both engines (values stay
@@ -173,6 +205,32 @@ object TextOps {
          lang AS actual
          FROM documents ORDER BY doc_id"""
     },
+    "q_quality_gopher" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         k AS (
+           SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) - CAST(len(l) AS BIGINT) + 1
+               AS chars_ex,
+             CAST(len(list_filter(l, x -> x IN ('a', 'the'))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_filter(l, x -> length(x) = 1)) AS BIGINT)
+               AS n_single,
+             CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct
+           FROM t)
+         SELECT doc_id, n_tok AS n_tokens,
+           CAST(n_tok >= 15 AND n_tok <= 90 AS INT) AS r_count,
+           CAST(chars_ex >= n_tok * 3 AND chars_ex <= n_tok * 7 AS INT)
+             AS r_meanlen,
+           CAST(n_stop >= 2 AS INT) AS r_stopwords,
+           CAST(n_single * 5 <= n_tok AS INT) AS r_singles,
+           CAST(n_distinct * 10 > n_tok * 3 AS INT) AS r_distinct,
+           CAST(n_tok >= 15 AND n_tok <= 90
+                AND chars_ex >= n_tok * 3 AND chars_ex <= n_tok * 7
+                AND n_stop >= 2 AND n_single * 5 <= n_tok
+                AND n_distinct * 10 > n_tok * 3 AS INT) AS keep
+         FROM k ORDER BY doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS len_chars,

@@ -519,6 +519,17 @@ object Streams {
     DedupIndex.append(sh, root, ingestId = batchId + 1)
   }
 
+  /** s_knn_index_ingest — continuous ANN index maintenance, the
+    * streaming face of [[graft.operators.AnnIndex.append]]: each
+    * micro-batch of (vec_id, v: array<double>, L2-normalized) is
+    * encoded against the STORED centroids/codebooks (no retraining)
+    * and committed under its own immutable `batch=` partition set.
+    * foreachBatch's stable batchId + dynamic partition overwrite make
+    * replay exactly-once: a re-delivered batch rewrites only itself.
+    * Ingest ids start at 1: 0 is the backfill's partition. */
+  def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
+    graft.operators.AnnIndex.append(batch, root, batchId = batchId + 1)
+
   /** Union of all near-dup pairs committed by [[dedupIndexIngest]] —
     * readers see whole batches only (version dirs marked _SUCCESS). */
   def committedPairs(spark: org.apache.spark.sql.SparkSession,

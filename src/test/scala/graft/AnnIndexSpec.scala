@@ -89,6 +89,49 @@ class AnnIndexSpec extends SparkSpec {
     assert(q.count() === 10)
   }
 
+  test("append: batch-split invariant, replay exactly-once, recall holds") {
+    // incremental maintenance against the stored models: encode is
+    // per-row arithmetic against fixed centroids/codebooks, so HOW the
+    // new vectors are batched must not matter, and re-delivering a
+    // batch id must overwrite only itself
+    val e = clustered(64).cache()
+    val base = e.filter(col("vec_id") < 250)       // clusters 0–9
+    val b1 = e.filter(col("vec_id") >= 250 && col("vec_id") < 375)
+    val b2 = e.filter(col("vec_id") >= 375)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .first().getSeq[Double](0)
+    def stored(root: String): Seq[String] =
+      spark.read.parquet(s"$root/codes")
+        .select("vec_id", "cell", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    def top10(root: String): Seq[String] =
+      AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+        excludeId = Some(0L)).collect().map(_.toString).toSeq
+    val rootSplit = tmpRoot("apsplit")
+    AnnIndex.build(base, rootSplit)
+    AnnIndex.append(b1, rootSplit, batchId = 1)
+    AnnIndex.append(b2, rootSplit, batchId = 2)
+    val rootOne = tmpRoot("apone")
+    AnnIndex.build(base, rootOne)
+    AnnIndex.append(b1.unionByName(b2), rootOne, batchId = 1)
+    assert(stored(rootSplit) === stored(rootOne),
+      "stored codes depend on how the appends were batched")
+    assert(top10(rootSplit) === top10(rootOne))
+    // replay batch 2 verbatim: store and answers must not change
+    val before = stored(rootSplit)
+    AnnIndex.append(b2, rootSplit, batchId = 2)
+    assert(stored(rootSplit) === before,
+      "replaying a committed batch changed the store — append not idempotent")
+    // the corpus at rest now spans base ∪ b1 ∪ b2: vec 0's true
+    // neighborhood (cluster 0 ⊂ base) must still be recalled through
+    // the appended index
+    val approx = AnnIndex.query(spark, rootSplit, qv, nprobe = 3, n = 10,
+        excludeId = Some(0L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((approx & exactTop10(e)).size >= 8)
+    e.unpersist()
+  }
+
   test("query() never touches the corpus frame (answers purely from storage)") {
     // build from one frame, then query with only (root, qv) — if the
     // query path referenced the corpus, this would be impossible to

@@ -39,6 +39,7 @@ class SqlEntrySpec extends SparkSpec {
     "q_intersect_all", "q_except_all",
     "q_win_rank", "q_win_topk_group", "q_win_dist",
     "q_sample_stratified", "q_split_train", "q_sql_entry",
+    "q_mix_temperature",
     "q_sample_reservoir", "q_merge_upsert", "q_table_diff", "q_dedup",
     "q_text_lang",
     "q_sink_delete", "q_sink_roundtrip", "q_sink_partitioned",

@@ -786,6 +786,58 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the pair set — ingest not idempotent")
   }
 
+  test("s_knn_index_ingest: streamed vectors land as a batch append would, replay-idempotent") {
+    // continuous ANN index maintenance: a backfilled IVF+PQ index at
+    // rest, new vectors arriving in micro-batches, each encoded against
+    // the STORED models (no retraining) and committed under its own
+    // immutable batch partitions. Invariant: the stored codes — and
+    // every query answered from them — are identical whatever the
+    // micro-batch slicing, and replaying a batch changes nothing.
+    import graft.operators.AnnIndex
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val rootStream = s"$tmp/graft_sknnindex_stream"
+    val rootBatch = s"$tmp/graft_sknnindex_batch"
+    for (p <- Seq(rootStream, rootBatch))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val emb = graft.queries.LlmOps.embDouble(Tables.embeddings(spark, sf0001))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+    val base = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    AnnIndex.build(base, rootStream)
+    AnnIndex.build(base, rootBatch)
+    AnnIndex.append(rest, rootBatch, batchId = 1)
+    // interleaved thirds of the new vectors, streamed through foreachBatch
+    val rows = rest.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.annIndexIngest(b, rootStream, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def stored(root: String): Seq[String] =
+      spark.read.parquet(s"$root/codes")
+        .select("vec_id", "cell", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    assert(stored(rootStream) === stored(rootBatch),
+      "streamed ingest codes diverge from the one-shot batch append")
+    val qv = emb.filter(col("vec_id") === 0).select("v")
+      .first().getSeq[Double](0)
+    def top10(root: String): Seq[String] =
+      AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+        excludeId = Some(0L)).collect().map(_.toString).toSeq
+    assert(top10(rootStream) === top10(rootBatch))
+    // replay the LAST micro-batch with its original foreachBatch id
+    val before = stored(rootStream)
+    Streams.annIndexIngest(groups.last.toDF("vec_id", "v"), rootStream,
+      (groups.size - 1).toLong)
+    assert(stored(rootStream) === before,
+      "replaying a committed batch changed the store — ingest not idempotent")
+  }
+
   test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
     // the foreachBatch exactly-once pattern: each micro-batch merges into
     // a keyed table committed as an immutable batchId-named version —
