@@ -473,6 +473,62 @@ object Graft {
           / count(lit(1)), 6).as("dup_frac"))
   }
 
+  // ---- indexes at rest (retrieval / dedup over a stored corpus) ----
+
+  /** Train and persist an IVF+PQ ANN index (operators.AnnIndex): coarse
+    * centroids, per-subspace codebooks, and ~m-byte-per-vector codes
+    * hive-partitioned by coarse cell. `df(idCol, vecCol)`; vectors are
+    * L2-normalized here. Build once offline; query forever from storage. */
+  def annIndexBuild(df: DataFrame, idCol: String, vecCol: String,
+                    root: String, k: Int = 8, m: Int = 16,
+                    dim: Int = 64, kCodes: Int = 16): Unit =
+    graft.operators.AnnIndex.build(normalized(df, idCol, vecCol), root,
+      k = k, m = m, dim = dim, kCodes = kCodes)
+
+  /** Incrementally add vectors to a stored ANN index: encode-only against
+    * the stored models (O(batch), no retraining), committed under an
+    * immutable `batch=batchId` partition set — replaying a batch id
+    * overwrites only itself (exactly-once ingest). */
+  def annIndexAppend(df: DataFrame, idCol: String, vecCol: String,
+                     root: String, batchId: Long,
+                     m: Int = 16, dim: Int = 64): Unit =
+    graft.operators.AnnIndex.append(normalized(df, idCol, vecCol), root,
+      batchId, m = m, dim = dim)
+
+  /** Top-`n` approximate neighbors of `qv` answered purely from a stored
+    * ANN index — only the `nprobe` probed cells' partitions are read.
+    * Returns (vec_id, approx_d2), squared L2 in normalized space
+    * (monotone with cosine). */
+  def annIndexQuery(spark: org.apache.spark.sql.SparkSession, root: String,
+                    qv: Seq[Double], nprobe: Int = 2, n: Int = 10,
+                    excludeId: Option[Long] = None, m: Int = 16): DataFrame =
+    graft.operators.AnnIndex.query(spark, root, qv, nprobe, n, excludeId, m)
+
+  private def normalized(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val nrm = VectorExprs.norm(v)
+    df.select(col(idCol).as("vec_id"),
+      transform(v, x => x / nrm).as("v"))
+  }
+
+  /** Build/refresh the MinHash dedup index at rest (operators.DedupIndex)
+    * from `docs(idCol, textCol)`: banded signature buckets + exact shingle
+    * profiles, both parquet. An incoming batch then dedups against the
+    * stored corpus via [[dedupIndexQuery]] with zero corpus shuffle. */
+  def dedupIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+                      root: String, shingleN: Int = 3): Unit =
+    graft.operators.DedupIndex.build(
+      shingleRows(docs, idCol, textCol, shingleN), root)
+
+  /** Near-dup pairs (batch doc × indexed corpus doc, exact Jaccard ≥ the
+    * index threshold) for an incoming batch against the stored index —
+    * the batch side broadcasts, the stored tables stream. */
+  def dedupIndexQuery(batch: DataFrame, idCol: String, textCol: String,
+                      root: String, shingleN: Int = 3): DataFrame =
+    graft.operators.DedupIndex.queryBatch(batch.sparkSession, root,
+      shingleRows(batch, idCol, textCol, shingleN))
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

@@ -227,6 +227,55 @@ class GraftFacadeSpec extends SparkSpec {
       ("b", 3L, Some(5.0), true), ("b", 4L, Some(5.0), true)))
   }
 
+  test("Graft.annIndex* facade == operators.AnnIndex on a build+append+query cycle") {
+    import graft.sources.Tables
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_ann").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Graft.annIndexBuild(emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", root)
+    Graft.annIndexAppend(emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding", root, batchId = 1)
+    // against the operator called directly on the same normalized frame
+    val direct = graft.queries.LlmOps.embDouble(emb)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions
+          .transform(col("v"), x => x / col("nrm")).as("v"))
+    val qv = direct.filter(col("vec_id") === 0).select("v")
+      .first().getSeq[Double](0)
+    val viaFacade = Graft.annIndexQuery(spark, root, qv, nprobe = 2,
+      n = 10, excludeId = Some(0L)).collect().map(_.toString).toSeq
+    assert(viaFacade.size === 10)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_facade_ann2").toString
+    graft.operators.AnnIndex.build(direct.filter(col("vec_id") < 250), root2)
+    graft.operators.AnnIndex.append(direct.filter(col("vec_id") >= 250),
+      root2, batchId = 1)
+    val viaOps = graft.operators.AnnIndex.query(spark, root2, qv,
+      nprobe = 2, n = 10, excludeId = Some(0L))
+      .collect().map(_.toString).toSeq
+    assert(viaFacade === viaOps)
+  }
+
+  test("Graft.dedupIndex* facade: batch-vs-corpus pairs from the stored index") {
+    import graft.sources.Tables
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_didx").toString
+    val docs = Tables.documents(spark, sf0001)
+    Graft.dedupIndexBuild(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+      "doc_id", "text", root)
+    val got = Graft.dedupIndexQuery(
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        "doc_id", "text", root)
+      .select("batch_doc", "corpus_doc", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+    // the declared key q_dedup_index_query is the oracle-verified exemplar
+    // of exactly this call shape: same split, same threshold family
+    assert(got.nonEmpty)
+    val declared = SparkEntry.queries("q_dedup_index_query")(spark, sf0001)
+    assert(declared.count() === got.size)
+  }
+
   test("Graft.cogroupAgg: full-outer per-key merge, null sums for absent sides") {
     import spark.implicits._
     val a = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)).toDF("k", "v")
