@@ -473,6 +473,22 @@ object Graft {
           / count(lit(1)), 6).as("dup_frac"))
   }
 
+  /** SemDeDup (cluster-scoped semantic dedup, operators.SemDedup):
+    * k-means cells over the L2-normalized vectors, pairwise cosine only
+    * WITHIN a cell (pair work O(N²/k)), keep policy = farthest-from-
+    * centroid first with deterministic chain-dropping. Returns
+    * (vec_id, cell, cent_sim, is_dropped 0/1). Pick k ~ √N as the
+    * corpus grows. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, tau: Double = 0.4): DataFrame = {
+    val emb = normalized(df, idCol, vecCol)
+      .withColumn("nrm", VectorExprs.norm(col("v")))
+    val cents = graft.operators.IvfKMeans.centroids(
+      emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+      k = k, iters = 2)
+    graft.operators.SemDedup.decisions(emb, cents, tau)
+  }
+
   // ---- indexes at rest (retrieval / dedup over a stored corpus) ----
 
   /** Train and persist an IVF+PQ ANN index (operators.AnnIndex): coarse

@@ -123,7 +123,14 @@ object AnnIndex {
     * so ingest is exactly-once however often a batch is re-delivered.
     * Per-row cost is O(batch), never O(corpus); the stored corpus is
     * untouched. Batching-invariant by construction: encode is per-row
-    * arithmetic against fixed models. */
+    * arithmetic against fixed models.
+    *
+    * Contract: vec_ids must be NEW to the index. Re-delivery of a whole
+    * batch under its original batchId is the supported replay path
+    * (overwrites itself); appending an already-indexed vec_id under a
+    * DIFFERENT batch id would store it twice and double-count its ADC
+    * sum at query time. Ingest pipelines get this for free when ids are
+    * assigned upstream (the foreachBatch batchId discipline). */
   def append(emb0: DataFrame, root: String, batchId: Long,
              m: Int = 16, dim: Int = 64): Unit = {
     val s = emb0.sparkSession

@@ -158,6 +158,29 @@ object DedupOps {
         .orderBy("keep_id", "dup_id")
     }),
 
+    // ---- SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // k-means cells first, pairwise cosine only WITHIN a cell (pair work
+    // O(N²/k) by construction), keep policy = farthest-from-centroid
+    // first. Completes the published-method dedup family next to
+    // MinHash (lexical), SimHash (bitwise) and the exact cosine
+    // threshold join. Centroids train on the deterministic half-sample
+    // (the q_knn_ivf discipline); the pair search is an equi-join on
+    // the cell id, never a corpus nested loop. Test-oracled: k-means is
+    // not SQL-expressible; SemDedupSpec pins brute-force equality of
+    // the full decision frame plus the keep-policy laws.
+    "q_dedup_semantic" -> ((s, d) => {
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+        .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      val cents = graft.operators.IvfKMeans.centroids(
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+        k = 8, iters = 2)
+      graft.operators.SemDedup.decisions(emb, cents, tau = 0.4)
+        .withColumn("cent_sim", round(col("cent_sim"), 6))
+        .orderBy("vec_id")
+    }),
+
     // ---- LSH-bucketed approximate nearest neighbors: the scale path of
     // q_knn_cosine. 8 deterministic random hyperplanes → 8-bit bucket;
     // the query probes only its own bucket (candidates shrink ~256×; at

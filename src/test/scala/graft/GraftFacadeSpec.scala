@@ -227,6 +227,17 @@ class GraftFacadeSpec extends SparkSpec {
       ("b", 3L, Some(5.0), true), ("b", 4L, Some(5.0), true)))
   }
 
+  test("Graft.semanticDedup == q_dedup_semantic (modulo the declared rounding)") {
+    import graft.sources.Tables
+    val viaFacade = Graft.semanticDedup(
+        Tables.embeddings(spark, sf0001), "vec_id", "embedding")
+      .withColumn("cent_sim", round(col("cent_sim"), 6))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val declared = SparkEntry.queries("q_dedup_semantic")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(viaFacade === declared)
+  }
+
   test("Graft.annIndex* facade == operators.AnnIndex on a build+append+query cycle") {
     import graft.sources.Tables
     val root = java.nio.file.Files

@@ -77,9 +77,10 @@ class PlanShapeSpec extends SparkSpec {
     // the all-pairs anti-pattern reads `BroadcastNestedLoopJoin ... (id_a <
     // id_b)`; after banding/cell-bucketing the only nested loops left are
     // conditionless tiny-side broadcasts (centroids, cell-pair metadata)
-    val idCols = "(id_a|id_b|keep_id|dup_id|doc_a|doc_b|vec_a|vec_b)#".r
+    val idCols = "(id_a|id_b|keep_id|dup_id|doc_a|doc_b|vec_a|vec_b|u_id|v_id)#".r
     for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_near",
-                     "q_dedup_embed", "q_sim_join", "q_dedup_containment")) {
+                     "q_dedup_embed", "q_sim_join", "q_dedup_containment",
+                     "q_dedup_semantic")) {
       val bad = plan(name).linesIterator
         .filter(_.contains("BroadcastNestedLoopJoin"))
         .filter(l => idCols.findFirstIn(l).isDefined)
