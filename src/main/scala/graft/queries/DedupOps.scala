@@ -347,6 +347,34 @@ object DedupOps {
         .orderBy(col("vec_id"), col("cos_sim").desc, col("nbr_id"))
     }),
 
+    // ---- Approximate ALL-PAIRS kNN join (IVF cells + PQ symmetric
+    // distance — SDC): the sub-quadratic sibling of q_knn_join. Vectors
+    // are PQ-encoded once; a pair is scored by m array LOOKUPS into the
+    // inter-codeword distance literal instead of a dim-wide float dot —
+    // at 100 TB this is the batch-retrieval shape (encode O(N), score
+    // O(pairs·m) adds with no per-sub join or exchange). Test-oracled
+    // like the other ANN surfaces: SdcKnnJoinSpec pins recall ≥ 0.8 on
+    // a clustered corpus vs computed brute-force truth and bans pair
+    // nested loops from the executed plan.
+    "q_knn_join_ann" -> ((s, d) => {
+      graft.util.Confs.ensureObjectHashHeadroom(s)
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+        .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+        .localCheckpoint(true)
+      // adaptive √N cell count (the VectorSimJoin discipline): with a
+      // FIXED cell count the same-cell pair work grows N²/k — √N keeps
+      // cells and cell sizes balanced as the corpus scales
+      val nCells = math.max(8, math.min(512,
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+      val cents = graft.operators.IvfKMeans.centroids(
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+        k = nCells, iters = 2)
+      graft.operators.SdcKnnJoin.join(emb, cents, k = 3)
+        .orderBy("vec_id", "approx_d2", "nbr_id")
+    }),
+
     // ---- Multimodal binary plumbing: an opaque binary column (here the
     // utf-8 bytes of `text` standing in for image/audio payloads) plus
     // typed metadata, flowed through a deterministic stub "decode" —

@@ -21,4 +21,11 @@ object Local {
     val rows = java.util.Arrays.asList(df.collect(): _*)
     df.sparkSession.createDataFrame(rows, df.schema)
   }
+
+  /** Model-sized artifact pulled to the driver AS ROWS — for baking a
+    * trained table into an expression literal (e.g. the PQ inter-codeword
+    * distance array an SDC join scores through). Same discipline and
+    * bound as [[model]]; the literal then ships with the plan like any
+    * broadcast model. */
+  def modelRows(df: DataFrame): Array[org.apache.spark.sql.Row] = df.collect()
 }
