@@ -380,6 +380,40 @@ object DedupOps {
     // typed metadata, flowed through a deterministic stub "decode" —
     // the schema/partitioning/flattening pattern a real decoder plugs
     // into (see graft.operators.Multimodal for the mapPartitions form).
+    // ---- Duplicated-SUBSTRING detection (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): document-level dedup
+    // misses the boilerplate CASE — licenses, headers, templated prose —
+    // that repeats INSIDE otherwise-distinct documents. The published
+    // remedy scans for duplicated fixed-length character windows; here:
+    // stride-20 length-40 windows (overlap ≥ L/2 guarantees any repeated
+    // run of ≥ 2L chars shares at least one full window), a corpus-wide
+    // occurrence count per window string, and per-doc duplicated-window
+    // counts + an INTEGER per-mille fraction (no float quotient — the
+    // q_quality_gopher portability rule). At 100 TB the window string
+    // would be xxhash64'd before the aggregate (counts are
+    // hash-invariant); the grouped string keeps the oracle exact here.
+    // Plan: explode ≈ n_chars/stride rows/doc, one map-side-combinable
+    // count keyed by window, one equi-join back — the
+    // q_quality_dupngrams shape at character level, no nested loop.
+    "q_dedup_substring" -> ((s, d) => {
+      val L = 40; val S = 20
+      val wins = Tables.documents(s, d)
+        .filter(length(col("text")) >= L)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (L - 1), lit(S)))
+            .as("pos"))
+        .select(col("doc_id"),
+          col("text").substr(col("pos"), lit(L)).as("w"))
+      val occ = wins.groupBy("w").agg(count(lit(1)).as("occ"))
+      wins.join(occ, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          expr("1000 * n_dup_windows div n_windows").as("dup_permille"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -427,6 +461,21 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" -> exactJaccardOracleSql,
+    "q_dedup_substring" ->
+      """WITH wins AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS w
+           FROM documents,
+                unnest(generate_series(1, length(text) - 39, 20)) AS t(i)
+           WHERE length(text) >= 40),
+         occ AS (SELECT w, COUNT(*) AS occ FROM wins GROUP BY 1)
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(1000 * SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_permille
+         FROM wins JOIN occ USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     // the incremental form: exhaustive batch×corpus exact Jaccard — the
     // same shingle/Jaccard definition as exactJaccardOracleSql with the
     // pair universe restricted to the batch/corpus split

@@ -245,6 +245,27 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- per-source document cap (the RefinedWeb/CCNet anti-spam
+    // stage: no single domain may dominate the corpus). Keeps the C
+    // best documents per source under the total order (n_chars desc,
+    // doc_id asc) — NOT a rank window: TopKByScore partial-reduces each
+    // map task's slice of a source to ≤ C entries BEFORE the exchange,
+    // so the shuffle carries ≤ C rows per source per task and a
+    // mega-domain (the exact case a cap exists for) cannot skew a
+    // reducer. The survivors' ranks fall out of the buffer's order.
+    "q_source_caps" -> ((s, d) => {
+      val cap = 10
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(graft.functions.TopKByScore
+          .topk(col("n_chars").cast("double"), col("doc_id"), cap).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"),
+          (col("pos") + 1).cast("long").as("src_rank"))
+        .orderBy("source", "src_rank")
+    }),
+
     // ---- deterministic train/valid/test split (80/10/10 by id hash),
     // reported as per-(lang, split) counts — the lineage-free split
     // assignment a reproducible data pipeline wants.
@@ -276,6 +297,13 @@ object PipelineOps {
           SELECT src AS doc_id, MIN(dst) AS cluster_id,
                  CAST(src = MIN(dst) AS BIGINT) AS is_keeper
           FROM reach GROUP BY src ORDER BY doc_id""",
+    "q_source_caps" ->
+      """SELECT source, doc_id, n_chars, src_rank FROM (
+           SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank
+           FROM documents) t
+         WHERE src_rank <= 10 ORDER BY source, src_rank""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE (((doc_id % 1000000007 + 1000000007) % 1000000007)

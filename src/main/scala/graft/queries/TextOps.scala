@@ -69,6 +69,34 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Overlapping token-window chunking — the retrieval-corpus prep step
+    // (RAG indexing, context-window packing): 64-token chunks on a
+    // 48-token stride (16-token overlap keeps boundary sentences intact
+    // in both neighbors). Chunk starts are sequence(1, max(1, n−16), 48):
+    // every token is covered, a short doc yields exactly one chunk, and
+    // no trailing chunk duplicates its predecessor (each start past the
+    // first contributes ≥ 1 token beyond the overlap). Pure per-row HOF
+    // fan-out — no shuffle at all until the final presentation sort; at
+    // 100 TB this is a map-only stage whose output feeds q_pack_sequences
+    // or the ANN index build.
+    "q_text_chunk" -> ((s, d) => {
+      val W = 64; val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1),
+            greatest(lit(1), size(col("toks")) - 16), lit(S)))
+            .as("start_tok"))
+        .select(col("doc_id"),
+          expr(s"CAST((start_tok - 1) div $S AS BIGINT)").as("chunk_id"),
+          col("start_tok").cast("long").as("start_tok"),
+          size(slice(col("toks"), col("start_tok"), lit(W))).cast("long")
+            .as("n_tok"),
+          array_join(slice(col("toks"), col("start_tok"), lit(W)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Token counting: whitespace tokens vs BPE-ish regex pieces (runs of
     // letters, digits, or single non-alnum chars).
     "q_text_tokens" -> ((s, d) => {
@@ -244,6 +272,19 @@ object TextOps {
                  t -> length(t) = 1)) AS DOUBLE)
                / len(string_split(text, ' ')), 6) AS short_tok_ratio
          FROM documents ORDER BY doc_id""",
+    "q_text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+                  list_slice(toks, CAST(i AS INTEGER),
+                             CAST(i + 63 AS INTEGER)) AS ch
+           FROM t, unnest(generate_series(1,
+                  greatest(1, len(toks) - 16), 48)) AS u(i))
+         SELECT doc_id, CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+                start_tok, CAST(len(ch) AS BIGINT) AS n_tok,
+                array_to_string(ch, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -212,6 +212,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_source_caps partial-reduces the cap before the exchange (no rank window)") {
+    // the cap exists BECAUSE some sources are huge; a rank window would
+    // shuffle and sort every row of the mega-source to one reducer. The
+    // TopKByScore shape bounds the shuffle to ≤ cap rows per source per
+    // map task and must not regress to Window/Sort.
+    val p = plan("q_source_caps")
+    assert(p.contains("ObjectHashAggregate"), s"no partial top-k:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"cap regressed to a rank window:\n${p.take(1500)}")
+    // law: survivors are exactly the brute-force top-10 per source
+    val got = SparkEntry.queries("q_source_caps")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (_, id, n) => (-n, id) }.take(10).zipWithIndex
+        .map { case ((s, id, n), i) => (s, id, n, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == want, "cap survivors or ranks diverge from brute force")
+  }
+
   test("whole-stage codegen covers the hot path of the flagship") {
     // AQE finalizes the plan only on execution; codegen'd operators carry
     // the "*(n)" prefix in the executed plan string.
