@@ -266,6 +266,17 @@ object PipelineOps {
         .orderBy("source", "src_rank")
     }),
 
+    // ---- DSIR data selection (Xie et al. 2023): keep raw documents
+    // whose hashed-bigram distribution resembles the TARGET domain
+    // (here lang='en'). Model = two ≤4096-row bucket counts folded into
+    // a log-ratio literal; scoring = map-only per-doc HOF fold in token
+    // order (bit-deterministic under any partitioning). Test-oracled:
+    // DsirSpec replays the published estimator brute-force in Scala and
+    // asserts the full frame bit-equal.
+    "q_select_dsir" -> ((s, d) =>
+      graft.operators.DsirSelect.select(
+        Tables.documents(s, d), col("lang") === "en")),
+
     // ---- deterministic train/valid/test split (80/10/10 by id hash),
     // reported as per-(lang, split) counts — the lineage-free split
     // assignment a reproducible data pipeline wants.
