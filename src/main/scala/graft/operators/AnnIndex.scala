@@ -53,6 +53,14 @@ object AnnIndex {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The stored coarse-quantizer model — (cent_id, cv, cnrm), k rows. */
+  def centroids(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(centroidsDir(root))
+
+  /** The stored PQ codebooks — (sub, code_id, cv), m×kCodes rows. */
+  def codebooks(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(codebooksDir(root))
+
   /** Max-cosine cell assignment against `cents` (a k-row model frame):
     * (vec_id, cell, rv = v − centroid). Shared verbatim by build() and
     * append() so an appended vector lands exactly where a rebuilt index
@@ -88,6 +96,16 @@ object AnnIndex {
     * later batches under their own partitions. */
   def build(emb0: DataFrame, root: String, k: Int = 8, m: Int = 16,
             dim: Int = 64, kCodes: Int = 16): Unit = {
+    // wipe any previous artifact FIRST (the DedupIndex.build discipline):
+    // centroids/codebooks are written before codes, so a rebuild that
+    // dies mid-way over an existing root would otherwise leave new
+    // models next to stale codes with exists() still true — a silently
+    // wrong index. Deleting root up front makes a partial rebuild read
+    // as exists()==false, per the exists() contract above.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      emb0.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
     val emb = emb0.select(col("vec_id"), col("v"),
       VectorExprs.norm(col("v")).as("nrm"))
     // coarse quantizer on a deterministic half-sample (q_knn_ivfpq's

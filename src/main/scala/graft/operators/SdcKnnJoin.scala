@@ -44,17 +44,21 @@ import graft.functions.VectorExprs
   */
 object SdcKnnJoin {
 
-  /** Top-`k` approximate neighbors of EVERY vector. `emb` =
-    * (vec_id, v: L2-normalized array<double>, nrm); `cents` =
-    * (cent_id, cv, cnrm). Returns (vec_id, nbr_id, approx_d2) with
-    * approx_d2 rounded to 6 dp, squared L2 between residual
-    * reconstructions (monotone with cosine within a cell). */
-  def join(emb: DataFrame, cents: DataFrame, m: Int = 16, dim: Int = 64,
-           kCodes: Int = 32, k: Int = 3, nprobe: Int = 2): DataFrame = {
+  /** Multiple assignment: each vector carries a residual PER probed
+    * cell — (vec_id, cell, primary, rv), localCheckpointed (consumed by
+    * both the encode and, in the training form, codebook fitting).
+    * Guards the copy-key packing invariant: cell ids must stay below
+    * 1024 (callers may hand in any centroid table), checked against the
+    * model-sized `cents` frame — k rows, one cheap action. */
+  private def multiAssign(emb: DataFrame, cents: DataFrame,
+                          nprobe: Int): DataFrame = {
+    val maxCell = graft.util.Local
+      .modelRows(cents.agg(max(col("cent_id")).as("mx"))).head.getInt(0)
+    require(maxCell < 1024,
+      s"cell ids must be < 1024 for the packed copy key (got $maxCell)")
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
-    // multiple assignment: each vector carries a residual PER probed cell
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("sim",
         VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(aw))
@@ -63,22 +67,54 @@ object SdcKnnJoin {
         (col("rk") === 1).as("primary"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
       .localCheckpoint(true)
-    // copy key packs (vec_id, cell, primary-bit) into one long so the
-    // encode window keys stay fixed-width (cell ids are bounded by the
-    // 512 adaptive cap — 1024 leaves headroom)
-    val copyId = (col("vec_id") * lit(1024L) + col("cell")) * lit(2L) +
-      col("primary").cast("long")
-    val subs = ProductQuantizer.subvectors(
-        assigned.select(copyId.as("vec_id"), col("rv").as("v")), m, dim)
-      .localCheckpoint(true)
+  }
+
+  /** Top-`k` approximate neighbors of EVERY vector, TRAINING the PQ
+    * codebooks in flight (spec/exploration form — deployments should
+    * train once and call [[joinWithModels]] with stored artifacts).
+    * `emb` = (vec_id, v: L2-normalized array<double>, nrm); `cents` =
+    * (cent_id, cv, cnrm). Returns (vec_id, nbr_id, approx_d2) with
+    * approx_d2 rounded to 6 dp, squared L2 between residual
+    * reconstructions (monotone with cosine within a cell). */
+  def join(emb: DataFrame, cents: DataFrame, m: Int = 16, dim: Int = 64,
+           kCodes: Int = 32, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val assigned = multiAssign(emb, cents, nprobe)
     // codebooks train on PRIMARY-cell residuals only (the canonical
-    // distribution), from the deterministic quarter-sample
+    // distribution), from the deterministic quarter-sample — the exact
+    // training path AnnIndex.build persists, so index-backed calls
+    // produce bit-identical rankings
     val cb = ProductQuantizer.codebooks(
       ProductQuantizer.subvectors(
         assigned.filter(col("primary"))
           .filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
           .select(col("vec_id"), col("rv").as("v")), m, dim),
       kCodes, iters = 2)
+    score(assigned, cb, m, dim, kCodes, k)
+  }
+
+  /** [[join]] with PRE-TRAINED models — the deployment form: coarse
+    * centroids and PQ codebooks come from a stored index (e.g.
+    * [[AnnIndex]] artifacts), so a call does assignment + encode +
+    * scoring only, never k-means. At 100 TB the models are index-build
+    * outputs; retraining them per query would dominate the query. */
+  def joinWithModels(emb: DataFrame, cents: DataFrame, cb: DataFrame,
+                     m: Int = 16, dim: Int = 64, kCodes: Int = 32,
+                     k: Int = 3, nprobe: Int = 2): DataFrame =
+    score(multiAssign(emb, cents, nprobe), cb, m, dim, kCodes, k)
+
+  /** Encode every (vector, probed cell) copy with `cb`, build the SDC
+    * lookup literal, score same-cell pairs, partial-reduce top-`k`. */
+  private def score(assigned: DataFrame, cb: DataFrame, m: Int, dim: Int,
+                    kCodes: Int, k: Int): DataFrame = {
+    // copy key packs (vec_id, cell, primary-bit) into one long so the
+    // encode window keys stay fixed-width. Bounds: cell < 1024 (checked
+    // in multiAssign) and vec_id < 2^51 (the pack multiplies by 2048;
+    // unpack below is exact integral `div`/`pmod`, no float division)
+    val copyId = (col("vec_id") * lit(1024L) + col("cell")) * lit(2L) +
+      col("primary").cast("long")
+    val subs = ProductQuantizer.subvectors(
+        assigned.select(copyId.as("vec_id"), col("rv").as("v")), m, dim)
+      .localCheckpoint(true)
     // one packed code array per (vector, probed cell) copy
     val packed = ProductQuantizer.encode(subs, cb)
       .groupBy("vec_id")
@@ -86,11 +122,9 @@ object SdcKnnJoin {
         array_sort(collect_list(struct(col("sub"), col("code_id")))),
         e => e("code_id")).as("codes"))
       .withColumn("primary", pmod(col("vec_id"), lit(2L)) === 1L)
-      .withColumn("rest",
-        ((col("vec_id") - pmod(col("vec_id"), lit(2L))) / 2L).cast("long"))
+      .withColumn("rest", expr("vec_id div 2"))
       .withColumn("cell", pmod(col("rest"), lit(1024L)).cast("int"))
-      .withColumn("vec_id",
-        ((col("rest") - pmod(col("rest"), lit(1024L))) / 1024L).cast("long"))
+      .withColumn("vec_id", expr("rest div 1024"))
       .drop("rest")
     // the SDC model: flat [sub][code_a][code_b] distance array published
     // as an expression literal (m·kCodes² doubles — model-sized)
@@ -106,20 +140,19 @@ object SdcKnnJoin {
         flat(r.getInt(0) * kk + (r.getInt(1) - 1) * kCodes +
           (r.getInt(2) - 1)) = r.getDouble(3)
       }
-    val sdc = typedLit(flat.toSeq)
     // canonical same-cell pairs, scored by m lookups INSIDE the pair row
     val a = packed.select(col("cell"), col("vec_id").as("id_a"),
       col("codes").as("codes_a"), col("primary").as("pa"))
     val b = packed.select(col("cell"), col("vec_id").as("id_b"),
       col("codes").as("codes_b"), col("primary").as("pb"))
-    // UNROLLED m-term lookup sum: a fold over a generated sequence()
-    // allocates the index array per pair row and interprets the lambda;
-    // m fixed additions codegen straight-line (measured the difference
-    // at the 10x probe tier)
-    val score = (0 until m).map(s => element_at(sdc,
-        (lit(s * kk) + (element_at(col("codes_a"), s + 1) - 1) * kCodes +
-          element_at(col("codes_b"), s + 1)).cast("int")))
-      .reduce(_ + _)
+    // the m-term lookup sum is a custom codegen'd expression
+    // (functions.SdcLookupSum): one primitive double[] reference and a
+    // fused loop. The previous 16-unrolled element_at-into-typedLit form
+    // shipped a boxed copy of the 16384-double literal PER occurrence —
+    // 13.7 MiB task binaries deserialized per task made the scoring
+    // stage cost 6.5 s warm at sf0.1 for ~3M adds of real work.
+    val score = VectorExprs.sdcSum(col("codes_a"), col("codes_b"),
+      flat, kCodes)
     // a multi-assigned pair can meet in up to nprobe shared cells with
     // estimates of very different quality (secondary residuals sit far
     // from their centroid, where the primary-trained quantizer is

@@ -352,26 +352,42 @@ object DedupOps {
     // are PQ-encoded once; a pair is scored by m array LOOKUPS into the
     // inter-codeword distance literal instead of a dim-wide float dot —
     // at 100 TB this is the batch-retrieval shape (encode O(N), score
-    // O(pairs·m) adds with no per-sub join or exchange). Test-oracled
-    // like the other ANN surfaces: SdcKnnJoinSpec pins recall ≥ 0.8 on
-    // a clustered corpus vs computed brute-force truth and bans pair
-    // nested loops from the executed plan.
+    // O(pairs·m) adds with no per-sub join or exchange). The models
+    // (coarse centroids + PQ codebooks) come from STORED AnnIndex
+    // artifacts: the first call per (session, sf) trains and persists
+    // them — in a real deployment an offline index build — and every
+    // later call answers with assignment + encode + scoring only, no
+    // k-means and no corpus count. The adaptive √N cell count (the
+    // VectorSimJoin discipline — fixed cells would grow same-cell pair
+    // work N²/k) is an INDEX-BUILD parameter, measured once at build
+    // time, never a query-time scan. Training samples/seeds match the
+    // in-flight form exactly (AnnIndex.build ≡ SdcKnnJoin.join's
+    // primary-residual quarter-sample), so the ranking is bit-identical
+    // to retraining. Test-oracled like the other ANN surfaces:
+    // SdcKnnJoinSpec pins recall ≥ 0.8 on a clustered corpus vs
+    // computed brute-force truth (through the stored-index path) and
+    // bans pair nested loops from the executed plan.
     "q_knn_join_ann" -> ((s, d) => {
       graft.util.Confs.ensureObjectHashHeadroom(s)
-      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+      import graft.operators.AnnIndex
+      val root = Scans.scratch("annsdc", s, d)
+      lazy val embN = LlmOps.embDouble(Tables.embeddings(s, d))
         .select(col("vec_id"),
           transform(col("v"), x => x / col("nrm")).as("v"))
-        .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
-        .localCheckpoint(true)
-      // adaptive √N cell count (the VectorSimJoin discipline): with a
-      // FIXED cell count the same-cell pair work grows N²/k — √N keeps
-      // cells and cell sizes balanced as the corpus scales
-      val nCells = math.max(8, math.min(512,
-        math.ceil(math.sqrt(emb.count().toDouble)).toInt))
-      val cents = graft.operators.IvfKMeans.centroids(
-        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
-        k = nCells, iters = 2)
-      graft.operators.SdcKnnJoin.join(emb, cents, k = 3)
+      if (!AnnIndex.exists(s, root)) {
+        val nCells = math.max(8, math.min(512,
+          math.ceil(math.sqrt(embN.count().toDouble)).toInt))
+        // kCodes=32, not the ADC default 16: BOTH pair sides are
+        // quantized under SDC (≈2× ADC's error), so the codebook is
+        // finer — the SdcKnnJoin Scaladoc's measured recall rationale
+        AnnIndex.build(embN, root, k = nCells, m = 16, dim = 64,
+          kCodes = 32)
+      }
+      graft.operators.SdcKnnJoin.joinWithModels(
+          embN.withColumn("nrm",
+            graft.functions.VectorExprs.norm(col("v"))),
+          AnnIndex.centroids(s, root), AnnIndex.codebooks(s, root),
+          kCodes = 32, k = 3)
         .orderBy("vec_id", "approx_d2", "nbr_id")
     }),
 
@@ -385,8 +401,17 @@ object DedupOps {
     // misses the boilerplate CASE — licenses, headers, templated prose —
     // that repeats INSIDE otherwise-distinct documents. The published
     // remedy scans for duplicated fixed-length character windows; here:
-    // stride-20 length-40 windows (overlap ≥ L/2 guarantees any repeated
-    // run of ≥ 2L chars shares at least one full window), a corpus-wide
+    // stride-20 length-40 windows. ALIGNMENT CAVEAT: each occurrence of
+    // a repeated run of ≥ 2L chars contains a full window of its OWN
+    // doc's stride grid, but two occurrences only produce the same
+    // window STRING when their offsets agree modulo the stride — so
+    // detection is exact for stride-aligned repetition (whole-prefix /
+    // identical-offset duplication, the dominant boilerplate case) and
+    // misses misaligned cross-document repeats (Lee et al.'s
+    // suffix-array ExactSubstr has no blind spot; stride=1 would close
+    // it here at L× the window rows). Spark and the DuckDB oracle
+    // implement the same definition, so differential correctness is
+    // unaffected. Then: a corpus-wide
     // occurrence count per window string, and per-doc duplicated-window
     // counts + an INTEGER per-mille fraction (no float quotient — the
     // q_quality_gopher portability rule). At 100 TB the window string

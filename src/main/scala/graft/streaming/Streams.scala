@@ -530,27 +530,36 @@ object Streams {
   def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
     graft.operators.AnnIndex.append(batch, root, batchId = batchId + 1)
 
+  /** Committed (`_SUCCESS`-marked) `v=` version dirs under `dir`, name
+    * order. Listed through the Hadoop FileSystem of the path — the
+    * pairs/tables are WRITTEN via Spark's Hadoop-FS writers to any FS
+    * URI, so the read path must resolve the same way (a java.io.File
+    * listing would find nothing on a non-local store — the
+    * AnnIndex/DedupIndex.exists discipline). */
+  private def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath.toString)
+  }
+
   /** Union of all near-dup pairs committed by [[dedupIndexIngest]] —
     * readers see whole batches only (version dirs marked _SUCCESS). */
   def committedPairs(spark: org.apache.spark.sql.SparkSession,
                      pairsDir: String): DataFrame = {
-    val dirs = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-                   new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName).map(_.getAbsolutePath)
+    val dirs = committedVersions(spark, pairsDir)
     require(dirs.nonEmpty, s"no committed pair versions under $pairsDir")
     spark.read.parquet(dirs: _*)
   }
 
   /** Highest COMMITTED version of the upserted table, if any exists. */
   def latestTable(spark: org.apache.spark.sql.SparkSession,
-                  tableDir: String): Option[DataFrame] = {
-    val root = new java.io.File(tableDir)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-                   new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName)
-      .lastOption
-      .map(d => spark.read.parquet(d.getAbsolutePath))
-  }
+                  tableDir: String): Option[DataFrame] =
+    committedVersions(spark, tableDir).lastOption
+      .map(d => spark.read.parquet(d))
 }

@@ -82,6 +82,60 @@ class SdcKnnJoinSpec extends SparkSpec {
     assert(approx.size >= vs.length * 9 / 10)
   }
 
+  test("index-backed joinWithModels is bit-identical to in-flight training") {
+    graft.util.Confs.ensureObjectHashHeadroom(spark)
+    import graft.operators.AnnIndex
+    val e = clustered(64).localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("sdc_annidx").toString + "/idx"
+    // the q_knn_join_ann deployment shape: models trained ONCE into the
+    // stored index, every call answers with assignment+encode+scoring
+    AnnIndex.build(e.select("vec_id", "v"), root, k = 8, m = 16,
+      dim = 64, kCodes = 32)
+    val cents = AnnIndex.centroids(spark, root)
+    val cb = AnnIndex.codebooks(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val stored = rows(SdcKnnJoin.joinWithModels(e, cents, cb, k = 3))
+    // identical samples/seeds/expressions ⟹ the training form over the
+    // SAME centroids must reproduce the stored-index ranking exactly
+    val trained = rows(SdcKnnJoin.join(e, cents, k = 3))
+    assert(stored == trained,
+      "stored-index SDC ranking diverged from the in-flight training form")
+    // recall gate holds through the stored-index path (same 0.8 bar as
+    // the training-form test above, same clustered truth)
+    import org.apache.spark.sql.functions.col
+    val approx = stored.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map(_._2).toSet }
+    val vs = e.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val truth = vs.map { case (id, v) =>
+      id -> vs.filter(_._1 != id)
+        .map { case (oid, ov) => (dot(v, ov), oid) }
+        .sortBy { case (s, oid) => (-s, oid) }
+        .take(3).map(_._2).toSet
+    }.toMap
+    val recalls = truth.toSeq.map { case (id, t) =>
+      (approx.getOrElse(id, Set.empty) & t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"stored-index sdc recall@3 = $mean%.3f")
+    assert(mean >= 0.8, f"mean recall@3 = $mean%.3f")
+  }
+
+  test("cell-id packing guard rejects centroid tables with >= 1024 cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = clustered(64)
+    // a centroid table whose ids overflow the 1024 packing headroom must
+    // fail FAST with the invariant named, not corrupt unpacked pair ids
+    val bad = Seq((1024, Array.fill(64)(0.1), 0.8)).toDF("cent_id", "cv", "cnrm")
+    val ex = intercept[IllegalArgumentException] {
+      SdcKnnJoin.join(e, bad, k = 3).collect()
+    }
+    assert(ex.getMessage.contains("1024"))
+  }
+
   test("declared q_knn_join_ann: k rows per covered vector, plan stays equi-join") {
     val q = SparkEntry.queries("q_knn_join_ann")(spark, sf0001)
     val rows = q.collect()
