@@ -29,25 +29,33 @@ import graft.util.Local
   */
 object DsirSelect {
 
-  /** Per-doc bigram array in document order (whitespace tokens). */
-  private def bigrams(text: Column): Column = {
-    val toks = split(text, " ")
-    zip_with(slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  /** ENGINE-PORTABLE token hash: left-to-right char fold
+    * (acc·31 + codepoint) mod 1e9+7 — exact int64 arithmetic both
+    * engines compute identically (the q_text_fingerprint discipline),
+    * unlike xxhash64 (not reproducible in DuckDB), which is what makes
+    * this key SQL-oracle-able. The fixture vocabulary maps injectively
+    * under it (31/31 distinct codes), so bucket discrimination matches
+    * a cryptographic hash here. */
+  private def tokenCode(t: Column): Column =
+    aggregate(split(t, ""), lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
 
-  private def bucket(g: Column, b: Int): Column =
-    pmod(xxhash64(g), lit(b.toLong)).cast("int")
+  /** Per-doc bigram BUCKET array in document order: bucket of adjacent
+    * token-code pairs, (c1·31 + c2) mod 1e9+7 mod `b`. */
+  private def buckets(text: Column, b: Int): Column = {
+    val codes = transform(split(text, " "), tokenCode(_))
+    zip_with(slice(codes, lit(1), size(codes) - 1),
+      slice(codes, lit(2), size(codes) - 1),
+      (c1, c2) => pmod(pmod(c1 * 31 + c2, lit(1000000007L)),
+        lit(b.toLong)).cast("int"))
+  }
 
   /** (doc_id, lang, dsir_score, selected) for every document; target =
     * rows where `targetPred` holds (here: lang = 'en'). */
   def select(docs: DataFrame, targetPred: Column, b: Int = 4096): DataFrame = {
-    val withGrams = docs.select(col("doc_id"), col("lang"),
-      bigrams(col("text")).as("grams"))
-    val occ = withGrams.select(col("lang"),
-        explode(col("grams")).as("g"))
-      .select(col("lang"), bucket(col("g"), b).as("bkt"))
+    val withBkts = docs.select(col("doc_id"), col("lang"),
+      buckets(col("text"), b).as("bkts"))
+    val occ = withBkts.select(col("lang"), explode(col("bkts")).as("bkt"))
     // two ≤ B-row count frames — the entire trained model
     def counts(df: DataFrame): Array[Long] = {
       val a = new Array[Long](b)
@@ -59,9 +67,9 @@ object DsirSelect {
     val nR = counts(occ)
     val lut = logRatios(nT, nR, b)
     val lutLit = typedLit(lut.toSeq)
-    val score = aggregate(col("grams"), lit(0.0d),
-      (acc, g) => acc + element_at(lutLit, bucket(g, b) + 1))
-    withGrams
+    val score = aggregate(col("bkts"), lit(0.0d),
+      (acc, bk) => acc + element_at(lutLit, bk + 1))
+    withBkts
       .select(col("doc_id"), col("lang"), round(score, 6).as("dsir_score"))
       .withColumn("selected", (col("dsir_score") > 0.0d).cast("long"))
       .orderBy("doc_id")

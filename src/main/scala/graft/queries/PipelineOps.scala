@@ -270,9 +270,13 @@ object PipelineOps {
     // whose hashed-bigram distribution resembles the TARGET domain
     // (here lang='en'). Model = two ≤4096-row bucket counts folded into
     // a log-ratio literal; scoring = map-only per-doc HOF fold in token
-    // order (bit-deterministic under any partitioning). Test-oracled:
-    // DsirSpec replays the published estimator brute-force in Scala and
-    // asserts the full frame bit-equal.
+    // order (bit-deterministic under any partitioning). SQL-oracled:
+    // the bucket hash is an exact-int64 char fold both engines compute
+    // identically (DsirSelect.tokenCode), counts/smoothing are integer,
+    // the LUT is ln() of exact integer ratios, and the per-doc sum is a
+    // left-to-right list fold on BOTH sides — same order, same adds.
+    // DsirSpec additionally replays the estimator brute-force in Scala
+    // and asserts the full frame bit-equal.
     "q_select_dsir" -> ((s, d) =>
       graft.operators.DsirSelect.select(
         Tables.documents(s, d), col("lang") === "en")),
@@ -294,6 +298,55 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // DSIR: replicate the estimator end-to-end — portable char-fold
+    // bucket hash, add-one-smoothed ln ratios over a generated 0..B-1
+    // bucket spine, per-doc score as the SAME left-to-right fold over
+    // the doc's bucket list (list_reduce with a 0.0 seed ≡ Spark's
+    // aggregate), so summation order matches bit-for-bit and only ln()
+    // ulps separate the engines — absorbed by 6-dp rounding.
+    "q_select_dsir" ->
+      """WITH codes AS (
+           SELECT doc_id, lang,
+             list_transform(string_split(text, ' '), t ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t, ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007)) AS cs
+           FROM documents),
+         bkts AS (
+           SELECT doc_id, lang,
+             list_transform(range(1, len(cs)), i ->
+               CAST(((cs[CAST(i AS INTEGER)] * 31
+                      + cs[CAST(i AS INTEGER) + 1]) % 1000000007) % 4096
+                 AS INTEGER)) AS bs
+           FROM codes),
+         occ AS (SELECT lang, u.b AS bkt FROM bkts, UNNEST(bs) AS u(b)),
+         tc AS (SELECT bkt, COUNT(*) AS n FROM occ
+                WHERE lang = 'en' GROUP BY 1),
+         rc AS (SELECT bkt, COUNT(*) AS n FROM occ GROUP BY 1),
+         tot AS (SELECT
+           (SELECT 4096 + COALESCE(SUM(n), 0) FROM tc) AS t_tot,
+           (SELECT 4096 + COALESCE(SUM(n), 0) FROM rc) AS r_tot),
+         lut AS (
+           SELECT list(
+               ln(CAST(COALESCE(tc.n, 0) + 1 AS DOUBLE)
+                  / CAST(tot.t_tot AS DOUBLE))
+             - ln(CAST(COALESCE(rc.n, 0) + 1 AS DOUBLE)
+                  / CAST(tot.r_tot AS DOUBLE))
+             ORDER BY g.b) AS arr
+           FROM range(0, 4096) AS g(b)
+           LEFT JOIN tc ON tc.bkt = g.b
+           LEFT JOIN rc ON rc.bkt = g.b
+           CROSS JOIN tot),
+         scored AS (
+           SELECT doc_id, lang,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(bs, b -> lut.arr[b + 1])),
+               (a, x) -> a + x), 6) AS dsir_score
+           FROM bkts CROSS JOIN lut)
+         SELECT doc_id, lang, dsir_score,
+           CAST(dsir_score > 0.0 AS BIGINT) AS selected
+         FROM scored ORDER BY doc_id""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE np AS (
             SELECT doc_a, doc_b FROM (${DedupOps.exactJaccardOracleSql}) t),

@@ -12,11 +12,19 @@ class DsirSpec extends SparkSpec {
 
   /** Replay tokenization: Spark's split(text, ' ') keeps every empty
     * field (Java split with limit -1); bigrams pair adjacent tokens. */
-  private def bigrams(text: String): Seq[String] = {
+  private def bigrams(text: String): Seq[(String, String)] = {
     val t = text.split(" ", -1).toSeq
     if (t.length < 2) Seq.empty
-    else t.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    else t.sliding(2).map(p => (p(0), p(1))).toSeq
   }
+
+  /** Independent replay of the portable bucket hash: char fold
+    * (acc·31 + codepoint) mod 1e9+7 per token, (c1·31 + c2) mod 1e9+7
+    * mod B per bigram — pure Scala, no Spark expression shared. */
+  private def code(t: String): Long =
+    t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+  private def bucket(t1: String, t2: String): Int =
+    (((code(t1) * 31 + code(t2)) % 1000000007L) % B).toInt
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -28,17 +36,10 @@ class DsirSpec extends SparkSpec {
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
-    // bucket assignment shares ONLY the hash primitive (as SemDedupSpec
-    // shares the dot-product); counts, smoothing, scoring and selection
-    // are re-derived from the paper's formulas below
-    import spark.implicits._
-    val bkt = docs.flatMap(d => bigrams(d._3)).distinct.toSeq.toDF("g")
-      .select(col("g"), pmod(xxhash64(col("g")), lit(B.toLong)).cast("int"))
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val nT = new Array[Long](B); val nR = new Array[Long](B)
     docs.foreach { case (_, lang, text) =>
-      bigrams(text).foreach { g =>
-        val b = bkt(g)
+      bigrams(text).foreach { case (t1, t2) =>
+        val b = bucket(t1, t2)
         nR(b) += 1
         if (lang == "en") nT(b) += 1
       }
@@ -50,7 +51,8 @@ class DsirSpec extends SparkSpec {
         math.log((nR(i) + 1).toDouble / rTot)
     }
     val want = docs.map { case (id, lang, text) =>
-      val s = round6(bigrams(text).foldLeft(0.0d)((acc, g) => acc + lut(bkt(g))))
+      val s = round6(bigrams(text).foldLeft(0.0d) { case (acc, (t1, t2)) =>
+        acc + lut(bucket(t1, t2)) })
       (id, lang, s, if (s > 0.0d) 1L else 0L)
     }
     assert(got.toSeq == want.toSeq, "DSIR frame diverges from the replay")
