@@ -51,9 +51,14 @@ object Bench {
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1.0 sentinels are ERRORS, not timings: summing them deflates the
+    // headline (round 9's committed value read 50.08 s while 24 queries
+    // crashed). The total covers only measured queries; `failed` carries
+    // the crash count so automation can detect a red run from the JSON.
+    val (ok, bad) = results.partition(_._2 >= 0.0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","measured":${ok.size},"failed":${bad.size},"queries":$qs,"sf":"$sfDir"}"""
     // the CANONICAL artifact is the file — written whole, it cannot be
     // byte-truncated the way a captured stdout tail can; the single
     // printed line serves line-oriented consumers (no duplicates).
@@ -71,5 +76,12 @@ object Bench {
       }
     println(line)
     spark.stop()
+    // A red bench run must be machine-detectable: the round-9 harness
+    // recorded rc=0 with 24 crashed queries. Exit non-zero if any query
+    // returned the -1.0 sentinel (after the artifact is safely written).
+    if (bad.nonEmpty) {
+      Console.err.println(s"ERROR: ${bad.size} queries failed: ${bad.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

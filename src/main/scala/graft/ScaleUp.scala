@@ -41,8 +41,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // raw events read needs the ns→long shim (the scaled copy then holds a
-    // plain BIGINT ns column, which Tables.events handles identically)
+    // if the source events fixture is ns-encoded, the raw read needs the
+    // ns→long shim and the scaled copy holds a plain BIGINT ns column; a
+    // µs fixture passes through as TIMESTAMP/NTZ — Tables.events sniffs
+    // the resolved type and normalizes either encoding (FixtureDriftSpec)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for ((table, keys) <- keyCols) {
       val base = Tables.load(spark, src, table)

@@ -35,40 +35,40 @@ object DsirSelect {
     * unlike xxhash64 (not reproducible in DuckDB), which is what makes
     * this key SQL-oracle-able. The fixture vocabulary maps injectively
     * under it (31/31 distinct codes), so bucket discrimination matches
-    * a cryptographic hash here. */
-  private def tokenCode(t: Column): Column =
-    aggregate(split(t, ""), lit(0L),
-      (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L)))
-
-  /** Per-doc bigram BUCKET array in document order: bucket of adjacent
-    * token-code pairs, (c1·31 + c2) mod 1e9+7 mod `b`. */
-  private def buckets(text: Column, b: Int): Column = {
-    val codes = transform(split(text, " "), tokenCode(_))
-    zip_with(slice(codes, lit(1), size(codes) - 1),
-      slice(codes, lit(2), size(codes) - 1),
-      (c1, c2) => pmod(pmod(c1 * 31 + c2, lit(1000000007L)),
-        lit(b.toLong)).cast("int"))
-  }
+    * a cryptographic hash here.
+    *
+    * The fold + bigram-bucket chain is computed by the fused codegen
+    * expression `DsirBucketCodes` (functions/DsirExprs.scala) — the
+    * interpreted HOF form it replaces (`transform(split)`+`aggregate`+
+    * `zip_with(slice,slice)`) was measured at 6× the family median
+    * (round-9 verdict). Identical semantics, pinned in DsirSpec. */
+  private def buckets(text: Column, b: Int): Column =
+    graft.functions.DsirExprs.buckets(text, b)
 
   /** (doc_id, lang, dsir_score, selected) for every document; target =
     * rows where `targetPred` holds (here: lang = 'en'). */
   def select(docs: DataFrame, targetPred: Column, b: Int = 4096): DataFrame = {
     val withBkts = docs.select(col("doc_id"), col("lang"),
       buckets(col("text"), b).as("bkts"))
+    // ONE ≤ B-row count frame carrying both marginals — the entire
+    // trained model in a single explode+groupBy job (was two jobs, each
+    // re-running the bucketizer over the corpus)
     val occ = withBkts.select(col("lang"), explode(col("bkts")).as("bkt"))
-    // two ≤ B-row count frames — the entire trained model
-    def counts(df: DataFrame): Array[Long] = {
-      val a = new Array[Long](b)
-      Local.modelRows(df.groupBy("bkt").agg(count(lit(1)).as("n")))
-        .foreach(r => a(r.getInt(0)) = r.getLong(1))
-      a
-    }
-    val nT = counts(occ.filter(targetPred))
-    val nR = counts(occ)
+    val nT = new Array[Long](b)
+    val nR = new Array[Long](b)
+    Local.modelRows(
+      occ.groupBy("bkt").agg(
+        count(lit(1)).as("n_all"),
+        sum(when(targetPred, 1L).otherwise(0L)).as("n_tgt")))
+      .foreach { r =>
+        nR(r.getInt(0)) = r.getLong(1)
+        nT(r.getInt(0)) = r.getLong(2)
+      }
     val lut = logRatios(nT, nR, b)
-    val lutLit = typedLit(lut.toSeq)
-    val score = aggregate(col("bkts"), lit(0.0d),
-      (acc, bk) => acc + element_at(lutLit, bk + 1))
+    // scoring is the fused left-to-right lookup sum — one primitive
+    // double[] shipped once via the codegen reference array, not a boxed
+    // 4096-double typedLit per occurrence (the SdcLookupSum discipline)
+    val score = graft.functions.DsirExprs.lookupSum(col("bkts"), lut)
     withBkts
       .select(col("doc_id"), col("lang"), round(score, 6).as("dsir_score"))
       .withColumn("selected", (col("dsir_score") > 0.0d).cast("long"))

@@ -21,21 +21,33 @@ object Tables {
   def part(s: SparkSession, d: String)       = load(s, d, "part")
   def orders(s: SparkSession, d: String)     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL) unless the legacy conf maps it to a long. Read
-    * the raw ns-since-epoch long, then integer-divide to µs (identical
-    * truncation to DuckDB's epoch_us; `div` is exact on int64 where a
-    * double division would lose ULPs at 1.7e18). Exposed `ts` is a regular
-    * µs TIMESTAMP, so window()/session_window()/epochUs work unchanged. */
+  /** `events.ts` has drifted across fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 rejects outright unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a long) and
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TimestampNTZ).
+    * Sniff the RESOLVED type after load and normalize, so the exposed `ts`
+    * is always a regular µs TIMESTAMP and window()/session_window()/
+    * unix_micros work unchanged whatever the footer encodes:
+    *   - LongType (ns-as-long): integer-divide to µs (`div` is exact on
+    *     int64 where a double division would lose ULPs at 1.7e18; same
+    *     truncation as DuckDB's epoch_us).
+    *   - TimestampNTZType: cast to TIMESTAMP under the pinned UTC session
+    *     TZ — a pure re-tag of the stored µs value, no arithmetic.
+    *   - TimestampType: already what we want. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Set once in the Bench/Verify/SparkSpec session builders; kept here
-    // DEFENSIVELY so an external caller's vanilla session still reads the
-    // ns fixture (idempotent, but hidden session-global state — builders
-    // are the proper home).
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Defensive: lets a vanilla external session read a ns-encoded fixture.
+    // Harmless for µs fixtures (the conf only affects NANOS columns).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected ns-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(s: SparkSession, d: String)  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
