@@ -1,0 +1,83 @@
+package graft.operators
+
+import breeze.linalg.{eigSym, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+import graft.util.Local
+
+/** PCA whitening over an embedding column — the "embedding hygiene"
+  * stage of a retrieval/dedup pipeline (whitening is the standard
+  * pre-step before product quantization and cosine indexing: it
+  * decorrelates dimensions so PQ subspaces carry equal information).
+  *
+  * 100-TB shape: the corpus-sized work is ONE map-side-combinable
+  * aggregate producing a MODEL-SIZED frame — the d-vector of sums and
+  * the d×d Gram matrix as (i, j, Σ xᵢxⱼ) cells (d²+d rows total,
+  * d=64 → 4,160 cells regardless of corpus size; partial aggregation
+  * collapses every task's slice before the exchange, so the shuffle
+  * carries ≤ d² rows per task). The eigendecomposition runs on the
+  * DRIVER over the 64×64 covariance (breeze `eigSym` — public Spark
+  * ships breeze with MLlib), exactly the model-fold discipline of
+  * DsirSelect/SdcKnnJoin: corpus → tiny model → literal → map-only
+  * apply. Projection is k dot products per row against broadcast
+  * component literals (codegen'd DotProduct), no shuffle.
+  *
+  * Determinism: `eigSym` is deterministic for a fixed matrix; the
+  * remaining ambiguity (eigenvector sign) is pinned by forcing the
+  * largest-|coordinate| entry of each component positive. Distributed
+  * float sums re-associate under different partitionings — results are
+  * replay-stable on a fixed plan+fixture (the PreflightSpec contract)
+  * and the spec asserts the INVARIANTS (orthonormality, decreasing
+  * variance, unit whitened variance) rather than golden floats.
+  */
+object EmbedPca {
+
+  /** (vec_id, z: array<double>) — embeddings projected onto the top-k
+    * principal components and whitened (unit variance per component). */
+  def whiten(s: SparkSession, emb: DataFrame, dim: Int, k: Int): DataFrame = {
+    val rows = emb.select(col("vec_id"), col("v"))
+    // ONE pass: n, per-dim sums, upper-triangle Gram cells
+    val cells = rows.select(explode(expr(
+      s"""transform(sequence(0, ${dim - 1}), i ->
+            struct(i as i, v[i] as xi))""")).as("a"), col("v"))
+      .select(col("a.i"), col("a.xi"), col("v"))
+      .select(col("i"), col("xi"), explode(expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+              struct(j as j, v[j] as xj))""")).as("b"))
+      .filter(col("b.j") >= col("i"))
+      .groupBy(col("i"), col("b.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+        sum(col("xi") * col("b.xj")).as("sxx"))
+    val local = Local.modelRows(cells)
+    val n = local.head.getLong(2).toDouble
+    val sums = new Array[Double](dim)
+    val gram = DenseMatrix.zeros[Double](dim, dim)
+    local.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      gram(i, j) = r.getDouble(4); gram(j, i) = r.getDouble(4)
+      if (i == j) sums(i) = r.getDouble(3)
+    }
+    val mean = DenseVector(sums.map(_ / n))
+    val cov = (gram - (mean * mean.t) * n) / (n - 1.0)
+    val es = eigSym(cov) // ascending eigenvalues
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(k)
+    val comps: Seq[(Array[Double], Double)] = order.map { idx =>
+      val v = es.eigenvectors(::, idx).toArray
+      // sign pin: largest-|coordinate| entry positive
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      val sgn = if (v(m) < 0) -1.0 else 1.0
+      (v.map(_ * sgn), math.max(es.eigenvalues(idx), 1e-12))
+    }
+    val meanLit = typedLit(mean.toArray.toSeq)
+    val centered = zip_with(col("v"), meanLit, (x, m) => x - m)
+    val zCols = comps.zipWithIndex.map { case ((vec, lam), c) =>
+      (VectorExprs.dot(centered, typedLit(vec.toSeq)) / math.sqrt(lam))
+        .as(s"z$c")
+    }
+    rows.select(col("vec_id") +: zCols: _*)
+      .select(col("vec_id"),
+        array(comps.indices.map(c => round(col(s"z$c"), 4)): _*).as("z"))
+  }
+}

@@ -91,6 +91,19 @@ object LlmOps {
                             queryId = 0, k = 10)
     }),
 
+    // ---- PCA whitening of the embedding column (the pre-PQ/indexing
+    // hygiene step): corpus → ONE map-side-combinable d²-cell Gram
+    // aggregate → 64×64 driver eigendecomposition (breeze, model-sized)
+    // → map-only k=16 whitened projection via codegen dots against
+    // component literals. Test-oracled (EmbedPcaSpec: breeze replay +
+    // unit-variance/orthogonality invariants) — eigenvector floats are
+    // not SQL-replicable.
+    "q_embed_pca" -> ((s, d) => {
+      graft.operators.EmbedPca.whiten(s,
+        embDouble(Tables.embeddings(s, d)), dim = 64, k = 16)
+        .orderBy("vec_id")
+    }),
+
     "q_sim_join" -> ((s, d) => {
       // All pairs with cosine >= 0.4 (fixture cosines top out at ~0.51;
       // a 0.95 threshold would be vacuously empty) — EXACT, via the

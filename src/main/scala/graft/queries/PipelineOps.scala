@@ -294,10 +294,75 @@ object PipelineOps {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")
+    }),
+
+    // ---- token-budget selection (the DataComp "fixed token budget"
+    // step): keep documents in priority order (n_chars desc, doc_id asc)
+    // while the running token total stays within 60% of the corpus. The
+    // naive form is ONE unpartitioned cumsum window = whole corpus in a
+    // single task; here rank/cumsum decompose through a distinct-key
+    // histogram + broadcast offsets + per-key windows (RankedSelection
+    // Scaladoc) — every number an exact integer, so the distributed form
+    // is bit-equal to the oracle's naive window.
+    "q_select_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.operators.RankedSelection
+        .budgetSelect(s, docs, "doc_id", "n_chars", "n_tok", 0.6)
+        .select(col("doc_id"), col("n_tok"), col("rank"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- balanced shard assignment (tokenizer/training-file sharding:
+    // K output files with near-equal token totals): boustrophedon over
+    // the (n_tok desc, doc_id) order — rank via the same histogram
+    // decomposition, shard = snake(rank-1, 8); no greedy sequential
+    // state, so assignment is a pure function of the rank and replayable
+    // from the corpus alone. Balance bound pinned in RankedSelectionSpec.
+    "q_shard_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.operators.RankedSelection
+        .snakeShards(s, docs, "doc_id", "n_tok", 8)
+        .select(col("doc_id"), col("n_tok"), col("rank"), col("shard"))
+        .orderBy("doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // budget select / shard balance: the oracle runs the NAIVE
+    // unpartitioned window (fine on DuckDB's single node); the Spark
+    // side computes the identical integers through the histogram
+    // decomposition — the equality IS the interesting assertion.
+    "q_select_budget" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+           c AS (SELECT doc_id, n_tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                 AS BIGINT) AS rank,
+               CAST(SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM t)
+         SELECT doc_id, n_tok, rank, cum_tokens FROM c
+         WHERE cum_tokens <= CAST(floor(0.6 *
+           (SELECT CAST(SUM(n_tok) AS DOUBLE) FROM t)) AS BIGINT)
+         ORDER BY doc_id""",
+    "q_shard_balance" ->
+      """WITH t AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+           r AS (SELECT doc_id, n_tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id)
+                 AS BIGINT) AS rank
+             FROM t)
+         SELECT doc_id, n_tok, rank,
+           CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+                ELSE 7 - (rank - 1) % 8 END AS shard
+         FROM r ORDER BY doc_id""",
     // DSIR: replicate the estimator end-to-end — portable char-fold
     // bucket hash, add-one-smoothed ln ratios over a generated 0..B-1
     // bucket spine, per-doc score as the SAME left-to-right fold over

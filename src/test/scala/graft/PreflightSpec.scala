@@ -14,7 +14,8 @@ class PreflightSpec extends SparkSpec {
     Set("q_agg_approx_distinct", "q_agg_approx_percentile",
         "q_agg_sketch_union", "q_agg_sketch_table",
         "q_dedup_simhash", "q_dedup_semantic", "q_knn_lsh", "q_knn_ivf",
-        "q_knn_pq", "q_knn_ivfpq", "q_knn_index_query", "q_knn_join_ann")
+        "q_knn_pq", "q_knn_ivfpq", "q_knn_index_query", "q_knn_join_ann",
+        "q_embed_pca")
 
   test("every query has an oracle (SQL or test) and every oracle a query") {
     val q = SparkEntry.queries.keySet
