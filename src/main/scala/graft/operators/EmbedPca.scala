@@ -38,28 +38,20 @@ object EmbedPca {
     * principal components and whitened (unit variance per component). */
   def whiten(s: SparkSession, emb: DataFrame, dim: Int, k: Int): DataFrame = {
     val rows = emb.select(col("vec_id"), col("v"))
-    // ONE pass: n, per-dim sums, upper-triangle Gram cells
-    val cells = rows.select(explode(expr(
-      s"""transform(sequence(0, ${dim - 1}), i ->
-            struct(i as i, v[i] as xi))""")).as("a"), col("v"))
-      .select(col("a.i"), col("a.xi"), col("v"))
-      .select(col("i"), col("xi"), explode(expr(
-        s"""transform(sequence(0, ${dim - 1}), j ->
-              struct(j as j, v[j] as xj))""")).as("b"))
-      .filter(col("b.j") >= col("i"))
-      .groupBy(col("i"), col("b.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
-        sum(col("xi") * col("b.xj")).as("sxx"))
-    val local = Local.modelRows(cells)
-    val n = local.head.getLong(2).toDouble
-    val sums = new Array[Double](dim)
+    // ONE GramAgg fold: [n, per-dim sums, upper-triangle Σxxᵀ] in a flat
+    // 2,145-double buffer — zero intermediate rows (the explode+groupBy
+    // form it replaces churned d²/2 rows per input row; 2.8 s → see
+    // GramAgg Scaladoc)
+    val flat = Local.modelRows(
+      rows.agg(graft.functions.GramAgg.gram(col("v"), dim).as("g")))
+      .head.getSeq[Double](0).toArray
+    val n = flat(0)
     val gram = DenseMatrix.zeros[Double](dim, dim)
-    local.foreach { r =>
-      val i = r.getInt(0); val j = r.getInt(1)
-      gram(i, j) = r.getDouble(4); gram(j, i) = r.getDouble(4)
-      if (i == j) sums(i) = r.getDouble(3)
+    var t = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      gram(i, j) = flat(t); gram(j, i) = flat(t); t += 1
     }
-    val mean = DenseVector(sums.map(_ / n))
+    val mean = DenseVector(flat.slice(1, 1 + dim).map(_ / n))
     val cov = (gram - (mean * mean.t) * n) / (n - 1.0)
     val es = eigSym(cov) // ascending eigenvalues
     val order = (0 until dim).sortBy(i => -es.eigenvalues(i)).take(k)

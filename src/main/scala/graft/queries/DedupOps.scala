@@ -307,6 +307,43 @@ object DedupOps {
       AnnIndex.query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
     }),
 
+    // ---- TWO-STAGE retrieval (the production serving shape): the
+    // stored IVF+PQ index nominates an over-fetched candidate pool
+    // (4× the final k, quantized distances), then the EXACT cosine
+    // re-ranks ONLY those candidates against their raw vectors — a
+    // 40-row broadcast semi-join point-fetch, never a corpus scan. PQ
+    // error then affects only candidate SELECTION, not final order:
+    // within the probed cells the ranking is exact (law pinned in
+    // RerankSpec), which is why every ANN system re-ranks. Cost at
+    // 100 TB: index probe (pruned file listing) + k·4 row lookups.
+    "q_knn_rerank" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val root = Scans.scratch("annindex", s, d)
+      lazy val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+      if (!AnnIndex.exists(s, root))
+        AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v")).first().getSeq[Double](0)
+      // Over-fetch 10× the final k (vs 4× first tried): the pool is
+      // nominated by QUANTIZED distances, so a too-small pool lets ADC
+      // noise crowd out true neighbors (measured recall@10: 0.7 at
+      // n=40/nprobe=2, and WIDENING cells without widening the pool made
+      // it worse — 0.5 at n=40/nprobe=3, the extra cell's noisy
+      // candidates displacing true ones). A 100-row pool is still a
+      // point-fetch; re-rank cost stays O(pool), not O(corpus).
+      val cand = AnnIndex
+        .query(s, root, qv, nprobe = 3, n = 100, excludeId = Some(0L))
+        .select("vec_id")
+      emb.join(broadcast(cand), "vec_id")
+        .withColumn("cos",
+          round(graft.functions.VectorExprs.dot(col("v"), typedLit(qv)), 6))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("cos"))
+    }),
+
     // ---- MinHash/LSH dedup index AT REST (operators.DedupIndex): the
     // artifact form of q_dedup_minhash, and the INCREMENTAL dedup shape —
     // the corpus (doc_id % 5 != 0, standing in for the already-indexed

@@ -91,6 +91,30 @@ object LlmOps {
                             queryId = 0, k = 10)
     }),
 
+    // ---- k-means corpus clustering as a FIRST-CLASS surface (the
+    // bucketing primitive the mixing/curriculum/SemDedup stages build
+    // on): deterministic spherical k-means (operators.IvfKMeans —
+    // hash-sampled seeds, DECIMAL-exact centroid sums, so assignments
+    // are bit-stable run-to-run), then one broadcast assignment pass.
+    // Corpus cost = iters × (broadcast cross join + map-side-combinable
+    // mean) — no corpus shuffle keyed on anything but the tiny k-row
+    // model. Test-oracled (ClusterSpec: argmax-cosine replay + Lloyd
+    // objective monotonicity) — float centroids aren't SQL-replicable.
+    "q_cluster_kmeans" -> ((s, d) => {
+      val emb = embDouble(Tables.embeddings(s, d))
+      val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", graft.functions.VectorExprs.dot(col("v"), col("cv"))
+          / (col("nrm") * col("cnrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
+          round(col("sim"), 6).as("cohesion"))
+        .orderBy("vec_id")
+    }),
+
     // ---- PCA whitening of the embedding column (the pre-PQ/indexing
     // hygiene step): corpus → ONE map-side-combinable d²-cell Gram
     // aggregate → 64×64 driver eigendecomposition (breeze, model-sized)
