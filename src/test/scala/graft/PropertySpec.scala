@@ -522,4 +522,47 @@ class PropertySpec extends SparkSpec {
       assert(want.nonEmpty, "generator must produce near-dup pairs")
     }
   }
+
+  test("rankAndCumsum ≡ naive global window for ANY keys/weights (incl. all-ties)") {
+    // keys drawn from a TINY domain so heavy ties (the documented skew
+    // caveat) and the all-equal degenerate case are actually generated
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L)))
+    forAll(gen) { rows =>
+      whenever(rows.nonEmpty) {
+        val in = rows.zipWithIndex
+          .map { case ((k, w), i) => (i.toLong, k, w) }
+        val df = in.toDF("id", "key", "w")
+        val got = graft.operators.RankedSelection
+          .rankAndCumsum(spark, df, "id", "key", "w")
+          .select("id", "rank", "cum_weight").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var cum = 0L
+        val want = in.sortBy { case (id, k, _) => (-k, id) }
+          .zipWithIndex.map { case ((id, _, w), i) =>
+            cum += w; (id, (i + 1).toLong, cum)
+          }.sortBy(_._1).toArray
+        assert(got.toSeq == want.toSeq,
+          "histogram-decomposed rank/cumsum diverges from the naive window")
+      }
+    }
+  }
+
+  test("snake sharding: every rank appears once; totals within 2×max for ANY weights") {
+    val gen = Gen.listOfN(48, Gen.choose(1L, 50L))
+    forAll(gen) { ws =>
+      val in = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val df = in.toDF("id", "w")
+      val got = graft.operators.RankedSelection
+        .snakeShards(spark, df, "id", "w", 4)
+        .select("id", "rank", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._2).sorted.toSeq == (1L to in.size.toLong).toSeq,
+        "ranks are not a permutation of 1..n")
+      val wById = in.toMap
+      val totals = got.groupBy(_._3).view
+        .mapValues(_.map(p => wById(p._1)).sum).values.toSeq
+      assert(totals.max - totals.min <= 2 * ws.max,
+        s"snake spread ${totals.max - totals.min} > 2×max ${2 * ws.max}")
+    }
+  }
 }
