@@ -14,17 +14,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up across the distinct physical paths (hash join, hash
-    // agg, window function, events ns-shim scan) — JIT + codegen + parquet
-    // footer caches, so timed queries measure the operator, not JVM startup.
-    for (w <- Seq("q_join_inner", "q_agg_hash", "q_win_rank", "q_tumbling"))
-      try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
-      catch { case _: Throwable => () }
-    // min of three runs: steady-state operator cost, insulated from one-off
-    // JIT/GC noise (each run is a full plan + execute — nothing is cached;
-    // ambient VM load was measured swinging full-bench totals ±30%, and the
-    // min is the statistic that converges on the true operator cost).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // optional key filter (comma-separated) for targeted tiers — e.g. the
     // heavy tail at a 10x replica tier, written to its OWN artifact so
     // the canonical full-suite BENCH.json is never clobbered by a subset
@@ -34,6 +23,21 @@ object Bench {
       case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
+    // Untimed warm-up across the distinct physical paths (hash join, hash
+    // agg, window function, events timestamp-shim scan) — JIT + codegen +
+    // parquet footer caches, so timed queries measure the operator, not
+    // JVM startup. Under a key filter, warm only SELECTED keys: on a big
+    // replica tier an unselected 60M-row warm-up join would dominate the
+    // wall clock for keys that never touch those tables.
+    for (w <- Seq("q_join_inner", "q_agg_hash", "q_win_rank", "q_tumbling")
+           if keyFilter.forall(_(w)))
+      try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+    // min of three runs: steady-state operator cost, insulated from one-off
+    // JIT/GC noise (each run is a full plan + execute — nothing is cached;
+    // ambient VM load was measured swinging full-bench totals ±30%, and the
+    // min is the statistic that converges on the true operator cost).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

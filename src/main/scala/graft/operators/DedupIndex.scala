@@ -17,18 +17,24 @@ import org.apache.spark.sql.functions._
   *   root/profiles/ — (doc_id, ss, n_sh)              sorted shingle sets
   *
   * Scale shape of the query path (the whole point of the artifact):
-  *  - the BATCH side is signatured in flight (batch ≪ corpus) and its
-  *    band rows are BROADCAST, so candidate generation is one streaming
-  *    scan of the stored band table through a BroadcastHashJoin — the
-  *    corpus is never shuffled, and the band files are written sorted on
-  *    (band_idx, band_hash) so parquet min/max row-group stats prune
-  *    buckets that no batch band touches;
+  *  - the BATCH side is signatured in flight (batch ≪ corpus) and, for
+  *    INCREMENT-SIZED batches, its band rows are BROADCAST, so candidate
+  *    generation is one streaming scan of the stored band table through a
+  *    BroadcastHashJoin — the corpus is never shuffled, and the band
+  *    files are written sorted on (band_idx, band_hash) so parquet
+  *    min/max row-group stats prune buckets that no batch band touches;
   *  - exact-Jaccard verification joins the (batch-bounded) candidate set
   *    against the stored PROFILES table the same way — candidates
   *    broadcast, profile scan streams, zero corpus shuffle. Precision is
   *    exact (array_intersect on the stored sorted sets); the only
   *    approximation is banding recall at the threshold, identical to
-  *    q_dedup_minhash (b=8, r=2: P(candidate | J=0.8) ≈ 0.9997).
+  *    q_dedup_minhash (b=8, r=2: P(candidate | J=0.8) ≈ 0.9997);
+  *  - the broadcast is ADAPTIVE: above ~20k batch docs the profile
+  *    payload (full shingle sets) outgrows any driver, so queryBatch
+  *    falls back to plain shuffle joins — the correct plan once the
+  *    "batch" is itself corpus-scale (found the hard way: a 100k-doc
+  *    batch at the 100× probe tier OOMed the forced broadcast; a
+  *    backfill that large should shuffle, and does).
   *
   * The batch-vs-corpus contract means a pipeline alternates
   * queryBatch → append: accepted batches join the index incrementally,
@@ -103,16 +109,22 @@ object DedupIndex {
   def queryBatch(s: SparkSession, root: String, batchShingles: DataFrame,
                  k: Int = 16, b: Int = 8, r: Int = 2,
                  threshold: Double = 0.8): DataFrame = {
+    // adaptive plan pick: one bounded count decides increment vs
+    // backfill (the count is O(batch) — trivial next to signaturing)
+    val nBatch = batchShingles.select("doc_id").distinct().count()
+    def batchSized(df: DataFrame): DataFrame =
+      if (nBatch <= 20000) broadcast(df) else df
     val batchBands =
       MinHashLSH.bands(MinHashLSH.signatures(batchShingles, k), b, r)
         .withColumnRenamed("doc_id", "batch_doc")
-    // candidate generation: batch bands broadcast, stored bands stream
+    // candidate generation: batch bands broadcast (increment) or
+    // shuffled (backfill), stored bands stream either way
     val cands = s.read.parquet(bandsDir(root))
-      .join(broadcast(batchBands), Seq("band_idx", "band_hash"))
+      .join(batchSized(batchBands), Seq("band_idx", "band_hash"))
       .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
       .distinct()
-    // exact verify: candidates (batch-bounded) broadcast against the
-    // stored profiles; batch profiles computed in flight
+    // exact verify: candidates (batch-bounded) against the stored
+    // profiles; batch profiles computed in flight
     val verified = cands
       .join(profiles(batchShingles)
               .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
@@ -120,7 +132,7 @@ object DedupIndex {
     s.read.parquet(profilesDir(root))
       .select(col("doc_id").as("corpus_doc"), col("ss").as("sb"),
               col("n_sh").as("n_b"))
-      .join(broadcast(verified), Seq("corpus_doc"))
+      .join(batchSized(verified), Seq("corpus_doc"))
       .withColumn("n_inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard_raw",
