@@ -79,6 +79,19 @@ class RerankSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size >= 2, "degenerate clustering")
   }
 
+  test("q_cluster_assign ≡ q_cluster_kmeans (stored model, identical output)") {
+    val live = SparkEntry.queries("q_cluster_kmeans")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val atRest = SparkEntry.queries("q_cluster_assign")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(atRest == live,
+      "assignment from the stored centroid table diverges from in-flight training")
+    // second call must answer WITHOUT retraining (artifact already there)
+    val again = SparkEntry.queries("q_cluster_assign")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(again == live)
+  }
+
   test("q_cluster_kmeans: Lloyd objective is monotone in iterations") {
     val emb = graft.queries.LlmOps.embDouble(
       spark.read.parquet(s"$sf0001/embeddings.parquet"))
