@@ -530,6 +530,43 @@ object Streams {
   def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
     graft.operators.AnnIndex.append(batch, root, batchId = batchId + 1)
 
+  /** s_cluster_assign — continuous topic-bucketing, the streaming face
+    * of q_cluster_assign: each micro-batch of (vec_id, v: array<double>)
+    * is assigned to its max-cosine centroid from the STORED k-row model
+    * (no retraining — assignment is a per-row map against a broadcast
+    * model-sized table, so per-batch cost is O(batch), never O(corpus))
+    * and committed under its own `_SUCCESS`-marked version dir.
+    * foreachBatch's stable batchId makes replay exactly-once: a
+    * re-delivered batch overwrites only its own version. Invariants
+    * (spec-pinned): the union of streamed assignments equals the batch
+    * twin's output under ANY micro-batch slicing (deterministic model +
+    * per-row map ⇒ batching-invariant by construction), and replaying a
+    * committed batch changes nothing. */
+  def clusterAssign(batch: DataFrame, centsRoot: String, outDir: String,
+                    batchId: Long): Unit = {
+    val cents = batch.sparkSession.read.parquet(centsRoot)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
+    batch.withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", graft.functions.VectorExprs.dot(col("v"), col("cv"))
+        / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
+        round(col("sim"), 6).as("cohesion"))
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+  }
+
+  /** Union of all assignments committed by [[clusterAssign]] — readers
+    * see whole batches only (version dirs marked `_SUCCESS`). */
+  def committedAssignments(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed assignment versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Committed (`_SUCCESS`-marked) `v=` version dirs under `dir`, name
     * order. Listed through the Hadoop FileSystem of the path — the
     * pairs/tables are WRITTEN via Spark's Hadoop-FS writers to any FS

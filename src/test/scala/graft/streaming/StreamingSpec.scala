@@ -935,4 +935,43 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(max("n").as("n"))
     assert(sortedRows(lastPerUser) === sortedRows(agg(all.toDF())))
   }
+
+  test("s_cluster_assign: streamed assignments ≡ batch twin under any slicing, replay-idempotent") {
+    // continuous topic-bucketing against the stored centroid model: the
+    // union of per-micro-batch assignments must equal the batch twin's
+    // output whatever the batch boundaries, and replaying a committed
+    // batch must change nothing.
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val cents = s"$tmp/graft_scluster_cents"
+    val out = s"$tmp/graft_scluster_out"
+    for (p <- Seq(cents, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val emb = graft.queries.LlmOps.embDouble(Tables.embeddings(spark, sf0001))
+    graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 5)
+      .write.parquet(cents)
+    // the batch twin trains the identical deterministic model, so its
+    // output IS the truth for the streamed union
+    val want = graft.SparkEntry.queries("q_cluster_assign")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = emb.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val q = mem.toDF().toDF("vec_id", "v").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.clusterAssign(b, cents, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedAssignments(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed assignment union diverges from the batch twin")
+    Streams.clusterAssign(
+      groups.last.toDF("vec_id", "v"), cents, out, (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the assignments")
+  }
 }
