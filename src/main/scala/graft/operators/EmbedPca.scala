@@ -46,6 +46,7 @@ object EmbedPca {
       rows.agg(graft.functions.GramAgg.gram(col("v"), dim).as("g")))
       .head.getSeq[Double](0).toArray
     val n = flat(0)
+    require(n >= 2, s"PCA needs >= 2 vectors, got ${n.toLong}")
     val gram = DenseMatrix.zeros[Double](dim, dim)
     var t = 1 + dim
     for (i <- 0 until dim; j <- i until dim) {

@@ -70,8 +70,10 @@ object RankedSelection {
     * total. Returns only the kept docs. */
   def budgetSelect(s: SparkSession, docs: DataFrame, id: String,
                    key: String, weight: String, frac: Double): DataFrame = {
+    // coalesce: SUM over an empty frame is null, and an empty corpus
+    // should select nothing, not NPE
     val total = Local.modelRows(
-      docs.agg(sum(col(weight)).as("t"))).head.getLong(0)
+      docs.agg(coalesce(sum(col(weight)), lit(0L)).as("t"))).head.getLong(0)
     // same IEEE double product both engines evaluate (frac * total)
     val budget = math.floor(frac * total.toDouble).toLong
     rankAndCumsum(s, docs, id, key, weight)

@@ -50,6 +50,13 @@ class RankedSelectionSpec extends SparkSpec {
       s"shard totals spread ${totals.max - totals.min} exceeds 2×max-doc $maxTok")
   }
 
+  test("budgetSelect on an empty corpus selects nothing (no NPE on the null sum)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "key", "w")
+    assert(graft.operators.RankedSelection
+      .budgetSelect(spark, empty, "id", "key", "w", 0.6).count() == 0L)
+  }
+
   test("no unpartitioned window survives in either plan (the scale contract)") {
     for (key <- Seq("q_select_budget", "q_shard_balance")) {
       val plan = SparkEntry.queries(key)(spark, sf0001)
