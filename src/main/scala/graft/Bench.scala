@@ -23,6 +23,14 @@ object Bench {
       case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None     => SparkEntry.queries
     }
+    // a filter that matches nothing (typo'd key list) must be a RED run,
+    // not a green empty artifact — same rationale as the -1.0 exit below
+    for (ks <- keyFilter if selected.isEmpty) {
+      Console.err.println(
+        s"ERROR: SPARK_GRAFT_BENCH_KEYS matched no declared keys: ${ks.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     // Untimed warm-up across the distinct physical paths (hash join, hash
     // agg, window function, events timestamp-shim scan) — JIT + codegen +
     // parquet footer caches, so timed queries measure the operator, not

@@ -29,12 +29,18 @@ import org.apache.spark.sql.functions._
   *    exact (array_intersect on the stored sorted sets); the only
   *    approximation is banding recall at the threshold, identical to
   *    q_dedup_minhash (b=8, r=2: P(candidate | J=0.8) ≈ 0.9997);
-  *  - the broadcast is ADAPTIVE: above ~20k batch docs the profile
-  *    payload (full shingle sets) outgrows any driver, so queryBatch
-  *    falls back to plain shuffle joins — the correct plan once the
-  *    "batch" is itself corpus-scale (found the hard way: a 100k-doc
-  *    batch at the 100× probe tier OOMed the forced broadcast; a
-  *    backfill that large should shuffle, and does).
+  *  - the broadcasts are ADAPTIVE, each gated on the size of the frame
+  *    it actually ships: the bands join on batch DOC count (payload =
+  *    band rows), the profiles join on candidate PAIR count (payload =
+  *    pairs × full shingle sets — a small batch against a
+  *    high-duplication corpus fans out to millions of pairs, so doc
+  *    count alone would still OOM the driver). Above the thresholds
+  *    queryBatch falls back to plain shuffle joins — the correct plan
+  *    once the "batch" is itself corpus-scale (found the hard way: a
+  *    100k-doc batch at the 100× probe tier OOMed the forced
+  *    broadcast). The size facts cost two bounded jobs at call time
+  *    (the AQE trade); the batch shingles are checkpointed once so
+  *    nothing is shingled twice.
   *
   * The batch-vs-corpus contract means a pipeline alternates
   * queryBatch → append: accepted batches join the index incrementally,
@@ -109,30 +115,43 @@ object DedupIndex {
   def queryBatch(s: SparkSession, root: String, batchShingles: DataFrame,
                  k: Int = 16, b: Int = 8, r: Int = 2,
                  threshold: Double = 0.8): DataFrame = {
-    // adaptive plan pick: one bounded count decides increment vs
-    // backfill (the count is O(batch) — trivial next to signaturing)
-    val nBatch = batchShingles.select("doc_id").distinct().count()
-    def batchSized(df: DataFrame): DataFrame =
+    // Adaptive plan picks need SIZE FACTS, which cost bounded jobs (the
+    // same trade AQE makes): checkpoint the batch shingles once so the
+    // two decision counts never re-run the shingling, then key EACH
+    // broadcast on the size of the frame it actually ships —
+    //   bands join:    payload = batch BAND rows        → gate on docs
+    //   profiles join: payload = candidate PAIRS × full shingle sets
+    //                  → gate on PAIR count (a small batch against a
+    //                    high-duplication corpus can fan out to millions
+    //                    of pairs; doc count alone would still OOM the
+    //                    driver — the round-10 review catch)
+    val batchSh = batchShingles.localCheckpoint(true)
+    val nBatch = batchSh.select("doc_id").distinct().count()
+    def docSized(df: DataFrame): DataFrame =
       if (nBatch <= 20000) broadcast(df) else df
     val batchBands =
-      MinHashLSH.bands(MinHashLSH.signatures(batchShingles, k), b, r)
+      MinHashLSH.bands(MinHashLSH.signatures(batchSh, k), b, r)
         .withColumnRenamed("doc_id", "batch_doc")
     // candidate generation: batch bands broadcast (increment) or
     // shuffled (backfill), stored bands stream either way
     val cands = s.read.parquet(bandsDir(root))
-      .join(batchSized(batchBands), Seq("band_idx", "band_hash"))
+      .join(docSized(batchBands), Seq("band_idx", "band_hash"))
       .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
       .distinct()
-    // exact verify: candidates (batch-bounded) against the stored
+      .localCheckpoint(true) // two-long rows; reused by count + join
+    val nPairs = cands.count()
+    def pairSized(df: DataFrame): DataFrame =
+      if (nPairs <= 100000) broadcast(df) else df
+    // exact verify: candidates (pair-bounded) against the stored
     // profiles; batch profiles computed in flight
     val verified = cands
-      .join(profiles(batchShingles)
+      .join(profiles(batchSh)
               .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
                       col("n_sh").as("n_a")), Seq("batch_doc"))
     s.read.parquet(profilesDir(root))
       .select(col("doc_id").as("corpus_doc"), col("ss").as("sb"),
               col("n_sh").as("n_b"))
-      .join(batchSized(verified), Seq("corpus_doc"))
+      .join(pairSized(verified), Seq("corpus_doc"))
       .withColumn("n_inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard_raw",

@@ -63,11 +63,19 @@ object EmbedPca {
       val sgn = if (v(m) < 0) -1.0 else 1.0
       (v.map(_ * sgn), math.max(es.eigenvalues(idx), 1e-12))
     }
-    val meanLit = typedLit(mean.toArray.toSeq)
-    val centered = zip_with(col("v"), meanLit, (x, m) => x - m)
+    // z_c = (v·comp_c − mean·comp_c)/σ_c: the mean term is a per-component
+    // SCALAR folded on the driver (same left-to-right dot the row side
+    // runs), so the per-row work is k fused dot products — no per-row
+    // mean-centering zip_with allocating a 64-element array per
+    // component per row (HOF lambdas are not reliably CSE'd; the first
+    // form paid that 16×)
+    val meanArr = mean.toArray
     val zCols = comps.zipWithIndex.map { case ((vec, lam), c) =>
-      (VectorExprs.dot(centered, typedLit(vec.toSeq)) / math.sqrt(lam))
-        .as(s"z$c")
+      var meanDot = 0.0
+      var i = 0
+      while (i < dim) { meanDot += meanArr(i) * vec(i); i += 1 }
+      ((VectorExprs.dot(col("v"), typedLit(vec.toSeq)) - meanDot)
+        / math.sqrt(lam)).as(s"z$c")
     }
     rows.select(col("vec_id") +: zCols: _*)
       .select(col("vec_id"),

@@ -65,4 +65,23 @@ object IvfKMeans {
     // is what a real deployment does with an index artifact anyway
     graft.util.Local.model(cents)
   }
+
+  /** Final cluster assignment: every `emb` row (vec_id, v, nrm) to its
+    * max-cosine centroid from `cents` (cent_id, cv, cnrm) →
+    * (vec_id, cluster: long, cohesion: 6-dp cosine). The ONE definition
+    * behind q_cluster_kmeans, q_cluster_assign, and s_cluster_assign —
+    * their spec-pinned equivalences (batch ≡ at-rest ≡ streamed union)
+    * hold because all three share this code path, so a tie-break or
+    * rounding change cannot drift one surface away from the others. */
+  def assignClusters(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
+        round(col("sim"), 6).as("cohesion"))
+  }
 }

@@ -42,6 +42,13 @@ object RankedSelection {
     * `df` must have unique `id`; key/weight must be non-null longs. */
   def rankAndCumsum(s: SparkSession, df: DataFrame,
                     id: String, key: String, weight: String): DataFrame = {
+    // reject silent collisions: the operator appends rank/cum_weight and
+    // uses rank_off/w_off internally — a caller frame already carrying
+    // one of those would be overwritten (or fail analysis ambiguously)
+    val reserved = Seq("rank", "cum_weight", "rank_off", "w_off")
+    val clash = df.columns.toSet.intersect(reserved.toSet) -- Set(id, key, weight)
+    require(clash.isEmpty,
+      s"rankAndCumsum reserves columns ${reserved.mkString(", ")}; input already has ${clash.mkString(", ")}")
     // key histogram: model-sized by construction (distinct key values)
     val hist = Local.modelRows(
       df.groupBy(col(key)).agg(count(lit(1)).as("n"),

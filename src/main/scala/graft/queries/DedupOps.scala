@@ -118,6 +118,28 @@ object DedupOps {
       if (((x >>> 16) & 1L) == 1L) 1.0 else -1.0
     }
 
+  /** The shared (root, normalized embeddings, query vector) preamble of
+    * q_knn_index_query and q_knn_rerank. ONE definition because both
+    * answer from the SAME on-disk index root: the build parameters
+    * (k=8, m=16, dim=64, kCodes=16) must stay identical or whichever
+    * query runs first would silently determine the index the other
+    * answers from. */
+  private def annIndexFor(s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, DataFrame, Seq[Double]) = {
+    import graft.operators.AnnIndex
+    val root = Scans.scratch("annindex", s, d)
+    val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+    if (!AnnIndex.exists(s, root))
+      AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16)
+    // the query VECTOR is an input a retrieval API receives, not part
+    // of the index: one pushed-down single-row scan
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("v")).first().getSeq[Double](0)
+    (root, emb, qv)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- MinHash + banded LSH near-dup: the scale path of q_dedup_near.
     // Same output contract (pairs with exact J >= 0.8); candidates come
@@ -293,47 +315,32 @@ object DedupOps {
     // (same training samples/seeds/expressions — pinned in
     // AnnIndexSpec). Test-oracled like the other ANN surfaces.
     "q_knn_index_query" -> ((s, d) => {
-      import graft.operators.AnnIndex
-      val root = Scans.scratch("annindex", s, d)
-      lazy val emb = LlmOps.embDouble(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("v"))
-      if (!AnnIndex.exists(s, root))
-        AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16)
-      // the query VECTOR is an input a retrieval API receives, not part
-      // of the index: one pushed-down single-row scan
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("v")).first().getSeq[Double](0)
-      AnnIndex.query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
+      val (root, _, qv) = annIndexFor(s, d)
+      graft.operators.AnnIndex
+        .query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
     }),
 
     // ---- TWO-STAGE retrieval (the production serving shape): the
-    // stored IVF+PQ index nominates an over-fetched candidate pool
-    // (4× the final k, quantized distances), then the EXACT cosine
-    // re-ranks ONLY those candidates against their raw vectors — a
-    // 40-row broadcast semi-join point-fetch, never a corpus scan. PQ
+    // stored IVF+PQ index nominates a 100-candidate pool (nprobe=3,
+    // 10× the final k, quantized distances), then the EXACT cosine
+    // re-ranks ONLY those candidates against their raw vectors. PQ
     // error then affects only candidate SELECTION, not final order:
     // within the probed cells the ranking is exact (law pinned in
-    // RerankSpec), which is why every ANN system re-ranks. Cost at
-    // 100 TB: index probe (pruned file listing) + k·4 row lookups.
+    // RerankSpec), which is why every ANN system re-ranks. The
+    // candidate fetch here is a 100-row broadcast hash join probing
+    // the embeddings scan — O(pool) join work; at 100 TB the raw
+    // vectors would live in a keyed store and this join becomes true
+    // point lookups, but either way the EXACT work is bounded by the
+    // pool, never the corpus.
     "q_knn_rerank" -> ((s, d) => {
-      import graft.operators.AnnIndex
-      val root = Scans.scratch("annindex", s, d)
-      lazy val emb = LlmOps.embDouble(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("v"))
-      if (!AnnIndex.exists(s, root))
-        AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("v")).first().getSeq[Double](0)
+      val (root, emb, qv) = annIndexFor(s, d)
       // Over-fetch 10× the final k (vs 4× first tried): the pool is
       // nominated by QUANTIZED distances, so a too-small pool lets ADC
       // noise crowd out true neighbors (measured recall@10: 0.7 at
       // n=40/nprobe=2, and WIDENING cells without widening the pool made
       // it worse — 0.5 at n=40/nprobe=3, the extra cell's noisy
-      // candidates displacing true ones). A 100-row pool is still a
-      // point-fetch; re-rank cost stays O(pool), not O(corpus).
-      val cand = AnnIndex
+      // candidates displacing true ones).
+      val cand = graft.operators.AnnIndex
         .query(s, root, qv, nprobe = 3, n = 100, excludeId = Some(0L))
         .select("vec_id")
       emb.join(broadcast(cand), "vec_id")

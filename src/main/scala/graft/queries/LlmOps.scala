@@ -103,16 +103,7 @@ object LlmOps {
     "q_cluster_kmeans" -> ((s, d) => {
       val emb = embDouble(Tables.embeddings(s, d))
       val cents = graft.operators.IvfKMeans.centroids(emb, k = 8, iters = 5)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
-      emb.crossJoin(broadcast(cents))
-        .withColumn("sim", graft.functions.VectorExprs.dot(col("v"), col("cv"))
-          / (col("nrm") * col("cnrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
-          round(col("sim"), 6).as("cohesion"))
-        .orderBy("vec_id")
+      graft.operators.IvfKMeans.assignClusters(emb, cents).orderBy("vec_id")
     }),
 
     // ---- clustering AT REST: the train-once/assign-forever twin of
@@ -135,16 +126,7 @@ object LlmOps {
           .write.mode("overwrite").parquet(root)
       val cents = s.read.parquet(root)
       val emb = embDouble(Tables.embeddings(s, d))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
-      emb.crossJoin(broadcast(cents))
-        .withColumn("sim", graft.functions.VectorExprs.dot(col("v"), col("cv"))
-          / (col("nrm") * col("cnrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
-          round(col("sim"), 6).as("cohesion"))
-        .orderBy("vec_id")
+      graft.operators.IvfKMeans.assignClusters(emb, cents).orderBy("vec_id")
     }),
 
     // ---- PCA whitening of the embedding column (the pre-PQ/indexing

@@ -31,11 +31,19 @@ object Tables {
     *   - LongType (ns-as-long): integer-divide to µs (`div` is exact on
     *     int64 where a double division would lose ULPs at 1.7e18; same
     *     truncation as DuckDB's epoch_us).
-    *   - TimestampNTZType: cast to TIMESTAMP under the pinned UTC session
-    *     TZ — a pure re-tag of the stored µs value, no arithmetic.
+    *   - TimestampNTZType: the stored wall-clock IS the UTC instant (the
+    *     fixture generator's contract). A bare cast to TIMESTAMP would
+    *     interpret it in the SESSION timezone — correct only on the
+    *     engine's own UTC-pinned sessions and silently hours off on an
+    *     external caller's local-TZ session (the same defensive-caller
+    *     contract the nanosAsLong set below exists for). The
+    *     `from_utc_timestamp(cast, current_timezone())` composition
+    *     cancels the session offset exactly: cast subtracts it,
+    *     from_utc_timestamp adds it back — TZ-independent, and a no-op
+    *     chain under UTC (bit-identical to the previous behavior there).
     *   - TimestampType: already what we want. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, current_timezone, expr, from_utc_timestamp, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // Defensive: lets a vanilla external session read a ns-encoded fixture.
     // Harmless for µs fixtures (the conf only affects NANOS columns).
@@ -43,7 +51,8 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts",
+        from_utc_timestamp(col("ts").cast(TimestampType), current_timezone()))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical type $other (expected ns-long, TIMESTAMP, or TIMESTAMP_NTZ)")

@@ -545,16 +545,9 @@ object Streams {
   def clusterAssign(batch: DataFrame, centsRoot: String, outDir: String,
                     batchId: Long): Unit = {
     val cents = batch.sparkSession.read.parquet(centsRoot)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)
-    batch.withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", graft.functions.VectorExprs.dot(col("v"), col("cv"))
-        / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
-        round(col("sim"), 6).as("cohesion"))
+    graft.operators.IvfKMeans.assignClusters(
+        batch.withColumn("nrm", graft.functions.VectorExprs.norm(col("v"))),
+        cents)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
   }
 

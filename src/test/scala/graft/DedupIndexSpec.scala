@@ -87,24 +87,53 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("the query path never shuffles the stored corpus (broadcast-batch shape)") {
+    // since the adaptive-broadcast change the query is TWO plans: the
+    // candidate job (bands scan, checkpointed for the pair-count plan
+    // pick) and the verify job (profiles scan). The invariant is the
+    // same for both: on an increment-sized batch the stored-artifact
+    // scan joins through a BROADCAST of the batch side — an Exchange
+    // hashpartitioning over a stored-table scan would mean the corpus
+    // is shuffled per batch.
     val root = tmpRoot("shape")
     DedupIndex.build(shingles(sf001, pmod(col("doc_id"), lit(5)) =!= 0), root)
     val q = DedupIndex.queryBatch(spark, root,
       shingles(sf001, pmod(col("doc_id"), lit(5)) === 0))
     q.collect()
     // AQE-final section only (toString repeats scans in "== Initial Plan ==")
-    val full = q.queryExecution.executedPlan.toString
-    val plan = full.indexOf("== Initial Plan ==") match {
+    def finalPlan(full: String): String = full.indexOf("== Initial Plan ==") match {
       case -1 => full
       case i  => full.substring(0, i)
     }
-    // both stored-artifact joins must be broadcast joins (batch side
-    // built): an Exchange hashpartitioning over a stored-table scan
-    // would mean the corpus is shuffled per batch
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
-    val scanLines = plan.linesIterator
-      .filter(l => l.contains("FileScan parquet") &&
-        (l.contains("/bands") || l.contains("/profiles"))).toSeq
-    assert(scanLines.size == 2, s"expected 2 artifact scans:\n$plan")
+    val verify = finalPlan(q.queryExecution.executedPlan.toString)
+    assert(verify.contains("BroadcastHashJoin"), s"no broadcast join:\n$verify")
+    // the stored profiles scan must sit on the STREAMED side: in the
+    // indented plan tree a scan under the BroadcastExchange appears
+    // AFTER that node, so "profiles scan before any BroadcastExchange"
+    // pins the build side to the batch frame (the batch-bounded side
+    // may shuffle internally — that's fine and batch-sized)
+    val lines = verify.linesIterator.toSeq
+    val profIdx = lines.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("/profiles"))
+    val bcastIdx = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(profIdx >= 0, s"verify job does not scan the stored profiles:\n$verify")
+    assert(bcastIdx >= 0 && profIdx < bcastIdx,
+      s"stored profiles are on the built (broadcast) side, not streamed:\n$verify")
+    // candidate job: rebuild its un-checkpointed twin to inspect the plan
+    // (queryBatch checkpoints it for the pair-count plan pick)
+    val batchSh = shingles(sf001, pmod(col("doc_id"), lit(5)) === 0)
+    val bands = graft.operators.MinHashLSH.bands(
+      graft.operators.MinHashLSH.signatures(batchSh, 16), 8, 2)
+      .withColumnRenamed("doc_id", "batch_doc")
+    val cands = spark.read.parquet(s"$root/bands")
+      .join(org.apache.spark.sql.functions.broadcast(bands),
+        Seq("band_idx", "band_hash"))
+      .select(col("batch_doc"), col("doc_id").as("corpus_doc")).distinct()
+    cands.collect()
+    val candPlan = finalPlan(cands.queryExecution.executedPlan.toString)
+    assert(candPlan.contains("BroadcastHashJoin"),
+      s"candidate job does not broadcast the batch bands:\n$candPlan")
+    assert(candPlan.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("/bands")),
+      s"candidate job does not stream the stored bands:\n$candPlan")
   }
 }

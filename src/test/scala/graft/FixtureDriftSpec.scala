@@ -24,11 +24,13 @@ class FixtureDriftSpec extends SparkSpec {
 
   test("every table loads on a vanilla session (no legacy confs) at all tiers") {
     // newSession shares the context but gets its own SQLConf; drop the
-    // legacy conf so this models an external caller's out-of-the-box session.
+    // legacy conf BEFORE EVERY LOAD — Tables.events defensively re-sets
+    // it, so a single up-front unset would leave every subsequent load
+    // running with the conf and never exercise the no-conf path.
     val vanilla = spark.newSession()
-    vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     vanilla.conf.set("spark.sql.session.timeZone", "UTC")
     for (tier <- tiers; name <- tables) {
+      vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       val df = name match {
         case "events" => Tables.events(vanilla, tier)
         case other    => Tables.load(vanilla, tier, other)
@@ -39,6 +41,23 @@ class FixtureDriftSpec extends SparkSpec {
         assert(df.schema("ts").dataType == TimestampType,
           s"$tier/events.ts resolved to ${df.schema("ts").dataType}, want µs TIMESTAMP")
     }
+  }
+
+  test("events.ts instants are session-timezone-INDEPENDENT (external non-UTC caller)") {
+    // the round-10 review catch: a bare NTZ→timestamp cast interprets the
+    // stored wall-clock in the session zone — hours off for any caller
+    // not pinned to UTC. Pin equality of unix_micros across UTC and a
+    // DST-observing zone on the real fixture.
+    val utc = spark.newSession()
+    utc.conf.set("spark.sql.session.timeZone", "UTC")
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    def micros(s: org.apache.spark.sql.SparkSession): Map[Long, Long] =
+      Tables.events(s, "/root/testdata/sf0.001")
+        .select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(micros(ny) == micros(utc),
+      "events.ts drifts with the session timezone — external callers get shifted instants")
   }
 
   test("Tables.events normalizes ns-long, µs-NTZ and µs-UTC encodings identically") {
