@@ -13,7 +13,7 @@ object SparkEntry {
       Windows.queries ++ SortsSets.queries ++ Scalars.queries ++
       LlmOps.queries ++ DedupOps.queries ++ TextOps.queries ++
       PipelineOps.queries ++ CorpusOps.queries ++ MaintenanceOps.queries ++
-      AnalyticsOps.queries
+      AnalyticsOps.queries ++ RetrievalOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +21,5 @@ object SparkEntry {
       Windows.oracle ++ SortsSets.oracle ++ Scalars.oracle ++
       LlmOps.oracle ++ DedupOps.oracle ++ TextOps.oracle ++
       PipelineOps.oracle ++ CorpusOps.oracle ++ MaintenanceOps.oracle ++
-      AnalyticsOps.oracle
+      AnalyticsOps.oracle ++ RetrievalOps.oracle
 }

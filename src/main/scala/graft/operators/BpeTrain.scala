@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al., ACL'16) — the
+  * tokenizer-construction step of a training-data pipeline.
+  *
+  * The classic reduction: BPE statistics depend only on the WORD-
+  * FREQUENCY table, so the corpus is touched exactly once (one explode +
+  * one groupBy), and every merge iteration runs over the vocabulary —
+  * Heaps-law-sized (millions of rows at 100 TB, a DataFrame; dozens
+  * here), never the corpus. Per iteration:
+  *
+  *   1. adjacent-symbol pair counts: zip_with(slice, slice) + explode +
+  *      groupBy-sum weighted by word count — a map-side-combinable agg
+  *      over the vocab;
+  *   2. the argmax pair (count desc, then lexicographic — a total order,
+  *      so training is deterministic on any partitioning) comes to the
+  *      driver as ONE row (the util.Local model discipline);
+  *   3. the vocab re-encodes with a greedy left-to-right fold
+  *      (`aggregate` HOF): an occurrence merges iff the accumulator's
+  *      last symbol is `l` and the current is `r` — a just-merged `l+r`
+  *      is a different string, so overlapping occurrences ("aaa" under
+  *      (a,a)) merge non-overlapping left-to-right, the reference
+  *      greedy semantics. localCheckpoint truncates the per-iteration
+  *      lineage (the IvfKMeans discipline).
+  *
+  * Returns the merge table (step, left, right, merged, pair_count) —
+  * the tokenizer artifact itself. Driver state is one row per merge;
+  * test-oracled (TokBpeSpec) against an independent local reference
+  * implementation on the raw strings.
+  */
+object BpeTrain {
+
+  def merges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    var vocab = docs
+      .select(explode(InvertedIndex.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val pairs = vocab
+        .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n"))
+      val best = pairs
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val n = best(0).getLong(2)
+        out += ((step.toLong, l, r, l + r, n))
+        vocab = vocab.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) =>
+                when(size(acc) === 0, array(x))
+                  .when(element_at(acc, -1) === lit(l) && x === lit(r),
+                    concat(slice(acc, lit(1), size(acc) - 1),
+                      array(lit(l + r))))
+                  .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("step", "left", "right", "merged", "pair_count")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 inverted index AT REST — the lexical-retrieval sibling of
+  * [[AnnIndex]], and the second leg of hybrid (lexical + semantic)
+  * retrieval over a training/RAG corpus.
+  *
+  * q_text_bm25 demonstrates the BM25 *math* as a map-only full scan; no
+  * 100-TB corpus serves queries that way. The deployment shape is the
+  * classic search-engine artifact — build-once / append-batches /
+  * answer-every-query-from-storage:
+  *
+  *   root/stats/    — (n_docs, total_tokens)       PARTITIONED BY (batch)
+  *   root/postings/ — (term, doc_id, tf, dl)       PARTITIONED BY (tb, batch)
+  *
+  * `tb = pmod(xxhash64(term), 32)` is a hash term-bucket: a query's
+  * terms map to a handful of buckets, and the probe's `tb IN (…)`
+  * literal filter becomes STATIC PARTITION PRUNING — only those
+  * buckets' files are ever listed or read, however many terms the
+  * corpus holds. The per-doc token length `dl` is DENORMALIZED into
+  * every posting (the Lucene norms discipline): query-time scoring
+  * needs no join against a corpus-sized doc-length table — everything
+  * after the pruned scan is arithmetic plus one broadcast of per-term
+  * idf rows.
+  *
+  * Scoring is quantized-BM25 (k1 = 1.2, b = 0.75, Robertson idf):
+  * each (doc, term) contribution is rounded to 1e-6 and summed as an
+  * exact INT64 — integer addition commutes, so the per-doc score is
+  * bit-identical whatever the partitioning or merge order, and a
+  * DuckDB full-scan recompute hash-matches the stored-index answer
+  * (the q_text_index_query oracle).
+  *
+  * Batch stats rows sum at query time (n_docs, total_tokens are
+  * associative), so appends never rewrite history; `batch=` partitions
+  * plus dynamic partition overwrite give exactly-once replay — the
+  * s_text_index_ingest contract, same as AnnIndex.append.
+  */
+object InvertedIndex {
+
+  val NumBuckets = 32
+  val K1 = 1.2
+  val B  = 0.75
+
+  private def statsDir(root: String)    = s"$root/stats"
+  private def postingsDir(root: String) = s"$root/postings"
+
+  /** True iff a complete index exists under `root` (postings are written
+    * last, so their _SUCCESS marker implies the whole artifact). */
+  def exists(s: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${postingsDir(root)}/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Tokens of `text` — split on single spaces, empties dropped. ONE
+    * definition shared by the index build and the full-scan twin so
+    * `tf`/`dl` can never disagree between the two paths. */
+  def tokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Postings rows for a document frame — (term, doc_id, tf, dl, tb).
+    * One explode + one (doc, term) count: the only corpus-sized shuffle
+    * in the whole build. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    toks.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+  }
+
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+
+  /** Build and persist the backfill index (batch 0). Wipes any previous
+    * artifact first — stats land before postings, so a rebuild dying
+    * mid-way reads as exists()==false (the AnnIndex.build discipline). */
+  def build(docs: DataFrame, root: String): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    statsOf(docs).withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").parquet(statsDir(root))
+    postingsOf(docs).withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("tb", "batch")
+      .parquet(postingsDir(root))
+  }
+
+  /** Append a NEW batch of documents under its own `batch=` partitions
+    * with dynamic partition overwrite — replaying a batch id rewrites
+    * only itself (exactly-once under any re-delivery). Contract: doc_ids
+    * must be new to the index; re-delivery of a whole batch under its
+    * original batchId is the supported replay path. Per-batch cost is
+    * O(batch) — the stored corpus partitions are untouched, and the
+    * batch's stats row sums in at query time instead of rewriting the
+    * global counters. */
+  def append(docs: DataFrame, root: String, batchId: Long): Unit = {
+    val s = docs.sparkSession
+    require(exists(s, root),
+      s"no inverted index under $root — build the backfill first")
+    require(batchId > 0L, "batch 0 is the backfill partition")
+    statsOf(docs).withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(statsDir(root))
+    postingsOf(docs).withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "batch").parquet(postingsDir(root))
+  }
+
+  /** Quantized-BM25 contribution of one (doc, term) posting as an exact
+    * INT64 millionth: round(idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · 1e6).
+    * `idf`/`avgdl` are column expressions so the same formula serves the
+    * stored-index path (joined stats) and the full-scan twin (literal
+    * stats from one agg row). */
+  def contribMicros(tf: org.apache.spark.sql.Column,
+                    dl: org.apache.spark.sql.Column,
+                    idf: org.apache.spark.sql.Column,
+                    avgdl: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sat = (tf * (K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+    round(idf * sat * 1e6).cast("long")
+  }
+
+  /** Robertson idf = ln(1 + (N − df + ½)/(df + ½)) — positive for every
+    * df ≤ N, so quantized contributions never cancel. */
+  def idf(df: org.apache.spark.sql.Column,
+          nDocs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    log(lit(1.0) + (nDocs.cast("double") - df + 0.5) / (df + 0.5))
+
+  /** Top-`k` BM25 matches for `terms`, answered ONLY from the stored
+    * artifacts — the corpus is never scanned. Returns
+    * (doc_id, score) with score = Σ contributions / 1e6 rounded to 6 dp,
+    * ties broken by doc_id.
+    *
+    * The probe: the query terms' hash buckets are computed with the SAME
+    * xxhash64 expression the writer used (on a terms-sized local frame —
+    * a model-sized driver collect, not a data pull), then the postings
+    * scan filters `tb IN (…)` (static partition pruning at file-listing
+    * level) and `term IN (…)` (row-group pushdown inside the pruned
+    * buckets). Per-term df is counted from the pruned postings
+    * themselves — exact because (term, doc) is unique across batches by
+    * the append contract — and broadcasts back as a terms-sized idf
+    * table. One shuffle on doc_id for the score sum; every other input
+    * is model-sized. */
+  def query(s: SparkSession, root: String, terms: Seq[String], k: Int = 20)
+      : DataFrame = {
+    require(exists(s, root), s"no inverted index under $root")
+    import s.implicits._
+    val qterms = terms.toDF("term")
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+    val buckets = graft.util.Local.model(qterms.select("tb"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val st = s.read.parquet(statsDir(root))
+      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+    val pruned = s.read.parquet(postingsDir(root))
+      .filter(col("tb").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val idfTab = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(st))
+      .select(col("term"),
+        idf(col("df"), col("n_docs")).as("idf"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    pruned.join(broadcast(idfTab), Seq("term"))
+      .select(col("doc_id"),
+        contribMicros(col("tf"), col("dl"), col("idf"), col("avgdl"))
+          .as("cq"))
+      .groupBy("doc_id")
+      .agg(round(sum("cq").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

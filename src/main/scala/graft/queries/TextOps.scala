@@ -188,6 +188,17 @@ object TextOps {
         .orderBy(col("cnt").desc, col("term").asc)
     }),
 
+    // Distributed BPE merge training (operators.BpeTrain): 10 merges
+    // learned from the word-frequency table — the corpus is scanned
+    // once, every iteration runs over the Heaps-law-sized vocabulary.
+    // Deterministic by total-ordered argmax (count desc, pair lex asc);
+    // test-oracled (TokBpeSpec) against an independent local reference —
+    // the merge table is not expressible as one SQL statement.
+    "q_tok_bpe_train" -> ((s, d) => {
+      graft.operators.BpeTrain.merges(Tables.documents(s, d), nMerges = 10)
+        .orderBy("step")
+    }),
+
     // Gopher-style repetition quality signals: per-doc top-bigram share
     // and distinct-bigram (type/token) ratio — the filters that catch
     // boilerplate/spam docs whose length and stopword stats look fine.

@@ -530,6 +530,20 @@ object Streams {
   def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
     graft.operators.AnnIndex.append(batch, root, batchId = batchId + 1)
 
+  /** s_text_index_ingest — continuous BM25 inverted-index maintenance,
+    * the streaming face of [[graft.operators.InvertedIndex.append]]:
+    * each micro-batch of documents is tokenized into postings (term,
+    * doc_id, tf, dl) plus one batch-stats row, both committed under the
+    * batch's own immutable `batch=` partitions. foreachBatch's stable
+    * batchId + dynamic partition overwrite make replay exactly-once: a
+    * re-delivered batch rewrites only itself, and because query-time df
+    * and corpus stats are SUMS over batch partitions, a query after any
+    * prefix of batches equals the full rebuild over those documents
+    * (batching-invariance asserted in StreamingSpec). Ingest ids start
+    * at 1: 0 is the backfill's partition. */
+  def textIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
+    graft.operators.InvertedIndex.append(batch, root, batchId = batchId + 1)
+
   /** s_cluster_assign — continuous topic-bucketing, the streaming face
     * of q_cluster_assign: each micro-batch of (vec_id, v: array<double>)
     * is assigned to its max-cosine centroid from the STORED k-row model

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.InvertedIndex
+import graft.sources.Tables
+
+/** The lexical-retrieval contract: the stored inverted index answers
+  * BM25 queries (a) identically to the map-only full scan, (b) through
+  * a partition-pruned probe that lists only the query terms' hash
+  * buckets, and (c) incrementally via append — batching-invariant and
+  * replay-idempotent, because df and corpus stats are sums over batch
+  * partitions. Plus the RRF fusion law for q_retrieval_hybrid. */
+class RetrievalSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tidx_$tag").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q_text_index_query == q_text_bm25 (stored index ≡ full scan) at two tiers") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val scan = SparkEntry.queries("q_text_bm25")(spark, sf)
+      val idx = SparkEntry.queries("q_text_index_query")(spark, sf)
+      assert(rows(idx) === rows(scan), s"index/scan divergence at $sf")
+    }
+  }
+
+  test("the postings probe partition-prunes to the query terms' buckets") {
+    val root = tmpRoot("prune")
+    InvertedIndex.build(Tables.documents(spark, sf0001), root)
+    val q = InvertedIndex.query(spark, root, Seq("spark", "dup"), k = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tb"),
+      s"postings scan lost its term-bucket partition filter:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("append: batch-split invariant, replay exactly-once, stats additive") {
+    val docs = Tables.documents(spark, sf001)
+    val base = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    val b2 = docs.filter(col("doc_id") >= 375)
+    val terms = Seq("spark", "window", "dup", "merge")
+    def stored(root: String): Seq[String] =
+      spark.read.parquet(s"$root/postings")
+        .select("term", "doc_id", "tf", "dl", "tb", "batch")
+        .collect().map(_.toString).sorted.toSeq
+    def top(root: String): Seq[String] =
+      rows(InvertedIndex.query(spark, root, terms, k = 20))
+    val rootSplit = tmpRoot("apsplit")
+    InvertedIndex.build(base, rootSplit)
+    InvertedIndex.append(b1, rootSplit, batchId = 1)
+    InvertedIndex.append(b2, rootSplit, batchId = 2)
+    val rootFull = tmpRoot("apfull")
+    InvertedIndex.build(docs, rootFull)
+    // the incrementally-built index answers EXACTLY like the full
+    // rebuild: postings rows are per-doc facts and df/stats are sums
+    // over batch partitions, so the split cannot show through
+    assert(top(rootSplit) === top(rootFull),
+      "incremental index diverges from the full rebuild")
+    val statsSplit = spark.read.parquet(s"$rootSplit/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).collect().head
+    val statsFull = spark.read.parquet(s"$rootFull/stats")
+      .agg(sum("n_docs"), sum("total_tokens")).collect().head
+    assert(statsSplit === statsFull, "batch stats do not sum to the corpus")
+    // replay batch 2 verbatim: store must not change
+    val before = stored(rootSplit)
+    InvertedIndex.append(b2, rootSplit, batchId = 2)
+    assert(stored(rootSplit) === before,
+      "replaying a committed batch changed the store — append not idempotent")
+  }
+
+  test("q_retrieval_hybrid: RRF law holds and the semantic leg matches knnCosine") {
+    val out = SparkEntry.queries("q_retrieval_hybrid")(spark, sf001).collect()
+    assert(out.length === 10)
+    // rrf must equal the fusion law recomputed from the row's own ranks
+    for (r <- out) {
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || sem.isDefined)
+      val expect = BigDecimal(
+          lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          sem.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expect, s"rrf law broken for row $r")
+    }
+    // the semantic ranks must agree with the declared knn facade's
+    // independent top-20 (same rounding, same tie-break)
+    val semTop = graft.Graft.knnCosine(
+        Tables.embeddings(spark, sf001), "vec_id", "embedding",
+        queryId = 0, k = 20)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    for (r <- out; if !r.isNullAt(2))
+      assert(semTop(r.getLong(0)) === r.getLong(2),
+        s"sem_rank mismatch for doc ${r.getLong(0)}")
+    for (r <- out; if r.isNullAt(2))
+      assert(!semTop.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} should carry its semantic rank")
+  }
+}

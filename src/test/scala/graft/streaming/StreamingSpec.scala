@@ -838,6 +838,54 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the store — ingest not idempotent")
   }
 
+  test("s_text_index_ingest: streamed postings answer like the batch index, replay-idempotent") {
+    // continuous BM25 inverted-index maintenance: a backfilled index at
+    // rest, new documents arriving in micro-batches, each tokenized into
+    // its own immutable batch partitions. Invariant: a query after any
+    // micro-batch slicing answers exactly like the index built from the
+    // same documents in one shot (df and corpus stats are SUMS over
+    // batch partitions), and replaying a batch changes nothing.
+    import graft.operators.InvertedIndex
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val rootStream = s"$tmp/graft_stextindex_stream"
+    val rootBatch = s"$tmp/graft_stextindex_batch"
+    for (p <- Seq(rootStream, rootBatch))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") < 25)
+    val rest = docs.filter(col("doc_id") >= 25)
+    InvertedIndex.build(base, rootStream)
+    InvertedIndex.build(docs, rootBatch)
+    val rows = rest.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.textIndexIngest(b, rootStream, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    val terms = Seq("spark", "window", "dup", "merge")
+    def top(root: String): Seq[String] =
+      InvertedIndex.query(spark, root, terms, k = 20)
+        .collect().map(_.toString).toSeq
+    assert(top(rootStream) === top(rootBatch),
+      "streamed index answers diverge from the one-shot build")
+    def stored(root: String): Seq[String] =
+      spark.read.parquet(s"$root/postings")
+        .select("term", "doc_id", "tf", "dl")
+        .collect().map(_.toString).sorted.toSeq
+    assert(stored(rootStream) === stored(rootBatch),
+      "streamed postings diverge from the one-shot build")
+    // replay the LAST micro-batch with its original foreachBatch id
+    val before = stored(rootStream)
+    Streams.textIndexIngest(groups.last.toDF("doc_id", "text"), rootStream,
+      (groups.size - 1).toLong)
+    assert(stored(rootStream) === before,
+      "replaying a committed batch changed the store — ingest not idempotent")
+  }
+
   test("s_foreachbatch_upsert: versioned keyed merge matches batch latestPerKey, replay-idempotent") {
     // the foreachBatch exactly-once pattern: each micro-batch merges into
     // a keyed table committed as an immutable batchId-named version —
