@@ -33,6 +33,55 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** Greedy left-to-right merge of adjacent (l, r) occurrences in a
+    * symbol array — ONE definition shared by training's re-encode and
+    * [[encode]] so the applied tokenizer can never drift from the
+    * trained one. A just-merged `l+r` is a different string from `l`,
+    * so overlapping occurrences merge non-overlapping left-to-right
+    * (the reference greedy semantics; pinned in TokBpeSpec). */
+  private[graft] def mergeFold(syms: org.apache.spark.sql.Column,
+                               l: String, r: String)
+      : org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Encode one word column with a trained merge list: char-split, then
+    * the merges applied IN TRAINING ORDER — each a model-sized literal
+    * baked into the expression (the EmbedPca literal-projection
+    * discipline), so encoding is a pure map: no join, no shuffle, no
+    * state. At 100 TB this is the tokenize-the-corpus pass. */
+  def encode(word: org.apache.spark.sql.Column,
+             merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(filter(split(word, ""), c => length(c) > 0)) {
+      case (syms, (l, r)) => mergeFold(syms, l, r)
+    }
+
+  private def mergesDir(root: String) = s"$root/merges"
+
+  /** True iff a trained merge table exists under `root`. */
+  def exists(s: org.apache.spark.sql.SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${mergesDir(root)}/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Train and persist the merge table — the tokenizer artifact (the
+    * train-once / apply-forever discipline of AnnIndex/cluster_assign). */
+  def store(docs: DataFrame, root: String, nMerges: Int = 10): Unit =
+    merges(docs, nMerges).write.mode("overwrite").parquet(mergesDir(root))
+
+  /** The stored merge list in training order — model-sized (one row per
+    * merge), the util.Local artifact-read discipline. */
+  def loadMerges(s: org.apache.spark.sql.SparkSession, root: String)
+      : Seq[(String, String)] =
+    s.read.parquet(mergesDir(root)).orderBy("step")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   def merges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
     val s = docs.sparkSession
     var vocab = docs
@@ -62,14 +111,7 @@ object BpeTrain {
         val r = best(0).getString(1)
         val n = best(0).getLong(2)
         out += ((step.toLong, l, r, l + r, n))
-        vocab = vocab.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) =>
-                when(size(acc) === 0, array(x))
-                  .when(element_at(acc, -1) === lit(l) && x === lit(r),
-                    concat(slice(acc, lit(1), size(acc) - 1),
-                      array(lit(l + r))))
-                  .otherwise(concat(acc, array(x)))))
+        vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
           .localCheckpoint(true)
         step += 1
       }

@@ -114,6 +114,41 @@ object InvertedIndex {
       .partitionBy("tb", "batch").parquet(postingsDir(root))
   }
 
+  /** Compact all ingest batches into a single batch-0 partition set —
+    * the index-maintenance step a continuously-ingesting deployment
+    * runs periodically: streaming appends leave one small file set per
+    * (bucket, batch), and probe cost degrades with file COUNT even when
+    * pruning is perfect. Compaction preserves the postings ROWS exactly
+    * and sums the stats rows, so every query answers identically before
+    * and after (pinned in RetrievalSpec) — only the physical layout
+    * changes. Staged write + delete + rename: a crash mid-swap leaves
+    * either the old root or a root whose missing postings/_SUCCESS reads
+    * as exists()==false — never a half-compacted index that answers
+    * wrongly (the AnnIndex rebuild discipline; an object-store
+    * deployment would swap a manifest instead of renaming). */
+  def compact(s: SparkSession, root: String): Unit = {
+    require(exists(s, root), s"no inverted index under $root")
+    val staging = s"$root.compact"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    s.read.parquet(statsDir(root))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"))
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(statsDir(staging))
+    s.read.parquet(postingsDir(root))
+      .select("term", "doc_id", "tf", "dl", "tb")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("tb", "batch")
+      .parquet(postingsDir(staging))
+    fs.delete(rootPath, true)
+    require(fs.rename(stagingPath, rootPath),
+      s"compaction swap failed: could not rename $staging over $root")
+  }
+
   /** Quantized-BM25 contribution of one (doc, term) posting as an exact
     * INT64 millionth: round(idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) · 1e6).
     * `idf`/`avgdl` are column expressions so the same formula serves the

@@ -94,6 +94,30 @@ object RetrievalOps {
       InvertedIndex.query(s, root, bmTerms, k = 20)
     }),
 
+    // ---- Index-maintenance COMPACTION (the q_sink_compact discipline
+    // applied to the index artifact): continuous ingest leaves one small
+    // file set per (bucket, batch) — probe cost degrades with file count
+    // even under perfect pruning — so a deployment periodically folds
+    // all batches into batch 0. This key builds a 3/4 backfill, appends
+    // the remaining 1/4 as an ingest batch, compacts, and answers the
+    // standard probe: postings rows and summed stats are preserved
+    // exactly, so the SAME full-scan SQL oracle must hash-match the
+    // post-compaction answer (physical-layout change, zero semantic
+    // change; the file-count reduction itself is pinned in
+    // RetrievalSpec).
+    "q_text_index_compact" -> ((s, d) => {
+      val root = Scans.scratch("textindexc", s, d)
+      if (!InvertedIndex.exists(s, root)) {
+        val docs = Tables.documents(s, d)
+        InvertedIndex.build(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          root)
+        InvertedIndex.append(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          root, batchId = 1)
+        InvertedIndex.compact(s, root)
+      }
+      InvertedIndex.query(s, root, bmTerms, k = 20)
+    }),
+
     // ---- Hybrid retrieval via reciprocal-rank fusion: query = document
     // 0 (its text for the lexical leg, its embedding for the semantic
     // leg — the fixture's doc_id/vec_id spaces coincide), corpus = all
@@ -197,6 +221,7 @@ object RetrievalOps {
   val oracle: Map[String, String] = Map(
     "q_text_bm25" -> bm25OracleSql,
     "q_text_index_query" -> bm25OracleSql,
+    "q_text_index_compact" -> bm25OracleSql,
     "q_retrieval_hybrid" ->
       """WITH qt AS (
            SELECT DISTINCT u.term FROM documents,

@@ -199,6 +199,35 @@ object TextOps {
         .orderBy("step")
     }),
 
+    // Tokenize-the-corpus with the STORED merge table — the at-rest
+    // twin of q_tok_bpe_train (the cluster_assign discipline applied to
+    // the tokenizer): first call per (session, sf) trains and persists
+    // the merges; every later call — and any real deployment, where
+    // training is an offline job — reads the model-sized table back and
+    // runs a PURE MAP: each word char-splits and folds through the 10
+    // merges baked in as expression literals. No join, no shuffle, no
+    // state — at 100 TB this is a map-only pass whose cost is the scan.
+    // Test-oracled (TokBpeSpec: per-doc piece counts ≡ local reference
+    // encode with the reference-trained merges).
+    "q_text_bpe_apply" -> ((s, d) => {
+      import graft.operators.BpeTrain
+      val root = Scans.scratch("bpemerges", s, d)
+      if (!BpeTrain.exists(s, root))
+        BpeTrain.store(Tables.documents(s, d), root, nMerges = 10)
+      val ms = BpeTrain.loadMerges(s, root)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.InvertedIndex.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_ws_tokens"),
+          aggregate(transform(col("toks"), w => length(w)),
+            lit(0), (a, x) => a + x).cast("long").as("n_chars"),
+          aggregate(transform(col("toks"),
+              w => size(BpeTrain.encode(w, ms))),
+            lit(0), (a, x) => a + x).cast("long").as("n_bpe_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality signals: per-doc top-bigram share
     // and distinct-bigram (type/token) ratio — the filters that catch
     // boilerplate/spam docs whose length and stopword stats look fine.

@@ -73,6 +73,37 @@ class RetrievalSpec extends SparkSpec {
       "replaying a committed batch changed the store — append not idempotent")
   }
 
+  test("compact: answers preserved exactly, batch partitions fold to one") {
+    val docs = Tables.documents(spark, sf001)
+    val terms = Seq("spark", "window", "dup", "merge")
+    val root = tmpRoot("compact")
+    InvertedIndex.build(docs.filter(col("doc_id") < 250), root)
+    InvertedIndex.append(
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 375), root, 1)
+    InvertedIndex.append(docs.filter(col("doc_id") >= 375), root, 2)
+    def batchDirs(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/postings")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/postings/tb=*/batch=*"))
+        .map(_.getPath.getName).distinct.toSeq.sorted
+    }
+    assert(batchDirs() === Seq("batch=0", "batch=1", "batch=2"))
+    val before = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    val postingsBefore = spark.read.parquet(s"$root/postings")
+      .select("term", "doc_id", "tf", "dl")
+      .collect().map(_.toString).sorted.toSeq
+    InvertedIndex.compact(spark, root)
+    assert(batchDirs() === Seq("batch=0"),
+      "compaction left more than the single batch-0 partition set")
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20)) === before,
+      "compaction changed the query answer")
+    val postingsAfter = spark.read.parquet(s"$root/postings")
+      .select("term", "doc_id", "tf", "dl")
+      .collect().map(_.toString).sorted.toSeq
+    assert(postingsAfter === postingsBefore,
+      "compaction changed the postings rows")
+  }
+
   test("q_retrieval_hybrid: RRF law holds and the semantic leg matches knnCosine") {
     val out = SparkEntry.queries("q_retrieval_hybrid")(spark, sf001).collect()
     assert(out.length === 10)

@@ -61,6 +61,30 @@ class TokBpeSpec extends SparkSpec {
     }
   }
 
+  test("q_text_bpe_apply == local reference encode at two tiers") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val texts = Tables.documents(spark, sf)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val merges = reference(texts.map(_._2), nMerges = 10)
+        .map(m => (m._2, m._3))
+      def encodeLen(w: String): Int =
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (syms, (l, r)) => fold(syms, l, r)
+        }.length
+      val expect = texts.map { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        (id, ws.length.toLong, ws.map(_.length).sum.toLong,
+          ws.map(encodeLen).sum.toLong)
+      }.sortBy(_._1)
+      val got = SparkEntry.queries("q_text_bpe_apply")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === expect, s"encode mismatch at $sf")
+    }
+  }
+
   test("merges re-encode: overlapping occurrences merge left-to-right") {
     // "aaa" under (a,a): greedy yields ["aa","a"], never ["a","aa"] or
     // a double merge — the property the CaseWhen fold must preserve
