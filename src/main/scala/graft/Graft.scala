@@ -545,6 +545,67 @@ object Graft {
     graft.operators.DedupIndex.queryBatch(batch.sparkSession, root,
       shingleRows(batch, idCol, textCol, shingleN))
 
+  /** Build and persist the BM25 inverted index (operators.InvertedIndex)
+    * from `docs(idCol, textCol)`: hash-bucket-partitioned postings with
+    * inlined doc norms plus per-batch corpus stats. Build once offline;
+    * probe forever from storage via [[textIndexQuery]]. */
+  def textIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+                     root: String): Unit =
+    graft.operators.InvertedIndex.build(asDocs(docs, idCol, textCol), root)
+
+  /** Incrementally add documents to a stored BM25 index: new postings +
+    * stats land under their own `batch=batchId` partitions (exactly-once
+    * under replay); df/corpus stats SUM at query time, so nothing is
+    * rewritten. */
+  def textIndexAppend(docs: DataFrame, idCol: String, textCol: String,
+                      root: String, batchId: Long): Unit =
+    graft.operators.InvertedIndex.append(asDocs(docs, idCol, textCol),
+      root, batchId)
+
+  /** Top-`k` quantized-BM25 matches for `terms` answered purely from the
+    * stored index — only the query terms' hash buckets are read. */
+  def textIndexQuery(spark: org.apache.spark.sql.SparkSession, root: String,
+                     terms: Seq[String], k: Int = 20): DataFrame =
+    graft.operators.InvertedIndex.query(spark, root, terms, k)
+
+  /** Fold all ingest batches of a stored BM25 index into one batch-0
+    * partition set — rows preserved exactly, probe file count restored. */
+  def textIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Unit =
+    graft.operators.InvertedIndex.compact(spark, root)
+
+  private def asDocs(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Train BPE merges from `docs(textCol)` — the merge table artifact
+    * (step, left, right, merged, pair_count); corpus scanned once, merge
+    * loop over the word-frequency table (operators.BpeTrain). */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+               nMerges: Int = 10): DataFrame =
+    graft.operators.BpeTrain.merges(
+      docs.select(col(textCol).as("text")), nMerges)
+
+  /** Encode a word column with a trained merge list — a pure map (the
+    * merges bake in as expression literals; no join, no shuffle). */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    graft.operators.BpeTrain.encode(word, merges)
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis): the k
+    * rows with the smallest −ln(u)/w keys, u a deterministic overflow-
+    * safe integer LCG on `idCol` — one scan, TakeOrdered partial-reduce,
+    * reproducible on any engine forever. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val uNum = pmod(col(idCol), lit(1000003L)) * lit(2654435761L) +
+      lit(12345L)
+    val u = (pmod(uNum, lit(1000000006L)) + lit(1L)).cast("double") /
+      1000000007.0
+    df.withColumn("es_key", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

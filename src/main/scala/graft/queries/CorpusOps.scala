@@ -136,6 +136,22 @@ object CorpusOps {
         .orderBy("lang", "rn")
     }),
 
+    // ---- WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // exponential clocks): key_i = −ln(u_i)/w_i with w = n_chars — the
+    // importance-weighted data-selection primitive (longer docs
+    // proportionally likelier, one pass, no RNG state). u is a
+    // deterministic integer LCG on doc_id, REDUCED mod 1000003 FIRST so
+    // the product fits int64 at any replica tier (doc_id reaches 1e10 at
+    // the 100× probe — a raw multiply would overflow under ANSI). The
+    // smallest-k keys are the sample: map-only + TakeOrdered top-k, the
+    // same partial-reduce shape as q_topk — at 100 TB one scan, k rows
+    // per partition shuffled. Keys round to 9 dp before ordering so both
+    // engines sort the same totals.
+    "q_sample_weighted" -> ((s, d) =>
+      graft.Graft
+        .weightedSample(Tables.documents(s, d), "doc_id", "n_chars", k = 20)
+        .select("doc_id", "n_chars", "es_key")),
+
     // ---- bigram-LM quality scoring: score each doc by the mean MLE
     // probability of its bigrams under the corpus bigram model —
     // integer counts (exact), one IEEE division per distinct bigram,
@@ -261,6 +277,13 @@ object CorpusOps {
            FROM p)
          SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
          FROM r WHERE rn <= 20 ORDER BY lang, rn""",
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+         round(-ln(CAST(((doc_id % 1000003) * 2654435761 + 12345)
+                        % 1000000006 + 1 AS DOUBLE) / 1000000007.0)
+               / n_chars, 9) AS es_key
+         FROM documents
+         ORDER BY es_key ASC, doc_id ASC LIMIT 20""",
     "q_text_ngram_lm" ->
       """WITH tok AS (
            SELECT doc_id, string_split(text, ' ') AS l FROM documents

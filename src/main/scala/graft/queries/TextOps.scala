@@ -199,6 +199,67 @@ object TextOps {
         .orderBy("step")
     }),
 
+    // TRAINED document classifier (multinomial Naive Bayes with +1
+    // smoothing, labels = the lang column): the quality/domain-classifier
+    // shape of a training-data pipeline (fastText-style filtering) as a
+    // fully SQL-oracled surface — unlike the heuristic q_text_langid,
+    // the model here is LEARNED from the data. Training is two
+    // model-sized aggregates (class×term counts pivoted to one row per
+    // vocab term; one stats row of class totals/priors/|V|); scoring is
+    // one broadcast join + per-class INT64 sums — every log-likelihood
+    // quantizes to an exact millionth before summing, so class scores
+    // are partition-order-free and the DuckDB recompute hash-matches
+    // (the q_text_bm25 determinism discipline). Argmax ties break to
+    // the lexicographically-first class on both engines. At 100 TB:
+    // train = one token-count shuffle into a Heaps-law-sized model,
+    // score = one doc_id shuffle — both map-side combinable.
+    "q_text_classify_nb" -> ((s, d) => {
+      import graft.operators.InvertedIndex.tokens
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+      // label set: bounded driver read (the centroid-collect discipline)
+      val classes = docs.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val cnt = toks.groupBy("term").pivot("lang", classes)
+        .agg(count(lit(1)))
+      val statAggs = classes.map(c =>
+          sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"tot_$c")) :+
+        countDistinct(col("term")).as("v")
+      val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+      val priAggs = classes.map(c =>
+          sum(when(col("lang") === c, 1L).otherwise(0L)).as(s"nd_$c")) :+
+        count(lit(1)).as("nd")
+      val priors = docs.agg(priAggs.head, priAggs.tail: _*)
+      val grid = cnt.crossJoin(broadcast(stats)).select(
+        col("term") +: classes.map { c =>
+          round(log((coalesce(col(c), lit(0L)) + lit(1L)).cast("double") /
+              (col(s"tot_$c") + col("v")).cast("double")) * 1e6)
+            .cast("long").as(s"llk_$c")
+        }: _*)
+      val sumAggs = classes.map(c => sum(col(s"llk_$c")).as(s"s_$c"))
+      val scored = toks.join(broadcast(grid), Seq("term"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sumAggs.head, sumAggs.tail: _*)
+        .crossJoin(broadcast(priors))
+        .select(col("doc_id") +: col("lang").as("actual") +:
+          classes.map { c =>
+            (col(s"s_$c") +
+              round(log(col(s"nd_$c").cast("double") / col("nd")) * 1e6)
+                .cast("long")).as(s"t_$c")
+          }: _*)
+      def pick(i: Int): org.apache.spark.sql.Column =
+        if (i == classes.length - 1) lit(classes(i))
+        else {
+          val rest = classes.drop(i + 1).map(c => col(s"t_$c"))
+          val ge = col(s"t_${classes(i)}") >=
+            (if (rest.size == 1) rest.head else greatest(rest: _*))
+          when(ge, classes(i)).otherwise(pick(i + 1))
+        }
+      scored.select(col("doc_id"), pick(0).as("predicted"), col("actual"))
+        .orderBy("doc_id")
+    }),
+
     // Tokenize-the-corpus with the STORED merge table — the at-rest
     // twin of q_tok_bpe_train (the cluster_assign discipline applied to
     // the tokenizer): first call per (session, sf) trains and persists
@@ -299,6 +360,42 @@ object TextOps {
                 AND n_stop >= 2 AND n_single * 5 <= n_tok
                 AND n_distinct * 10 > n_tok * 3 AS INT) AS keep
          FROM k ORDER BY doc_id""",
+    "q_text_classify_nb" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, u.term FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0))
+             AS u(term)),
+         cnt AS (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT lang, COUNT(*) AS t FROM toks GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         pri AS (
+           SELECT lang,
+             CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / nd.n) * 1000000.0)
+               AS BIGINT) AS p
+           FROM documents, nd GROUP BY lang, nd.n),
+         grid AS (
+           SELECT tm.term, l.lang,
+             CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / CAST(t.t + v.v AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS llk
+           FROM (SELECT DISTINCT term FROM toks) tm
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+           JOIN tot t ON t.lang = l.lang
+           CROSS JOIN v
+           LEFT JOIN cnt c ON c.term = tm.term AND c.lang = l.lang),
+         sc AS (
+           SELECT tk.doc_id, g.lang, CAST(SUM(g.llk) AS BIGINT) AS s
+           FROM toks tk JOIN grid g ON g.term = tk.term
+           GROUP BY 1, 2),
+         best AS (
+           SELECT sc.doc_id, sc.lang,
+             ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+               ORDER BY sc.s + pri.p DESC, sc.lang ASC) AS rn
+           FROM sc JOIN pri ON pri.lang = sc.lang)
+         SELECT b.doc_id, b.lang AS predicted, d.lang AS actual
+         FROM best b JOIN documents d ON d.doc_id = b.doc_id
+         WHERE b.rn = 1 ORDER BY b.doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS len_chars,

@@ -268,6 +268,29 @@ class GraftFacadeSpec extends SparkSpec {
     assert(viaFacade === viaOps)
   }
 
+  test("Graft.textIndex* facade: build+append+compact+query == q_text_bm25") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_tidx").toString
+    Graft.textIndexBuild(docs.filter(col("id") < 25), "id", "body", root)
+    Graft.textIndexAppend(docs.filter(col("id") >= 25), "id", "body",
+      root, batchId = 1)
+    Graft.textIndexCompact(spark, root)
+    val terms = Seq("spark", "window", "dup", "merge")
+    assert(rows(Graft.textIndexQuery(spark, root, terms, k = 20))
+      === rows(SparkEntry.queries("q_text_bm25")(spark, sf0001)))
+  }
+
+  test("Graft.weightedSample == q_sample_weighted; bpeTrain == q_tok_bpe_train") {
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows(Graft.weightedSample(docs, "doc_id", "n_chars", k = 20)
+        .select("doc_id", "n_chars", "es_key"))
+      === rows(SparkEntry.queries("q_sample_weighted")(spark, sf0001)))
+    assert(rows(Graft.bpeTrain(docs))
+      === rows(SparkEntry.queries("q_tok_bpe_train")(spark, sf0001)))
+  }
+
   test("Graft.dedupIndex* facade: batch-vs-corpus pairs from the stored index") {
     import graft.sources.Tables
     val root = java.nio.file.Files
