@@ -606,6 +606,28 @@ object Graft {
       .limit(k)
   }
 
+  /** Train and persist a multinomial-NB document classifier
+    * (operators.NbClassifier) from `docs(idCol, labelCol, textCol)` —
+    * a vocab-sized quantized log-likelihood grid + one priors row.
+    * Train once offline; score every batch from storage. */
+  def nbClassifierStore(docs: DataFrame, idCol: String, labelCol: String,
+                        textCol: String, root: String): Unit =
+    graft.operators.NbClassifier.store(
+      asLabeled(docs, idCol, labelCol, textCol), root)
+
+  /** Score documents against a stored NB model — broadcast grid join +
+    * integer sums, O(batch); returns (doc_id, predicted, actual). */
+  def nbClassify(spark: org.apache.spark.sql.SparkSession, root: String,
+                 docs: DataFrame, idCol: String, labelCol: String,
+                 textCol: String): DataFrame =
+    graft.operators.NbClassifier.scoreStored(spark, root,
+      asLabeled(docs, idCol, labelCol, textCol))
+
+  private def asLabeled(docs: DataFrame, idCol: String, labelCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("lang"),
+      col(textCol).as("text"))
+
   // ---- determinism helpers re-exported ----
 
   /** Order-independent exact sum of a money/measure double. */

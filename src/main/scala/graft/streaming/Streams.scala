@@ -544,6 +544,32 @@ object Streams {
   def textIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
     graft.operators.InvertedIndex.append(batch, root, batchId = batchId + 1)
 
+  /** s_classify_nb — continuous document classification, the streaming
+    * face of q_text_classify_at_rest: each micro-batch of (doc_id, lang,
+    * text) is scored against the STORED NB model (no retraining — the
+    * vocab-sized llk grid broadcasts, scoring is a per-batch
+    * broadcast-join + integer sums, O(batch) per batch, never O(corpus))
+    * and committed under its own `_SUCCESS`-marked version dir.
+    * foreachBatch's stable batchId makes replay exactly-once. Invariants
+    * (spec-pinned): the union of streamed predictions equals the batch
+    * twin's output under ANY micro-batch slicing (fixed model +
+    * per-doc-independent scoring ⇒ batching-invariant by construction),
+    * and replaying a committed batch changes nothing. */
+  def classifyBatch(batch: DataFrame, modelRoot: String, outDir: String,
+                    batchId: Long): Unit =
+    graft.operators.NbClassifier
+      .scoreStored(batch.sparkSession, modelRoot, batch)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+
+  /** Union of all predictions committed by [[classifyBatch]] — readers
+    * see whole batches only. */
+  def committedPredictions(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed prediction versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** s_cluster_assign — continuous topic-bucketing, the streaming face
     * of q_cluster_assign: each micro-batch of (vec_id, v: array<double>)
     * is assigned to its max-cosine centroid from the STORED k-row model

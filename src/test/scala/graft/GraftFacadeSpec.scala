@@ -291,6 +291,17 @@ class GraftFacadeSpec extends SparkSpec {
       === rows(SparkEntry.queries("q_tok_bpe_train")(spark, sf0001)))
   }
 
+  test("Graft.nbClassifier* facade == q_text_classify_nb") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("lang").as("label"),
+        col("text").as("body"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_nb").toString
+    Graft.nbClassifierStore(docs, "id", "label", "body", root)
+    assert(rows(Graft.nbClassify(spark, root, docs, "id", "label", "body"))
+      === rows(SparkEntry.queries("q_text_classify_nb")(spark, sf0001)))
+  }
+
   test("Graft.dedupIndex* facade: batch-vs-corpus pairs from the stored index") {
     import graft.sources.Tables
     val root = java.nio.file.Files

@@ -233,6 +233,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(got.toSeq == want, "cap survivors or ranks diverge from brute force")
   }
 
+  test("q_text_bm25 scores without any corpus-keyed shuffle (map-only + stats broadcast)") {
+    // the ONLY exchange allowed is the SinglePartition merge of the
+    // one-row corpus-stats aggregate; per-doc tf/dl are array
+    // expressions, the stats come back as a broadcast, and the top-20 is
+    // a TakeOrdered partial-reduce — nothing keyed by doc or term ever
+    // shuffles, which is what makes the full scan the honest linear
+    // reference at 100 TB
+    val p = plan("q_text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not partial-reduced:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning") &&
+           !p.contains("Exchange rangepartitioning"),
+      s"q_text_bm25 grew a keyed shuffle:\n${p.take(2000)}")
+  }
+
+  test("q_sample_weighted compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_text_classify_nb scores through a BROADCAST of the model grid") {
+    // the non-negotiable scale property: the corpus token stream joins
+    // the vocab-sized log-likelihood grid via BroadcastHashJoin — a
+    // sort-merge join here would shuffle the corpus against its own
+    // model, turning the score pass from one doc_id exchange into two
+    // corpus-wide ones
+    val p = plan("q_text_classify_nb")
+    assert(p.contains("BroadcastHashJoin [term"),
+      s"model grid not broadcast to the token stream:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("whole-stage codegen covers the hot path of the flagship") {
     // AQE finalizes the plan only on execution; codegen'd operators carry
     // the "*(n)" prefix in the executed plan string.

@@ -1022,4 +1022,46 @@ class StreamingSpec extends SparkSpec {
     assert(committed() === want,
       "replaying a committed batch changed the assignments")
   }
+
+  test("s_classify_nb: streamed predictions ≡ batch twin under any slicing, replay-idempotent") {
+    // continuous document classification against the stored NB model:
+    // the union of per-micro-batch predictions must equal the batch
+    // twin's output whatever the batch boundaries, and replaying a
+    // committed batch must change nothing.
+    import graft.operators.NbClassifier
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val model = s"$tmp/graft_snb_model"
+    val out = s"$tmp/graft_snb_out"
+    for (p <- Seq(model, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text")
+    NbClassifier.store(docs, model)
+    // the at-rest batch twin scores from the identical stored model, so
+    // its output IS the truth for the streamed union
+    val want = graft.operators.NbClassifier
+      .scoreStored(spark, model, docs)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.classifyBatch(b, model, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedPredictions(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed prediction union diverges from the batch twin")
+    Streams.classifyBatch(
+      groups.last.toDF("doc_id", "lang", "text"), model, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the predictions")
+  }
 }
