@@ -239,13 +239,18 @@ object Graft {
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     n: Int = 3): DataFrame = {
+    // shingleRows normalizes the id to `doc_id` — group on THAT, then
+    // restore the caller's name (referencing col(idCol) here failed
+    // analysis for any idCol != "doc_id"; caught by the decontamIndex
+    // facade-equality test)
     val bsh = shingleRows(bench, idCol, textCol, n)
-      .select(col("shingle"), col(idCol).as("bench_id"))
+      .select(col("shingle"), col("doc_id").as("bench_id"))
     shingleRows(train, idCol, textCol, n)
       .join(broadcast(bsh), Seq("shingle"))
-      .groupBy(idCol)
+      .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared"),
            countDistinct("bench_id").as("n_bench_docs"))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** Dictionary/regex scrubbing (the PII-masking shape): adds `scrubbed`
@@ -605,6 +610,25 @@ object Graft {
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Build and persist the benchmark-contamination index
+    * (operators.DecontamIndex): the bench suite's shingles as a Bloom
+    * sketch + exact rows. Screen training corpora forever from storage
+    * via [[decontamIndexQuery]] — a pure map over the corpus plus an
+    * exact join on the Bloom survivors. */
+  def decontamIndexBuild(bench: DataFrame, idCol: String, textCol: String,
+                         root: String): Unit =
+    graft.operators.DecontamIndex.build(
+      shingleRows(bench, idCol, textCol), root)
+
+  /** Contamination report (doc_id, n_shared, n_bench_docs) for a
+    * training corpus against the stored index — result ≡
+    * [[decontaminate]] exactly (the sketch only prunes). */
+  def decontamIndexQuery(train: DataFrame, idCol: String, textCol: String,
+                         root: String): DataFrame =
+    graft.operators.DecontamIndex.query(
+        shingleRows(train, idCol, textCol), root)
+      .withColumnRenamed("doc_id", idCol)
 
   /** Train and persist a multinomial-NB document classifier
     * (operators.NbClassifier) from `docs(idCol, labelCol, textCol)` —

@@ -29,19 +29,23 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object BloomJoin {
 
-  /** Single-row Bloom sketch of `xxhash64(dim(dimKey))` as a scalar
-    * subquery Column. `expectedItems` sizes the sketch (bits ≈ 8×). */
-  def keyBloom(dim: DataFrame, dimKey: String, expectedItems: Long): Column = {
-    val child = ColumnBridge.expression(xxhash64(col(dimKey)))
-    val agg = ColumnBridge.column(
+  /** The raw Bloom AGGREGATE column over `xxhash64(key)` — the sketch as
+    * a selectable value, so it can also be PERSISTED as an artifact
+    * (DecontamIndex) instead of consumed in-plan. */
+  def keyBloomAgg(key: Column, expectedItems: Long): Column =
+    ColumnBridge.column(
       new BloomFilterAggregate(
-        child,
+        ColumnBridge.expression(xxhash64(key)),
         Literal(expectedItems),
         // standard ~8 bits/item sizing, capped at Spark's 67108864 default
         Literal(math.min(expectedItems * 8L, 8388608L * 8L))
       ).toAggregateExpression())
-    dim.select(agg.as("key_bloom")).scalar()
-  }
+
+  /** Single-row Bloom sketch of `xxhash64(dim(dimKey))` as a scalar
+    * subquery Column. `expectedItems` sizes the sketch (bits ≈ 8×). */
+  def keyBloom(dim: DataFrame, dimKey: String, expectedItems: Long): Column =
+    dim.select(keyBloomAgg(col(dimKey), expectedItems).as("key_bloom"))
+      .scalar()
 
   /** `might_contain(bloom, xxhash64(key))` as a filter Column. */
   def mightContain(bloom: Column, key: Column): Column =

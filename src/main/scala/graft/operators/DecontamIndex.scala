@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination index AT REST — the artifact form of
+  * q_decontaminate, completing the index family (dedup / ANN / BM25 /
+  * NB / decontam all follow build-once / probe-forever):
+  *
+  *   root/bloom/    — one row (sketch: binary) — a Bloom filter over the
+  *                    bench suite's shingle hashes
+  *   root/shingles/ — (shingle: int64, bench_id) — the exact rows
+  *
+  * The deployment story: benchmark suites change rarely, training
+  * corpora are re-screened constantly — so the bench side is shingled
+  * and sketched ONCE, and each screening run is a PURE MAP over the
+  * training corpus: the stored sketch ships into the plan as a foldable
+  * binary literal (model-sized — standard sizing is ~8 bits/item), and
+  * `might_contain` drops ~all clean rows at the scan. Only the Bloom
+  * survivors (true matches + the ~3% false positives) reach the exact
+  * broadcast join against the stored shingle rows, so the RESULT is
+  * exactly the in-flight q_decontaminate's — the candidate-first
+  * discipline (sketch prunes, exact join decides), which is why this
+  * key shares q_decontaminate's DuckDB oracle. At 100 TB the training
+  * corpus is never shuffled and never re-read for the bench side.
+  */
+object DecontamIndex {
+
+  private def bloomDir(root: String)    = s"$root/bloom"
+  private def shinglesDir(root: String) = s"$root/shingles"
+
+  /** True iff a complete index exists under `root` (shingles written
+    * last, so their _SUCCESS implies the whole artifact). */
+  def exists(s: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${shinglesDir(root)}/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Persist the bench suite's contamination index. `benchShingles` =
+    * (doc_id, shingle) from Graft.shingleRows. */
+  def build(benchShingles: DataFrame, root: String,
+            expectedItems: Long = 1000000L): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      benchShingles.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    val rows = benchShingles
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    rows.select(BloomJoin.keyBloomAgg(col("shingle"), expectedItems)
+        .as("sketch"))
+      .write.mode("overwrite").parquet(bloomDir(root))
+    rows.write.mode("overwrite").parquet(shinglesDir(root))
+  }
+
+  /** Contamination report for a training corpus against the stored
+    * index: (doc_id, n_shared, n_bench_docs), exactly q_decontaminate's
+    * contract. The sketch is a bounded artifact read (one binary row —
+    * the util.Local discipline); the corpus side is filtered map-side
+    * and never shuffled for the join. */
+  def query(trainShingles: DataFrame, root: String): DataFrame = {
+    val s = trainShingles.sparkSession
+    require(exists(s, root), s"no decontamination index under $root")
+    val sketchRow = s.read.parquet(bloomDir(root)).collect()(0)
+    val bench = s.read.parquet(shinglesDir(root))
+    // an EMPTY bench suite aggregates to a null sketch: skip the
+    // pre-filter (the exact join against zero stored rows is empty
+    // either way — same answer, no null literal in the plan)
+    val cand =
+      if (sketchRow.isNullAt(0)) trainShingles
+      else trainShingles.filter(BloomJoin.mightContain(
+        lit(sketchRow.getAs[Array[Byte]](0)), col("shingle")))
+    cand.join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared"),
+           countDistinct("bench_id").as("n_bench_docs"))
+  }
+}

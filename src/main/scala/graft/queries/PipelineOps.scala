@@ -107,6 +107,29 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- contamination screening AT REST (operators.DecontamIndex):
+    // bench suites change rarely, training corpora re-screen constantly,
+    // so the bench side is shingled + Bloom-sketched ONCE into a stored
+    // artifact; each screening run is a pure map over the corpus (the
+    // stored sketch ships as a foldable binary literal, might_contain
+    // drops clean rows at the scan) with only Bloom survivors reaching
+    // the exact broadcast join. Candidate-first ⇒ result ≡
+    // q_decontaminate exactly ⇒ SHARES its oracle.
+    "q_decontam_index" -> ((s, d) => {
+      import graft.operators.DecontamIndex
+      val root = Scans.scratch("decontamindex", s, d)
+      val docs = Tables.documents(s, d)
+      val isBench = pmod(col("doc_id"), lit(50L)) === 7L
+      if (!DecontamIndex.exists(s, root))
+        DecontamIndex.build(
+          graft.Graft.shingleRows(docs.filter(isBench), "doc_id", "text"),
+          root)
+      DecontamIndex.query(
+          graft.Graft.shingleRows(docs.filter(!isBench), "doc_id", "text"),
+          root)
+        .orderBy("doc_id")
+    }),
+
     // ---- dictionary scrubbing — the PII-masking shape (regex → replace
     // + audit count) over a term dictionary; real pipelines swap the
     // pattern for email/phone/ssn regexes, the plumbing is identical:
@@ -332,7 +355,27 @@ object PipelineOps {
     })
   )
 
+  /** The exact contamination recompute — shared by the in-flight key and
+    * its index-at-rest twin (candidate-first Bloom ⇒ identical result). */
+  private val decontamOracleSql =
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         bench AS (
+           SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 7),
+         train AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 7)
+         SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared,
+                COUNT(DISTINCT b.bench_id) AS n_bench_docs
+         FROM train t JOIN bench b ON t.shingle = b.shingle
+         GROUP BY 1 ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "q_decontam_index" -> decontamOracleSql,
     // budget select / shard balance: the oracle runs the NAIVE
     // unpartitioned window (fine on DuckDB's single node); the Spark
     // side computes the identical integers through the histogram
@@ -487,22 +530,7 @@ object PipelineOps {
                 COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY shard_id, chunk_id""",
-    "q_decontaminate" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
-           UNNEST(list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i+1] || ' ' ||
-                  string_split(text, ' ')[i+2]))) AS u(s)),
-         bench AS (
-           SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 7),
-         train AS (
-           SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 7)
-         SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared,
-                COUNT(DISTINCT b.bench_id) AS n_bench_docs
-         FROM train t JOIN bench b ON t.shingle = b.shingle
-         GROUP BY 1 ORDER BY doc_id""",
+    "q_decontaminate" -> decontamOracleSql,
     "q_text_scrub" ->
       """SELECT doc_id,
            sha256(regexp_replace(text, '\b(customer|order|value)\b',

@@ -291,6 +291,18 @@ class GraftFacadeSpec extends SparkSpec {
       === rows(SparkEntry.queries("q_tok_bpe_train")(spark, sf0001)))
   }
 
+  test("Graft.decontamIndex* facade == Graft.decontaminate") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val isBench = pmod(col("id"), lit(50L)) === 7L
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_facade_dc").toString
+    Graft.decontamIndexBuild(docs.filter(isBench), "id", "body", root)
+    assert(rows(Graft.decontamIndexQuery(docs.filter(!isBench), "id", "body", root))
+      === rows(Graft.decontaminate(
+           docs.filter(!isBench), docs.filter(isBench), "id", "body")))
+  }
+
   test("Graft.nbClassifier* facade == q_text_classify_nb") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id").as("id"), col("lang").as("label"),
