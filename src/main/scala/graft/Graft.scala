@@ -35,6 +35,18 @@ object Graft {
     AsOf.join(left, right, leftKey, rightKey, leftTime, rightTime, carry,
               forward)
 
+  /** Nearest-in-time join (the ML feature-join variant of as-of): each
+    * left row takes whichever same-key right row is CLOSER in time,
+    * backward winning ties; emits `delta` (left − right time). Same
+    * one-shuffle/one-sort cost as [[asofJoin]]. `rightTime` must be in
+    * `carry` and numeric. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      carry: Seq[String]): DataFrame =
+    AsOf.joinNearest(left, right, leftKey, rightKey, leftTime, rightTime,
+      carry)
+
   /** Interval (stream-stream-window batch analog) join: rows of `left`
     * matched to `right` rows with the same key and right time within
     * [left time, left time + window]. The equi key carries the shuffle;

@@ -81,4 +81,57 @@ object AsOf {
       .select((leftCols.map(col) ++
         rightVals.map(c => col(s"__rv.$c").as(c))): _*)
   }
+
+  /** NEAREST-in-time join — the ML feature-join variant of as-of: each
+    * left row takes whichever right row (same key) is closer in time,
+    * backward winning ties. Still ONE shuffle + ONE local sort: the
+    * right side enters the union TWICE (side 0 for the backward carry,
+    * side 2 for the forward pull), and both window carries run over the
+    * same (key, time, side) sort — |L| + 2|R| rows through one
+    * exchange, never a range join, never quadratic. `rightTime` must be
+    * in `rightVals` (the pick needs the matched row's time) and numeric
+    * (the emitted `delta` is left − right time in its units).
+    * Returns left + carried rightVals + `delta` (null when keyless). */
+  def joinNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String]): DataFrame = {
+    require(rightVals.contains(rightTime),
+      s"rightVals must include $rightTime — the nearest pick needs the matched time")
+    val leftCols = left.columns.toSeq
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    def sideRow(df: DataFrame, side: Int, bv: Boolean): DataFrame = df
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(side))
+      .select((leftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        (if (bv) struct(rightVals.map(col): _*)
+         else lit(null).cast(rvType)).as("__bv"),
+        (if (bv) lit(null).cast(rvType)
+         else struct(rightVals.map(col): _*)).as("__fv"),
+        col("__k"), col("__t"), col("__side"))): _*)
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) ++ Seq(
+        lit(null).cast(rvType).as("__bv"), lit(null).cast(rvType).as("__fv"),
+        col("__k"), col("__t"), col("__side"))): _*)
+    val base = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+    val merged = l
+      .unionByName(sideRow(right, 0, bv = true))
+      .unionByName(sideRow(right, 2, bv = false))
+      .withColumn("__b", last(col("__bv"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f", first(col("__fv"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") === 1)
+    val bt = col(s"__b.$rightTime"); val ft = col(s"__f.$rightTime")
+    val useB = bt.isNotNull &&
+      (ft.isNull || (col("__t") - bt) <= (ft - col("__t")))
+    merged.select((leftCols.map(col) ++
+      rightVals.map(c =>
+        when(useB, col(s"__b.$c")).otherwise(col(s"__f.$c")).as(c)) :+
+      when(useB, col("__t") - bt).otherwise(ft - col("__t")).as("delta")): _*)
+  }
 }

@@ -153,6 +153,28 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Nearest-in-time as-of (the ML feature-join variant: attach
+    // whichever same-key order is CLOSER in time, backward winning
+    // ties). One shuffle + one sort via operators.AsOf.joinNearest —
+    // the right side rides the union twice so both direction carries
+    // share a single window pass; never a range join.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), epochMs(col("o_orderdate")).as("odate_ms"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+        .select(col("o_custkey"), (col("odate_ms") * 1000L).as("ots_us"),
+                col("o_orderkey"))
+      AsOf.joinNearest(ev, ord, "user_id", "o_custkey", "ts_us", "ots_us",
+                Seq("o_orderkey", "ots_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                col("o_orderkey").as("nearest_orderkey"),
+                col("ots_us").as("nearest_odate_us"),
+                col("delta").as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     "q_join_bcast" -> ((s, d) => {
       // GlobalKTable analog: explicit broadcast of the dim side.
       Tables.supplier(s, d)
@@ -368,6 +390,33 @@ object Joins {
            FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)) o
            ON e.user_id = o.o_custkey AND e.ts_us <= o.ots_us
          ORDER BY event_id""",
+    "q_join_asof_nearest" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         o AS (
+           SELECT o_custkey, epoch_ms(o_orderdate) * 1000 AS ots_us,
+                  MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, epoch_ms(o_orderdate)),
+         b AS (
+           SELECT e.event_id, e.user_id, e.ts_us,
+                  o.o_orderkey AS b_key, o.ots_us AS b_us
+           FROM e ASOF LEFT JOIN o
+             ON e.user_id = o.o_custkey AND e.ts_us >= o.ots_us),
+         f AS (
+           SELECT e.event_id, o.o_orderkey AS f_key, o.ots_us AS f_us
+           FROM e ASOF LEFT JOIN o
+             ON e.user_id = o.o_custkey AND e.ts_us <= o.ots_us)
+         SELECT b.event_id, b.user_id, b.ts_us,
+           CASE WHEN b.b_us IS NOT NULL AND (f.f_us IS NULL
+                     OR (b.ts_us - b.b_us) <= (f.f_us - b.ts_us))
+                THEN b.b_key ELSE f.f_key END AS nearest_orderkey,
+           CASE WHEN b.b_us IS NOT NULL AND (f.f_us IS NULL
+                     OR (b.ts_us - b.b_us) <= (f.f_us - b.ts_us))
+                THEN b.b_us ELSE f.f_us END AS nearest_odate_us,
+           CASE WHEN b.b_us IS NOT NULL AND (f.f_us IS NULL
+                     OR (b.ts_us - b.b_us) <= (f.f_us - b.ts_us))
+                THEN b.ts_us - b.b_us ELSE f.f_us - b.ts_us END AS delta_us
+         FROM b JOIN f USING (event_id) ORDER BY event_id""",
     "q_join_bcast" ->
       s"""SELECT n_name, COUNT(*) AS n_suppliers,
           ${sqlDsum("s_acctbal")} AS sum_acctbal
