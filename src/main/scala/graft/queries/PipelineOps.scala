@@ -240,6 +240,32 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- EPOCH scheduling under a token budget (the data-recipe step
+    // downstream of temperature weights): per-source repeat factors
+    // epochs_s = budget · w_s / tok_s with budget = 50% of corpus tokens,
+    // temperature weights w ∝ √tok (quantized to millis — the
+    // q_mix_temperature discipline), capped at 4 epochs. All arithmetic
+    // is integer-quantized or a floor of one double quotient with a
+    // pinned operand order, so three engines agree on every boundary.
+    // The numerator multiplies AS DOUBLE — w_milli·T·500 overflows int64
+    // already at a ~3e9-token corpus. Plan: one map-side-combinable
+    // stats agg into |sources| rows; everything after is model-sized.
+    "q_mix_epochs" -> ((s, d) => {
+      val st = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_tok"))
+        .withColumn("w_milli",
+          round(sqrt(col("n_tok").cast("double")) * 1000.0, 0).cast("long"))
+      st.withColumn("t", sum("n_tok").over(Window.partitionBy()))
+        .withColumn("sw", sum("w_milli").over(Window.partitionBy()))
+        .withColumn("epochs_milli", least(lit(4000L),
+          floor((col("w_milli").cast("double") * col("t") * lit(500.0)) /
+                (col("sw").cast("double") * col("n_tok")))))
+        .withColumn("sampled_tok", expr("(epochs_milli * n_tok) div 1000"))
+        .select("source", "n_docs", "n_tok", "w_milli", "epochs_milli",
+                "sampled_tok")
+        .orderBy("source")
+    }),
+
     // ---- the WHOLE pipeline as ONE declared plan: normalize → exact
     // dedup on normalized content (keeper = min id) → quality gate →
     // deterministic 50% sample → per-lang corpus stats. Every stage is
@@ -573,6 +599,26 @@ object PipelineOps {
          WHERE (((d.doc_id % 1000000007 + 1000000007) % 1000000007)
                  * 48271 + 11) % 1000 < r.rate
          GROUP BY 1, 2, 3 ORDER BY d.lang""",
+    "q_mix_epochs" ->
+      """WITH st AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_chars) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT *, CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1000.0, 0)
+                       AS BIGINT) AS w_milli
+           FROM st),
+         g AS (
+           SELECT *, SUM(n_tok) OVER () AS t, SUM(w_milli) OVER () AS sw
+           FROM w),
+         e AS (
+           SELECT *, LEAST(4000, CAST(floor(
+               (CAST(w_milli AS DOUBLE) * t * 500.0)
+               / (CAST(sw AS DOUBLE) * n_tok)) AS BIGINT)) AS epochs_milli
+           FROM g)
+         SELECT source, n_docs, n_tok, w_milli, epochs_milli,
+           CAST((epochs_milli * n_tok) // 1000 AS BIGINT) AS sampled_tok
+         FROM e ORDER BY source""",
     "q_mix_temperature" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          w AS (
