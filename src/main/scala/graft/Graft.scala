@@ -611,7 +611,10 @@ object Graft {
   /** Weighted sample without replacement (Efraimidis–Spirakis): the k
     * rows with the smallest −ln(u)/w keys, u a deterministic overflow-
     * safe integer LCG on `idCol` — one scan, TakeOrdered partial-reduce,
-    * reproducible on any engine forever. */
+    * reproducible on any engine forever. Contract: weights must be
+    * STRICTLY POSITIVE (the E-S transform is undefined otherwise — a
+    * negative weight would always win the sample, a zero weight never
+    * would; filter or clamp upstream). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     val uNum = pmod(col(idCol), lit(1000003L)) * lit(2654435761L) +

@@ -57,7 +57,12 @@ object AsOf {
     // Forward: right rows (side 2) sort AFTER left at equal time and the
     // earliest following right struct is pulled backward. Both inclusive.
     val rightSide = if (forward) 2 else 0
-    val r = right
+    // SQL join semantics: a NULL right key matches nothing. Without this
+    // filter the window's partitionBy would group null-keyed rows of
+    // BOTH sides into one partition and "match" them — a silent
+    // divergence from the DuckDB ASOF oracle. Null-keyed LEFT rows stay
+    // (alone in the null partition, no right rows → null carry).
+    val r = right.filter(col(rightKey).isNotNull)
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(rightSide))
       .select((leftCols.map(c =>
@@ -90,7 +95,11 @@ object AsOf {
     * same (key, time, side) sort — |L| + 2|R| rows through one
     * exchange, never a range join, never quadratic. `rightTime` must be
     * in `rightVals` (the pick needs the matched row's time) and numeric
-    * (the emitted `delta` is left − right time in its units).
+    * (the emitted `delta` is left − right time in its units). The right
+    * side must be unique per (key, time) — dedup it first, same as
+    * [[join]], or the carried values are partition-order-dependent.
+    * NULL right keys match nothing (filtered, SQL semantics); a NULL
+    * left key carries nulls.
     * Returns left + carried rightVals + `delta` (null when keyless). */
   def joinNearest(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
@@ -101,8 +110,9 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val rvType = org.apache.spark.sql.types.StructType(
       rightVals.map(c => right.schema(c).copy(name = c)))
-    def sideRow(df: DataFrame, side: Int, bv: Boolean): DataFrame = df
-      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
+    def sideRow(df0: DataFrame, side: Int, bv: Boolean): DataFrame = {
+      val df = df0.filter(col(rightKey).isNotNull) // SQL: null key matches nothing
+      df.withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(side))
       .select((leftCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
@@ -111,6 +121,7 @@ object AsOf {
         (if (bv) lit(null).cast(rvType)
          else struct(rightVals.map(col): _*)).as("__fv"),
         col("__k"), col("__t"), col("__side"))): _*)
+    }
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

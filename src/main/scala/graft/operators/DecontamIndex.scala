@@ -29,27 +29,33 @@ object DecontamIndex {
   private def bloomDir(root: String)    = s"$root/bloom"
   private def shinglesDir(root: String) = s"$root/shingles"
 
-  /** True iff a complete index exists under `root` (shingles written
-    * last, so their _SUCCESS implies the whole artifact). */
+  /** True iff a complete index exists under `root` (the Bloom sketch is
+    * written last — FROM the stored rows — so its _SUCCESS implies the
+    * whole artifact). */
   def exists(s: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${shinglesDir(root)}/_SUCCESS")
+    val p = new org.apache.hadoop.fs.Path(s"${bloomDir(root)}/_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Persist the bench suite's contamination index. `benchShingles` =
-    * (doc_id, shingle) from Graft.shingleRows. */
+    * (doc_id, shingle) from Graft.shingleRows. The bench suite is
+    * shingled ONCE: the exact rows land first, and the sketch
+    * aggregates over the stored parquet rather than re-running the
+    * shingle pipeline — which also guarantees sketch and rows can never
+    * diverge. */
   def build(benchShingles: DataFrame, root: String,
             expectedItems: Long = 1000000L): Unit = {
+    val s = benchShingles.sparkSession
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(
-      benchShingles.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
-    val rows = benchShingles
+    benchShingles
       .select(col("shingle"), col("doc_id").as("bench_id"))
-    rows.select(BloomJoin.keyBloomAgg(col("shingle"), expectedItems)
+      .write.mode("overwrite").parquet(shinglesDir(root))
+    s.read.parquet(shinglesDir(root))
+      .select(BloomJoin.keyBloomAgg(col("shingle"), expectedItems)
         .as("sketch"))
       .write.mode("overwrite").parquet(bloomDir(root))
-    rows.write.mode("overwrite").parquet(shinglesDir(root))
   }
 
   /** Contamination report for a training corpus against the stored

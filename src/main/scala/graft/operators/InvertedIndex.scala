@@ -45,6 +45,50 @@ object InvertedIndex {
 
   private def statsDir(root: String)    = s"$root/stats"
   private def postingsDir(root: String) = s"$root/postings"
+  private def hwmPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/compacted_through")
+
+  private def fsOf(s: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Committed `batch=` ids under a table dir (postings nest under
+    * `tb=`; a glob over both layouts covers either table). */
+  private def batchIds(s: SparkSession, dir: String): Set[Long] = {
+    val fs = fsOf(s, dir)
+    Seq(s"$dir/batch=*", s"$dir/tb=*/batch=*").flatMap { g =>
+      fs.globStatus(new org.apache.hadoop.fs.Path(g)) match {
+        case null => Nil
+        case st => st.toSeq.map(_.getPath.getName.stripPrefix("batch=").toLong)
+      }
+    }.toSet
+  }
+
+  /** The batch ids BOTH tables have committed. A crash between append()'s
+    * two writes leaves a torn batch present on one side only — reading
+    * the intersection makes that batch invisible (the index answers as
+    * if the append never ran) instead of silently skewing df/avgdl with
+    * stats rows whose postings are missing. Replaying the batch repairs
+    * it in place. */
+  private def committedBatches(s: SparkSession, root: String): Set[Long] =
+    batchIds(s, statsDir(root)) intersect batchIds(s, postingsDir(root))
+
+  /** Highest batch id folded into batch 0 by [[compact]] (−1 before any
+    * compaction). append() refuses ids at or below it: a foreachBatch
+    * re-delivery of an ALREADY-FOLDED batch would otherwise re-create
+    * its partitions next to the compacted copies and double-count every
+    * posting — better a hard error than silent duplication. (Operate
+    * compaction only past the stream's committed checkpoint and the
+    * error can never fire.) */
+  def compactedThrough(s: SparkSession, root: String): Long = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(hwmPath(root))) -1L
+    else {
+      val in = fs.open(hwmPath(root))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
 
   /** True iff a complete index exists under `root` (postings are written
     * last, so their _SUCCESS marker implies the whole artifact). */
@@ -72,9 +116,17 @@ object InvertedIndex {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
   }
 
+  /** Batch stats. NOTE: tokenizes the batch a second time (postingsOf
+    * is the first) — deliberately NOT derived from the postings rows,
+    * whose (doc, term) grain drops zero-token documents from n_docs.
+    * Builds/appends pay two scans of their own batch; queries pay none.
+    * `nb` pins the bucketing constant INTO the artifact so a probe
+    * compiled with a different NumBuckets fails loudly instead of
+    * pruning to the wrong partitions. */
   private def statsOf(docs: DataFrame): DataFrame =
     docs.select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+      .withColumn("nb", lit(NumBuckets.toLong))
 
   /** Build and persist the backfill index (batch 0). Wipes any previous
     * artifact first — stats land before postings, so a rebuild dying
@@ -104,6 +156,10 @@ object InvertedIndex {
     require(exists(s, root),
       s"no inverted index under $root — build the backfill first")
     require(batchId > 0L, "batch 0 is the backfill partition")
+    val hwm = compactedThrough(s, root)
+    require(batchId > hwm,
+      s"batch $batchId was already folded by a compaction (high-water " +
+        s"mark $hwm) — re-appending it would double-count every posting")
     statsOf(docs).withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -131,19 +187,32 @@ object InvertedIndex {
     val staging = s"$root.compact"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = fsOf(s, root)
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    // fold only batches COMMITTED on both sides — a torn append's
+    // orphan partition would otherwise be baked into batch 0
+    val committed = committedBatches(s, root).toSeq.sorted
+    val batchSet = committed.map(java.lang.Long.valueOf)
     s.read.parquet(statsDir(root))
+      .filter(col("batch").isin(batchSet: _*))
       .agg(sum("n_docs").as("n_docs"),
         sum("total_tokens").as("total_tokens"))
+      .withColumn("nb", lit(NumBuckets.toLong))
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(statsDir(staging))
     s.read.parquet(postingsDir(root))
+      .filter(col("batch").isin(batchSet: _*))
       .select("term", "doc_id", "tf", "dl", "tb")
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(postingsDir(staging))
+    // high-water mark travels with the artifact: append() refuses any
+    // batch id a future re-delivery might duplicate
+    val hwm = math.max(committed.max, compactedThrough(s, root))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$staging/compacted_through"), true)
+    try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(rootPath, true)
     require(fs.rename(stagingPath, rootPath),
       s"compaction swap failed: could not rename $staging over $root")
@@ -184,18 +253,37 @@ object InvertedIndex {
     * themselves — exact because (term, doc) is unique across batches by
     * the append contract — and broadcasts back as a terms-sized idf
     * table. One shuffle on doc_id for the score sum; every other input
-    * is model-sized. */
-  def query(s: SparkSession, root: String, terms: Seq[String], k: Int = 20)
+    * is model-sized. Repeated query terms are DISTINCT'd (each distinct
+    * term scores once — the same semantics as the full-scan twin's
+    * fixed-term columns); both tables read only the batch ids committed
+    * on BOTH sides (torn appends invisible until replayed), and the
+    * stored `nb` must match this build's NumBuckets or the probe fails
+    * loudly instead of pruning to the wrong partitions. */
+  def query(s: SparkSession, root: String, terms0: Seq[String], k: Int = 20)
       : DataFrame = {
     require(exists(s, root), s"no inverted index under $root")
     import s.implicits._
+    val terms = terms0.distinct
+    val committed = committedBatches(s, root).toSeq.sorted
+      .map(java.lang.Long.valueOf)
     val qterms = terms.toDF("term")
       .withColumn("tb", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
     val buckets = graft.util.Local.model(qterms.select("tb"))
       .collect().map(_.getLong(0)).distinct.toSeq
-    val st = s.read.parquet(statsDir(root))
+    val statsRaw = s.read.parquet(statsDir(root))
+      .filter(col("batch").isin(committed: _*))
+    // artifacts written before the nb column existed skip the check
+    val storedNb =
+      if (!statsRaw.columns.contains("nb")) None
+      else graft.util.Local.model(statsRaw.select("nb").limit(1))
+        .collect().headOption.map(_.getLong(0))
+    require(storedNb.forall(_ == NumBuckets.toLong),
+      s"index at $root was bucketed with nb=${storedNb.get}, this build " +
+        s"probes with $NumBuckets — rebuild or match the constant")
+    val st = statsRaw
       .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
     val pruned = s.read.parquet(postingsDir(root))
+      .filter(col("batch").isin(committed: _*))
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
     val idfTab = pruned.groupBy("term").agg(count(lit(1)).as("df"))

@@ -86,16 +86,33 @@ object NbClassifier {
   /** Score `docs(doc_id, lang, text)` against model frames: broadcast
     * grid join + per-class INT64 sums + when-chain argmax (ties to the
     * lexicographically-first class). Returns (doc_id, predicted,
-    * actual) ordered by doc_id. */
+    * actual) ordered by doc_id — one row per INPUT doc: a document
+    * with no in-vocabulary token (the new-batch scoring path this
+    * model exists for) keeps a prediction, the prior argmax, instead
+    * of silently vanishing through the token inner-join. */
   def score(docs: DataFrame, grid: DataFrame, priors: DataFrame,
             classes: Seq[String]): DataFrame = {
     val sumAggs = classes.map(c => sum(col(s"llk_$c")).as(s"s_$c"))
-    val scored = toks(docs).join(broadcast(grid), Seq("term"))
+    // one null ANCHOR row per doc rides the union into the groupBy, so
+    // every input doc reaches the aggregate even when the token
+    // inner-join yields nothing for it (all-OOV or empty text) — sum
+    // ignores nulls, an all-null group sums to NULL → coalesce 0 →
+    // prior argmax. This keeps the scoring plan at ONE doc_id shuffle
+    // with the grid broadcast (a docs-side left join here regressed to
+    // a corpus SortMergeJoin — caught by PlanShapeSpec).
+    val tokRows = toks(docs).join(broadcast(grid), Seq("term"))
+      .select(col("doc_id") +: col("lang") +:
+        classes.map(c => col(s"llk_$c")): _*)
+    val anchors = docs.select(col("doc_id") +: col("lang") +:
+      classes.map(c => lit(null).cast("long").as(s"llk_$c")): _*)
+    val sums = tokRows.unionByName(anchors)
       .groupBy(col("doc_id"), col("lang"))
       .agg(sumAggs.head, sumAggs.tail: _*)
+    val scored = sums
       .crossJoin(broadcast(priors))
       .select(col("doc_id") +: col("lang").as("actual") +:
-        classes.map(c => (col(s"s_$c") + col(s"p_$c")).as(s"t_$c")): _*)
+        classes.map(c =>
+          (coalesce(col(s"s_$c"), lit(0L)) + col(s"p_$c")).as(s"t_$c")): _*)
     def pick(i: Int): Column =
       if (i == classes.length - 1) lit(classes(i))
       else {

@@ -328,10 +328,14 @@ object TextOps {
            FROM toks tk JOIN grid g ON g.term = tk.term
            GROUP BY 1, 2),
          best AS (
-           SELECT sc.doc_id, sc.lang,
-             ROW_NUMBER() OVER (PARTITION BY sc.doc_id
-               ORDER BY sc.s + pri.p DESC, sc.lang ASC) AS rn
-           FROM sc JOIN pri ON pri.lang = sc.lang)
+           -- one row per INPUT doc: a doc with no in-vocab token keeps
+           -- the prior-argmax prediction (COALESCE 0 token sum) — the
+           -- engine's left-join contract, mirrored
+           SELECT d.doc_id, p.lang,
+             ROW_NUMBER() OVER (PARTITION BY d.doc_id
+               ORDER BY COALESCE(sc.s, 0) + p.p DESC, p.lang ASC) AS rn
+           FROM documents d CROSS JOIN pri p
+           LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = p.lang)
          SELECT b.doc_id, b.lang AS predicted, d.lang AS actual
          FROM best b JOIN documents d ON d.doc_id = b.doc_id
          WHERE b.rn = 1 ORDER BY b.doc_id"""

@@ -141,6 +141,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of ≡ brute-force min-|Δ| with backward ties; left count preserved") {
+    forAll(genPairs, genPairs) { (l, r) =>
+      whenever(l.nonEmpty && r.nonEmpty) {
+        val L = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t.toLong) }
+          .toDF("lid", "k", "lt")
+        val rRows = r.distinct.map { case (k, t) => (k, t.toLong, s"v$k-$t") }
+          .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+        val R = rRows.toDF("rk", "rt", "rv")
+        val out = graft.operators.AsOf
+          .joinNearest(L, R, "k", "rk", "lt", "rt", Seq("rv", "rt"))
+          .collect()
+          .map(x => x.getLong(0) ->
+            (Option(x.get(3)), Option(x.get(4)), Option(x.get(5)))).toMap
+        assert(out.size === l.size)
+        val byKey = rRows.groupBy(_._1)
+        for (((k, t), i) <- l.zipWithIndex) {
+          val want = byKey.get(k).flatMap { cands =>
+            // min |Δ|; at equal distance the two candidates sit on
+            // opposite sides (rt unique per key) — backward (rt ≤ lt) wins
+            Some(cands.minBy(c =>
+              (math.abs(t.toLong - c._2), if (c._2 <= t.toLong) 0 else 1)))
+          }
+          val got = out(i.toLong)
+          assert(got._2 === want.map(_._2),
+            s"lid $i k=$k t=$t: nearest time ${got._2} != ${want.map(_._2)}")
+          assert(got._1 === want.map(_._3))
+          assert(got._3 === want.map(c => math.abs(t.toLong - c._2)),
+            s"lid $i: delta mismatch")
+        }
+      }
+    }
+  }
+
+  test("as-of and nearest joins: NULL keys never match (SQL semantics)") {
+    val L = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("lid", "k", "lt")
+    val R = Seq((Option("a"), 8L, "x"), (Option.empty[String], 9L, "y"))
+      .toDF("rk", "rt", "rv")
+    val bwd = graft.operators.AsOf
+      .join(L, R, "k", "rk", "lt", "rt", Seq("rv"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(bwd(1L) === Some("x"))
+    assert(bwd(2L) === None, "null-keyed rows matched each other in as-of")
+    val near = graft.operators.AsOf
+      .joinNearest(L, R, "k", "rk", "lt", "rt", Seq("rv", "rt"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(near(1L) === Some("x"))
+    assert(near(2L) === None, "null-keyed rows matched each other in nearest")
+  }
+
   test("prefix filter: candidates ⊇ all pairs with J ≥ t on generated docs") {
     // the SSJoin prefix theorem, checked empirically for ANY generated
     // corpus and several thresholds: restricting the self-join to each

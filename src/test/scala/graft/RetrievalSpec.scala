@@ -33,7 +33,10 @@ class RetrievalSpec extends SparkSpec {
     InvertedIndex.build(Tables.documents(spark, sf0001), root)
     val q = InvertedIndex.query(spark, root, Seq("spark", "dup"), k = 5)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [tb"),
+    // the committed-batch filter shares the partition-filter list, so
+    // match the tb membership term anywhere inside it
+    assert("""PartitionFilters: \[[^\]]*tb#\d+ IN \(""".r
+        .findFirstIn(plan).isDefined,
       s"postings scan lost its term-bucket partition filter:\n$plan")
     assert(q.count() > 0)
   }
@@ -102,6 +105,60 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(postingsAfter === postingsBefore,
       "compaction changed the postings rows")
+  }
+
+  test("a torn append is invisible until replayed (batch intersection)") {
+    // simulate a crash between append()'s two writes: append fully, then
+    // delete the batch's postings partitions so only its stats row
+    // remains — the query must answer exactly like the pre-append index
+    // (NOT with inflated n_docs/avgdl), and replaying the batch repairs
+    val docs = Tables.documents(spark, sf001)
+    val terms = Seq("spark", "window", "dup", "merge")
+    val base = docs.filter(col("doc_id") < 400)
+    val b1 = docs.filter(col("doc_id") >= 400)
+    val root = tmpRoot("torn")
+    InvertedIndex.build(base, root)
+    val baseAnswer = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    InvertedIndex.append(b1, root, batchId = 1)
+    val fullAnswer = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- fs.globStatus(new org.apache.hadoop.fs.Path(
+           s"$root/postings/tb=*/batch=1")))
+      fs.delete(st.getPath, true)
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20))
+      === baseAnswer,
+      "orphan stats row leaked into the scores — torn batch not masked")
+    InvertedIndex.append(b1, root, batchId = 1)
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20))
+      === fullAnswer, "replaying the torn batch did not repair the index")
+  }
+
+  test("replaying an already-compacted batch is refused (high-water mark)") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = tmpRoot("hwm")
+    InvertedIndex.build(docs.filter(col("doc_id") < 25), root)
+    val b1 = docs.filter(col("doc_id") >= 25)
+    InvertedIndex.append(b1, root, batchId = 1)
+    InvertedIndex.compact(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.append(b1, root, batchId = 1)
+    }
+    assert(e.getMessage.contains("high-water"),
+      s"unexpected refusal message: ${e.getMessage}")
+    // NEW batches past the mark still append fine
+    InvertedIndex.append(
+      docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000L), root, batchId = 2)
+  }
+
+  test("duplicate query terms score once (distinct semantics)") {
+    val root = tmpRoot("dup")
+    InvertedIndex.build(Tables.documents(spark, sf0001), root)
+    assert(
+      rows(InvertedIndex.query(spark, root,
+        Seq("spark", "spark", "dup"), k = 10))
+      === rows(InvertedIndex.query(spark, root, Seq("spark", "dup"), k = 10)))
   }
 
   test("q_retrieval_hybrid: RRF law holds and the semantic leg matches knnCosine") {
