@@ -585,6 +585,16 @@ object Graft {
                      terms: Seq[String], k: Int = 20): DataFrame =
     graft.operators.InvertedIndex.query(spark, root, terms, k)
 
+  /** BATCHED retrieval: top-`k` per query id for a whole query set
+    * against ONE pruned probe of the stored index — per-(qid, doc)
+    * scores partial-reduce through graft_topk, so the exchange carries
+    * k·maps rows per query however many documents match. Per-qid
+    * results ≡ [[textIndexQuery]] one at a time. */
+  def textIndexQueryMulti(spark: org.apache.spark.sql.SparkSession,
+                          root: String, queries: Seq[(Long, Seq[String])],
+                          k: Int = 5): DataFrame =
+    graft.operators.InvertedIndex.queryMulti(spark, root, queries, k)
+
   /** Fold all ingest batches of a stored BM25 index into one batch-0
     * partition set — rows preserved exactly, probe file count restored. */
   def textIndexCompact(spark: org.apache.spark.sql.SparkSession,

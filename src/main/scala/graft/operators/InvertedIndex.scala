@@ -261,9 +261,24 @@ object InvertedIndex {
     * loudly instead of pruning to the wrong partitions. */
   def query(s: SparkSession, root: String, terms0: Seq[String], k: Int = 20)
       : DataFrame = {
+    val (pruned, idfTab) = probe(s, root, terms0.distinct)
+    pruned.join(broadcast(idfTab), Seq("term"))
+      .select(col("doc_id"),
+        contribMicros(col("tf"), col("dl"), col("idf"), col("avgdl"))
+          .as("cq"))
+      .groupBy("doc_id")
+      .agg(round(sum("cq").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The shared probe preamble of [[query]] and [[queryMulti]]: validate
+    * the artifact, prune the postings to the query terms' buckets and
+    * committed batches, and derive the terms-sized idf/avgdl table. */
+  private def probe(s: SparkSession, root: String, terms: Seq[String])
+      : (DataFrame, DataFrame) = {
     require(exists(s, root), s"no inverted index under $root")
     import s.implicits._
-    val terms = terms0.distinct
     val committed = committedBatches(s, root).toSeq.sorted
       .map(java.lang.Long.valueOf)
     val qterms = terms.toDF("term")
@@ -291,13 +306,44 @@ object InvertedIndex {
       .select(col("term"),
         idf(col("df"), col("n_docs")).as("idf"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
-    pruned.join(broadcast(idfTab), Seq("term"))
-      .select(col("doc_id"),
+    (pruned, idfTab)
+  }
+
+  /** BATCHED retrieval — the production serving shape (queries arrive in
+    * micro-batches, not one at a time): top-`k` per query id for a whole
+    * query SET against one pruned probe. All queries' terms prune
+    * together (union of their buckets), the (qid, term) frame broadcasts
+    * onto the pruned postings, and per-(qid, doc) scores partial-reduce
+    * through [[graft.functions.TopKByScore]] — each map task emits at
+    * most k rows per qid BEFORE the exchange, so the shuffle carries
+    * k·maps·|queries| rows however many documents match (the q_knn_join
+    * discipline; a rank window here would shuffle and sort every scored
+    * (qid, doc) pair). Scores are the exact INT64 micros (< 2^53, so the
+    * double-typed buffer is exact); ties break by doc_id asc inside the
+    * buffer's total order. Returns (qid, rank, doc_id, score) ordered by
+    * (qid, rank) — per-qid results identical to [[query]] one at a time
+    * (law pinned in RetrievalSpec). */
+  def queryMulti(s: SparkSession, root: String,
+                 queries: Seq[(Long, Seq[String])], k: Int = 5)
+      : DataFrame = {
+    import s.implicits._
+    graft.util.Confs.ensureObjectHashHeadroom(s)
+    val (pruned, idfTab) = probe(s, root, queries.flatMap(_._2).distinct)
+    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("qid", "term")
+    pruned.join(broadcast(qdf), Seq("term"))
+      .join(broadcast(idfTab), Seq("term"))
+      .select(col("qid"), col("doc_id"),
         contribMicros(col("tf"), col("dl"), col("idf"), col("avgdl"))
           .as("cq"))
-      .groupBy("doc_id")
-      .agg(round(sum("cq").cast("double") / 1e6, 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
+      .groupBy("qid", "doc_id").agg(sum("cq").as("sq"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sq").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"),
+        round(col("t.score") / 1e6, 6).as("score"))
+      .orderBy("qid", "rank")
   }
 }

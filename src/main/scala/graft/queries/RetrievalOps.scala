@@ -42,6 +42,13 @@ object RetrievalOps {
     * (SURVEY §7.5 #6). */
   private val bmTerms = Seq("spark", "window", "dup", "merge")
 
+  /** The batched-serving query set (disjoint and overlapping term mixes,
+    * the rare "dup" included) — literal on BOTH engine sides. */
+  private[graft] val bmMulti: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window"),
+    1L -> Seq("dup", "merge"),
+    2L -> Seq("batch", "key", "slow"))
+
   /** One shared full-scan implementation of quantized BM25 for the fixed
     * `bmTerms` — per-doc tf/dl from array expressions (map-only), corpus
     * stats from ONE agg row broadcast back, contributions summed in fixed
@@ -92,6 +99,20 @@ object RetrievalOps {
       if (!InvertedIndex.exists(s, root))
         InvertedIndex.build(Tables.documents(s, d), root)
       InvertedIndex.query(s, root, bmTerms, k = 20)
+    }),
+
+    // ---- BATCHED retrieval over the stored index — the production
+    // serving shape (queries arrive in micro-batches): three queries
+    // answered from ONE pruned probe, per-(qid, doc) scores
+    // partial-reduced through graft_topk so the exchange carries
+    // k·maps·|queries| rows however many documents match. Per-qid
+    // output ≡ the single-query path (law pinned in RetrievalSpec);
+    // DuckDB-oracled by a full-scan recompute over a VALUES query set.
+    "q_text_index_multi" -> ((s, d) => {
+      val root = Scans.scratch("textindex", s, d)
+      if (!InvertedIndex.exists(s, root))
+        InvertedIndex.build(Tables.documents(s, d), root)
+      InvertedIndex.queryMulti(s, root, bmMulti, k = 5)
     }),
 
     // ---- Index-maintenance COMPACTION (the q_sink_compact discipline
@@ -219,6 +240,36 @@ object RetrievalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_index_multi" ->
+      """WITH q(qid, term) AS (VALUES (0, 'spark'), (0, 'window'), (1, 'dup'),
+           (1, 'merge'), (2, 'batch'), (2, 'key'), (2, 'slow')),
+         t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.term
+           FROM t, UNNEST(toks) AS u(term)),
+         tf AS (
+           SELECT doc_id, term, dl, COUNT(*) AS tf FROM base
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3),
+         st AS (
+           SELECT COUNT(*) AS n_docs,
+                  SUM(CAST(len(toks) AS BIGINT)) AS total_tokens FROM t),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT q.qid, tf.doc_id,
+             SUM(CAST(round((ln(1.0 + ((CAST(n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5))
+               * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(total_tokens AS DOUBLE) / n_docs)))))
+               * 1000000.0) AS BIGINT)) AS sq
+           FROM tf JOIN q USING (term) JOIN df USING (term), st GROUP BY 1, 2),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY sq DESC, doc_id ASC) AS rn
+           FROM sc)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS "rank",
+           doc_id, round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS score
+         FROM r WHERE rn <= 5 ORDER BY qid, "rank"""",
     "q_text_bm25" -> bm25OracleSql,
     "q_text_index_query" -> bm25OracleSql,
     "q_text_index_compact" -> bm25OracleSql,

@@ -161,6 +161,25 @@ class RetrievalSpec extends SparkSpec {
       === rows(InvertedIndex.query(spark, root, Seq("spark", "dup"), k = 10)))
   }
 
+  test("queryMulti ≡ query one at a time (batched-serving law)") {
+    val root = tmpRoot("multi")
+    InvertedIndex.build(Tables.documents(spark, sf001), root)
+    val multi = InvertedIndex
+      .queryMulti(spark, root, graft.queries.RetrievalOps.bmMulti, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    for ((qid, terms) <- graft.queries.RetrievalOps.bmMulti) {
+      val single = InvertedIndex.query(spark, root, terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(multi(qid) === single,
+        s"qid $qid: batched answer diverges from the single-query path")
+    }
+  }
+
   test("q_retrieval_hybrid: RRF law holds and the semantic leg matches knnCosine") {
     val out = SparkEntry.queries("q_retrieval_hybrid")(spark, sf001).collect()
     assert(out.length === 10)
