@@ -61,6 +61,23 @@ object BpeTrain {
       case (syms, (l, r)) => mergeFold(syms, l, r)
     }
 
+  /** Per-doc tokenization stats under a trained merge list —
+    * (doc_id, n_ws_tokens, n_chars, n_bpe_pieces), a PURE MAP (the
+    * merges bake in as expression literals). ONE definition shared by
+    * the batch key q_text_bpe_apply and the streaming face
+    * s_bpe_encode, so the two can never disagree. */
+  def encodeStats(docs: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.operators.InvertedIndex.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        aggregate(transform(col("toks"), w => length(w)),
+          lit(0), (a, x) => a + x).cast("long").as("n_chars"),
+        aggregate(transform(col("toks"), w => size(encode(w, merges))),
+          lit(0), (a, x) => a + x).cast("long").as("n_bpe_pieces"))
+
   private def mergesDir(root: String) = s"$root/merges"
 
   /** True iff a trained merge table exists under `root`. */

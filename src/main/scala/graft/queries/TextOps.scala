@@ -253,17 +253,8 @@ object TextOps {
       val root = Scans.scratch("bpemerges", s, d)
       if (!BpeTrain.exists(s, root))
         BpeTrain.store(Tables.documents(s, d), root, nMerges = 10)
-      val ms = BpeTrain.loadMerges(s, root)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.operators.InvertedIndex.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_ws_tokens"),
-          aggregate(transform(col("toks"), w => length(w)),
-            lit(0), (a, x) => a + x).cast("long").as("n_chars"),
-          aggregate(transform(col("toks"),
-              w => size(BpeTrain.encode(w, ms))),
-            lit(0), (a, x) => a + x).cast("long").as("n_bpe_pieces"))
+      BpeTrain.encodeStats(Tables.documents(s, d),
+          BpeTrain.loadMerges(s, root))
         .orderBy("doc_id")
     }),
 

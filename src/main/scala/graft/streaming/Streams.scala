@@ -544,6 +544,34 @@ object Streams {
   def textIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
     graft.operators.InvertedIndex.append(batch, root, batchId = batchId + 1)
 
+  /** s_bpe_encode — continuous corpus tokenization, the streaming face
+    * of q_text_bpe_apply: each micro-batch of (doc_id, text) encodes
+    * against the STORED merge table (no retraining — the merges bake
+    * into the projection as literals, a pure per-row map: O(batch) per
+    * batch, never O(corpus)) and commits under its own
+    * `_SUCCESS`-marked version dir. foreachBatch's stable batchId makes
+    * replay exactly-once. Invariants (spec-pinned): the union of
+    * streamed encodings equals the batch twin's output under ANY
+    * micro-batch slicing (fixed merges + per-row map ⇒
+    * batching-invariant by construction), and replaying a committed
+    * batch changes nothing. */
+  def bpeEncodeBatch(batch: DataFrame, mergesRoot: String, outDir: String,
+                     batchId: Long): Unit = {
+    val ms = graft.operators.BpeTrain
+      .loadMerges(batch.sparkSession, mergesRoot)
+    graft.operators.BpeTrain.encodeStats(batch, ms)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+  }
+
+  /** Union of all encodings committed by [[bpeEncodeBatch]] — readers
+    * see whole batches only. */
+  def committedEncodings(spark: org.apache.spark.sql.SparkSession,
+                         outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed encoding versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** s_classify_nb — continuous document classification, the streaming
     * face of q_text_classify_at_rest: each micro-batch of (doc_id, lang,
     * text) is scored against the STORED NB model (no retraining — the

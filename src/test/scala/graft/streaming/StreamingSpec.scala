@@ -1023,6 +1023,44 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the assignments")
   }
 
+  test("s_bpe_encode: streamed encodings ≡ batch twin under any slicing, replay-idempotent") {
+    // continuous tokenization against the stored merge table: the union
+    // of per-micro-batch encodings must equal the batch twin's output
+    // whatever the batch boundaries, and replaying a committed batch
+    // must change nothing.
+    import graft.operators.BpeTrain
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val merges = s"$tmp/graft_sbpe_merges"
+    val out = s"$tmp/graft_sbpe_out"
+    for (p <- Seq(merges, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    BpeTrain.store(docs, merges, nMerges = 10)
+    val want = BpeTrain.encodeStats(docs, BpeTrain.loadMerges(spark, merges))
+      .collect().map(_.toString).sorted.toSeq
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.bpeEncodeBatch(b, merges, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedEncodings(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed encoding union diverges from the batch twin")
+    Streams.bpeEncodeBatch(
+      groups.last.toDF("doc_id", "text"), merges, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the encodings")
+  }
+
   test("s_classify_nb: streamed predictions ≡ batch twin under any slicing, replay-idempotent") {
     // continuous document classification against the stored NB model:
     // the union of per-micro-batch predictions must equal the batch
