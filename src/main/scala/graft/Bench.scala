@@ -87,6 +87,14 @@ object Bench {
         Console.err.println(s"WARN: bench artifact write failed for $path: $e")
       }
     println(line)
+    // The driver captures only a TAIL of stdout; with 170 per-key entries
+    // the detailed line overflows that window and the captured fragment
+    // starts mid-object (round 10's BENCH_r10.json had "parsed": null).
+    // Emit a COMPACT summary as the LAST stdout line — short enough to
+    // always fit a tail capture — and leave per-key detail to the full
+    // line above and the BENCH.json artifact.
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","measured":${ok.size},"failed":${bad.size},"sf":"$sfDir","detail":"$artifact"}""")
     spark.stop()
     // A red bench run must be machine-detectable: the round-9 harness
     // recorded rc=0 with 24 crashed queries. Exit non-zero if any query

@@ -624,14 +624,18 @@ object Graft {
     * reproducible on any engine forever. Contract: weights must be
     * STRICTLY POSITIVE (the E-S transform is undefined otherwise — a
     * negative weight would always win the sample, a zero weight never
-    * would; filter or clamp upstream). */
+    * would). The contract is ENFORCED here, not just documented: rows
+    * with weight ≤ 0 or NULL are excluded from the draw, so a zero
+    * weight can never become es_key = +Infinity on one engine and NULL
+    * on another (oracles must mirror `WHERE w > 0`). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     val uNum = pmod(col(idCol), lit(1000003L)) * lit(2654435761L) +
       lit(12345L)
     val u = (pmod(uNum, lit(1000000006L)) + lit(1L)).cast("double") /
       1000000007.0
-    df.withColumn("es_key", round(-log(u) / col(weightCol), 9))
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(-log(u) / col(weightCol), 9))
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)
   }

@@ -80,8 +80,12 @@ object AsOf {
       else
         last(col("__rv"), ignoreNulls = true)
           .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // SQL ASOF semantics: a NULL left TIME matches nothing (DuckDB's
+    // inequality condition is never true on null). Without the guard a
+    // null-time left row sorts first (nulls-first asc) and the FORWARD
+    // carry would hand it the earliest right row's values.
     l.unionByName(r)
-      .withColumn("__rv", carried)
+      .withColumn("__rv", when(col("__t").isNotNull, carried))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
         rightVals.map(c => col(s"__rv.$c").as(c))): _*)
@@ -99,7 +103,7 @@ object AsOf {
     * side must be unique per (key, time) — dedup it first, same as
     * [[join]], or the carried values are partition-order-dependent.
     * NULL right keys match nothing (filtered, SQL semantics); a NULL
-    * left key carries nulls.
+    * left key or a NULL left time carries nulls.
     * Returns left + carried rightVals + `delta` (null when keyless). */
   def joinNearest(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
@@ -140,9 +144,16 @@ object AsOf {
     val bt = col(s"__b.$rightTime"); val ft = col(s"__f.$rightTime")
     val useB = bt.isNotNull &&
       (ft.isNull || (col("__t") - bt) <= (ft - col("__t")))
+    // A NULL left TIME matches nothing (same rule as the null key): it
+    // sorts first in the window, gets no backward carry, but WOULD take
+    // the forward pull — gate every emitted value on __t being present so
+    // the row carries nulls instead of the earliest right row.
+    val tOk = col("__t").isNotNull
     merged.select((leftCols.map(col) ++
       rightVals.map(c =>
-        when(useB, col(s"__b.$c")).otherwise(col(s"__f.$c")).as(c)) :+
-      when(useB, col("__t") - bt).otherwise(ft - col("__t")).as("delta")): _*)
+        when(tOk,
+          when(useB, col(s"__b.$c")).otherwise(col(s"__f.$c"))).as(c)) :+
+      when(tOk,
+        when(useB, col("__t") - bt).otherwise(ft - col("__t"))).as("delta")): _*)
   }
 }

@@ -34,8 +34,11 @@ import graft.util.Local
   */
 object EmbedPca {
 
-  /** (vec_id, z: array<double>) — embeddings projected onto the top-k
-    * principal components and whitened (unit variance per component). */
+  /** (vec_id, z0..z{k-1}: double) — embeddings projected onto the top-k
+    * principal components and whitened (unit variance per component).
+    * Components are emitted as k SCALAR columns, not one array column:
+    * downstream hash/sort harnesses (and columnar sinks) handle scalars
+    * uniformly — the same §7.6 flatten discipline as q_multimodal. */
   def whiten(s: SparkSession, emb: DataFrame, dim: Int, k: Int): DataFrame = {
     val rows = emb.select(col("vec_id"), col("v"))
     // ONE GramAgg fold: [n, per-dim sums, upper-triangle Σxxᵀ] in a flat
@@ -78,7 +81,7 @@ object EmbedPca {
         / math.sqrt(lam)).as(s"z$c")
     }
     rows.select(col("vec_id") +: zCols: _*)
-      .select(col("vec_id"),
-        array(comps.indices.map(c => round(col(s"z$c"), 4)): _*).as("z"))
+      .select(col("vec_id") +:
+        comps.indices.map(c => round(col(s"z$c"), 4).as(s"z$c")): _*)
   }
 }

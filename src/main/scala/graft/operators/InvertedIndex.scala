@@ -160,14 +160,22 @@ object InvertedIndex {
     require(batchId > hwm,
       s"batch $batchId was already folded by a compaction (high-water " +
         s"mark $hwm) — re-appending it would double-count every posting")
-    statsOf(docs).withColumn("batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch").parquet(statsDir(root))
+    // POSTINGS FIRST, stats LAST. committedBatches() gates on directory
+    // presence on BOTH sides, and the postings write is a multi-partition
+    // job whose tb=*/batch=N dirs materialize non-atomically — were stats
+    // written first, a crash mid-postings would leave the batch "committed"
+    // with full n_docs/avgdl but partial postings (silently wrong scores).
+    // Stats is a single-row, single-partition write (near-atomic commit),
+    // so writing it last shrinks the torn window to nothing observable:
+    // partial postings with no stats row stay invisible until replayed.
     postingsOf(docs).withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(postingsDir(root))
+    statsOf(docs).withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(statsDir(root))
   }
 
   /** Compact all ingest batches into a single batch-0 partition set —
@@ -287,11 +295,15 @@ object InvertedIndex {
       .collect().map(_.getLong(0)).distinct.toSeq
     val statsRaw = s.read.parquet(statsDir(root))
       .filter(col("batch").isin(committed: _*))
-    // artifacts written before the nb column existed skip the check
+    // artifacts written before the nb column existed skip the check; an
+    // AGGREGATE (max over non-null rows) rather than limit(1) — a
+    // mixed-schema index (pre-nb backfill + nb-carrying appends) would
+    // make limit(1)'s answer depend on which batch's row it sampled
+    // (null → NPE or a silently skipped check)
     val storedNb =
       if (!statsRaw.columns.contains("nb")) None
-      else graft.util.Local.model(statsRaw.select("nb").limit(1))
-        .collect().headOption.map(_.getLong(0))
+      else graft.util.Local.model(statsRaw.agg(max("nb").as("nb")))
+        .collect().headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
     require(storedNb.forall(_ == NumBuckets.toLong),
       s"index at $root was bucketed with nb=${storedNb.get}, this build " +
         s"probes with $NumBuckets — rebuild or match the constant")

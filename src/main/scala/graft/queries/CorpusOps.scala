@@ -283,6 +283,7 @@ object CorpusOps {
                         % 1000000006 + 1 AS DOUBLE) / 1000000007.0)
                / n_chars, 9) AS es_key
          FROM documents
+         WHERE n_chars > 0
          ORDER BY es_key ASC, doc_id ASC LIMIT 20""",
     "q_text_ngram_lm" ->
       """WITH tok AS (

@@ -20,9 +20,12 @@ class EmbedPcaSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  // Output is k scalar columns z0..z{k-1} (flattened for hash-stable
+  // sinks) — reassemble per-row arrays for the replay compare.
   private lazy val got: Map[Long, Array[Double]] =
     SparkEntry.queries("q_embed_pca")(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .map(r => r.getLong(0) ->
+        Array.tabulate(k)(c => r.getDouble(r.fieldIndex(s"z$c")))).toMap
 
   test("q_embed_pca ≡ in-memory breeze replay (4-dp outputs, 2e-3 tol)") {
     val n = raw.length.toDouble

@@ -191,6 +191,27 @@ class PropertySpec extends SparkSpec {
     assert(near(2L) === None, "null-keyed rows matched each other in nearest")
   }
 
+  test("as-of and nearest joins: NULL left TIME never matches (SQL semantics)") {
+    // A null left time sorts FIRST in the window (nulls-first asc): it
+    // correctly gets no backward carry, but without the isNotNull gate it
+    // would take the forward pull and "match" the earliest right row.
+    val L = Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]))
+      .toDF("lid", "k", "lt")
+    val R = Seq(("a", 8L, "x"), ("a", 12L, "y")).toDF("rk", "rt", "rv")
+    val fwd = graft.operators.AsOf
+      .join(L, R, "k", "rk", "lt", "rt", Seq("rv"), forward = true)
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(fwd(1L) === Some("y"))
+    assert(fwd(2L) === None, "null-time left row took the forward carry in as-of")
+    val near = graft.operators.AsOf
+      .joinNearest(L, R, "k", "rk", "lt", "rt", Seq("rv", "rt"))
+      .collect()
+      .map(x => x.getLong(0) -> (Option(x.get(3)), Option(x.get(5)))).toMap
+    assert(near(1L) === (Some("x"), Some(2L)))
+    assert(near(2L) === (None, None),
+      "null-time left row matched a right row in nearest")
+  }
+
   test("prefix filter: candidates ⊇ all pairs with J ≥ t on generated docs") {
     // the SSJoin prefix theorem, checked empirically for ANY generated
     // corpus and several thresholds: restricting the self-join to each

@@ -134,6 +134,42 @@ class RetrievalSpec extends SparkSpec {
       === fullAnswer, "replaying the torn batch did not repair the index")
   }
 
+  test("a PARTIAL postings commit with no stats row is invisible (write order)") {
+    // The realistic crash under the postings-FIRST/stats-LAST ordering:
+    // the multi-partition postings job died mid-commit, leaving SOME
+    // tb=*/batch=N dirs, and the (last-written) stats row never landed.
+    // The batch intersection must mask the partial postings — scores
+    // must equal the pre-append index, not a blend of full stats and
+    // half a batch's postings — and a replay must repair in place.
+    val docs = Tables.documents(spark, sf001)
+    val terms = Seq("spark", "window", "dup", "merge")
+    val base = docs.filter(col("doc_id") < 400)
+    val b1 = docs.filter(col("doc_id") >= 400)
+    val root = tmpRoot("tornpart")
+    InvertedIndex.build(base, root)
+    val baseAnswer = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    InvertedIndex.append(b1, root, batchId = 1)
+    val fullAnswer = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stats row gone (it is written last, so the crash window is before it)
+    for (st <- fs.globStatus(new org.apache.hadoop.fs.Path(
+           s"$root/stats/batch=1")))
+      fs.delete(st.getPath, true)
+    // and only HALF the batch's postings buckets survived the crash
+    val bucketDirs = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/postings/tb=*/batch=1"))
+    assert(bucketDirs.length > 1, "fixture too small to split buckets")
+    for (st <- bucketDirs.take(bucketDirs.length / 2))
+      fs.delete(st.getPath, true)
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20))
+      === baseAnswer,
+      "partial postings with no stats row leaked into the scores")
+    InvertedIndex.append(b1, root, batchId = 1)
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20))
+      === fullAnswer, "replaying the partial batch did not repair the index")
+  }
+
   test("replaying an already-compacted batch is refused (high-water mark)") {
     val docs = Tables.documents(spark, sf0001)
     val root = tmpRoot("hwm")
