@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   *   1. adjacent-symbol pair counts: zip_with(slice, slice) + explode +
   *      groupBy-sum weighted by word count — a map-side-combinable agg
   *      over the vocab;
-  *   2. the argmax pair (count desc, then lexicographic — a total order,
-  *      so training is deterministic on any partitioning) comes to the
-  *      driver as ONE row (the util.Local model discipline);
+  *   2. a WINDOW of top candidates (count desc, then lexicographic — a
+  *      total order, so training is deterministic on any partitioning)
+  *      comes to the driver, and [[safeBatch]] accepts the longest
+  *      prefix of mutually symbol-disjoint merges the sequential
+  *      algorithm provably picks in the same order — one driver job
+  *      per BATCH of merges, not per merge (the de-serialization a
+  *      30k-merge production tokenizer needs);
   *   3. the vocab re-encodes with a greedy left-to-right fold
   *      (`aggregate` HOF): an occurrence merges iff the accumulator's
   *      last symbol is `l` and the current is `r` — a just-merged `l+r`
@@ -99,6 +103,59 @@ object BpeTrain {
       .select("left", "right").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Ranked candidate rows fetched per driver round. Rows are tiny
+    * (two short strings + a long), so a larger window costs nothing;
+    * it bounds how many merges one round can BATCH. */
+  private val CandidateWindow = 64
+
+  /** Max merges applied per round — caps the depth of the chained
+    * mergeFold expression one plan carries (each accepted merge adds
+    * one `aggregate` HOF; far past ~16 the generated code stops being
+    * JIT-friendly). */
+  private val MaxBatch = 16
+
+  /** The longest prefix of the ranked candidate window that the
+    * SEQUENTIAL algorithm is guaranteed to pick in this exact order —
+    * the batching trick that turns one driver-coordinated Spark job
+    * per merge (a real bottleneck at a production 30k–50k merge count)
+    * into one job per BATCH.
+    *
+    * Soundness (each accepted mᵢ is the true argmax at its step):
+    *   - accepted merges are pairwise SYMBOL-DISJOINT (no l/r/merged
+    *     string shared), so applying m₁..mᵢ₋₁ leaves count(mᵢ) intact
+    *     and never creates an occurrence of any later accepted pair;
+    *   - the scan takes a CONSECUTIVE ranked prefix and STOPS (never
+    *     skips) at the first conflicting pair: every pair ranked above
+    *     an accepted mᵢ is an earlier accepted merge, whose greedy
+    *     re-encode zeroes its own count;
+    *   - pairs whose counts DECREASE stay ranked below mᵢ (ties break
+    *     the same way — their lex rank was already after);
+    *   - the only rank climbers are NEW pairs (x·merged / merged·y /
+    *     merged·merged). Each occurrence of one contains an occurrence
+    *     of an ORIGINAL pair sharing a symbol with an accepted merge —
+    *     a CONFLICTING pair, every one of which ranks at or below the
+    *     first conflict. So new-pair counts ≤ cStop, and the guard
+    *     accepts mᵢ (i ≥ 2) only while count(mᵢ) > cStop — a new pair
+    *     can never outrank a batched merge at its step. (m₁ needs no
+    *     guard: it is the literal argmax before anything applies.)
+    * When the window is FULL, unseen below-window conflicts may exist:
+    * cStop starts at the last scanned count instead of −∞. */
+  private[graft] def safeBatch(window: Seq[(String, String, Long)],
+                               maxTake: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    var cStop =
+      if (window.length >= CandidateWindow) window.last._3 else Long.MinValue
+    var stopped = false
+    for (cand @ (l, r, n) <- window if !stopped && accepted.size < maxTake) {
+      if (used(l) || used(r)) { cStop = math.max(cStop, n); stopped = true }
+      else { accepted += cand; used ++= Seq(l, r, l + r) }
+    }
+    if (accepted.isEmpty) Seq.empty
+    else accepted.head +: accepted.tail.takeWhile(_._3 > cStop).toSeq
+  }
+
   def merges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
     val s = docs.sparkSession
     var vocab = docs
@@ -119,18 +176,25 @@ object BpeTrain {
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("n"))
-      val best = pairs
+      // ONE ranked driver fetch per ROUND; safeBatch proves which prefix
+      // the sequential algorithm would pick unchanged
+      val window = pairs
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(CandidateWindow).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = safeBatch(window,
+        maxTake = math.min(MaxBatch, nMerges - step))
+      if (batch.isEmpty) done = true
       else {
-        val l = best(0).getString(0)
-        val r = best(0).getString(1)
-        val n = best(0).getLong(2)
-        out += ((step.toLong, l, r, l + r, n))
-        vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
-          .localCheckpoint(true)
-        step += 1
+        for ((l, r, n) <- batch) {
+          out += ((step.toLong, l, r, l + r, n))
+          step += 1
+        }
+        // symbol-disjoint ⇒ the folds commute; applied in rank order so
+        // the vocab state after the batch ≡ after the sequential merges
+        vocab = batch.foldLeft(vocab) { case (v, (l, r, _)) =>
+          v.withColumn("syms", mergeFold(col("syms"), l, r))
+        }.localCheckpoint(true)
       }
     }
     s.createDataFrame(out.toSeq)

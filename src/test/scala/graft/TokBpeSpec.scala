@@ -85,6 +85,46 @@ class TokBpeSpec extends SparkSpec {
     }
   }
 
+  test("batched merge selection ≡ sequential reference at depth 80") {
+    // the batching guard (BpeTrain.safeBatch) must be invisible: a DEEP
+    // merge run exercises many batch rounds, conflict stops, and the
+    // cStop count guard — the merge table must still equal the strictly
+    // sequential reference bit-for-bit
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expect = reference(texts, nMerges = 80)
+    val got = graft.operators.BpeTrain
+      .merges(Tables.documents(spark, sf0001).select("text"), nMerges = 80)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === expect, "batched training diverged from sequential BPE")
+    assert(got.length === 80)
+  }
+
+  test("safeBatch: stops at conflicts, guards on the stop count") {
+    import graft.operators.BpeTrain.safeBatch
+    // symbol-disjoint prefix accepted in order
+    assert(safeBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 16)
+      === Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)))
+    // conflict on a SOURCE symbol stops the scan (never skips past it)
+    assert(safeBatch(Seq(("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L)), 16)
+      === Seq(("a", "b", 10L)))
+    // conflict on the MERGED string stops too ("ab" is a new symbol)
+    assert(safeBatch(Seq(("a", "b", 10L), ("ab", "c", 9L)), 16)
+      === Seq(("a", "b", 10L)))
+    // count guard: a later accepted merge whose count does not strictly
+    // exceed the stop count is dropped (a new pair could tie it) — but
+    // the head is always safe (it is the literal argmax)
+    assert(safeBatch(Seq(("a", "b", 10L), ("c", "d", 6L), ("b", "x", 6L)), 16)
+      === Seq(("a", "b", 10L)))
+    assert(safeBatch(Seq(("a", "b", 6L), ("a", "c", 6L)), 16)
+      === Seq(("a", "b", 6L)))
+    // maxTake caps the batch
+    assert(safeBatch(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 2)
+      === Seq(("a", "b", 10L), ("c", "d", 8L)))
+  }
+
   test("merges re-encode: overlapping occurrences merge left-to-right") {
     // "aaa" under (a,a): greedy yields ["aa","a"], never ["a","aa"] or
     // a double merge — the property the CaseWhen fold must preserve
