@@ -69,10 +69,14 @@ object VectorSimJoin {
     * bit-identical output. √N keeps cell size AND cell count growing as
     * √N (balanced blocks); the 512 cap keeps the k² cell-pair frame
     * broadcastable and the N·k assignment cost ≪ the N²/2 pair work. */
-  private def adaptiveCells(e: DataFrame): Int = {
-    val n = e.count()
+  private def cellsFor(n: Long): Int =
     math.max(16, math.min(512, math.ceil(math.sqrt(n.toDouble)).toInt))
-  }
+
+  private def adaptiveCells(e: DataFrame): Int = cellsFor(e.count())
+
+  /** Broadcast the b-side block set when it fits comfortably in executor
+    * memory — the DedupIndex.queryBatch adaptive-pick discipline. */
+  private val MaxBroadcastBlockBytes = 256L << 20
 
   /** (id, v, nrm, cell, theta): nearest-centroid assignment. The
     * crossJoin is a k-row broadcast and the min_by groupBy
@@ -145,33 +149,76 @@ object VectorSimJoin {
     * alternative). Ranking totalized by (rounded cosine desc, id asc). */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               k: Int, cells: Int = -1): DataFrame = {
-    // Score each UNORDERED pair once — [[pairs]] at threshold −1 prunes
-    // nothing and yields canonical (id_a < id_b) scored pairs — then
-    // mirror every scored row into both orientations with one explode
-    // (a union of two projections would recompute the whole scoring
-    // subtree; explode emits both from a single pass) and rank. Halves
-    // the dot-product work vs joining both orientations outright, and
-    // the rank exchange shuffles 24-byte scored rows, never vectors.
-    val scored = pairs(df, idCol, vecCol, threshold = -1.0, cells)
-    // Rank via the PARTIAL-AGGREGATING bounded top-k
-    // (functions.TopKByScore) instead of a row_number window: the window
-    // form must shuffle EVERY scored pair to its group's reducer and
-    // sort whole groups (N rows per group — 25M shuffled rows at sf0.1,
-    // with an explicit repartition to keep the sort parallel); the
-    // aggregate reduces each map task's slice to ≤ k entries BEFORE the
-    // exchange, so the shuffle carries k·maps rows per group and the
-    // reducer merges bounded buffers (measured 4.1 → 3.6 s at sf0.1; the
-    // structural win is that the exchange no longer scales with N² —
-    // the 100-TB property). NOTE: needs
-    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold raised
-    // above the per-partition group count (builders set 500000) — at the
-    // 128-key default, ObjectHashAggregate silently falls back to
-    // sort-based aggregation and re-sorts every scored pair.
-    scored.select(explode(array(
-        struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"),
-               col("cos_sim")),
-        struct(col("id_b").as("vec_id"), col("id_a").as("nbr_id"),
-               col("cos_sim")))).as("p"))
+    // BLOCK product, not pair rows: pack each cell into ONE row and
+    // score whole cell pairs inside functions.BlockTopK's primitive
+    // loop. The old form streamed one JOIN ROW per candidate pair — N²
+    // rows of hash-probe + UnsafeRow + aggregate-update machinery around
+    // a 64-multiply kernel (72 s at the 10× tier, machinery-bound). Now
+    // the join streams cells² block rows (≤ 512² by the adaptiveCells
+    // cap), each eval runs |A|·|B| fused dots on primitive arrays, and
+    // only ≤ |A|·k result structs per block pair reach the exchange —
+    // operator-row volume drops from N² to N·cells·k while the
+    // arithmetic (left-to-right dot, nrm division, HALF_UP 4-dp round)
+    // stays bit-identical (VectorSimJoinSpec pins new ≡ old).
+    // At 100 TB: the block frames shuffle-join on cell id (AQE
+    // broadcasts the cells-sized pair list), per-task memory is two
+    // √N-sized blocks, and the final merge is the same bounded
+    // TopKByScore partial reduce — the exchange never scales with N².
+    // NOTE: needs spark.sql.objectHashAggregate.sortBased
+    // .fallbackThreshold above the per-partition group count (builders
+    // set 500000) or ObjectHashAggregate silently falls back to sort.
+    val s = df.sparkSession
+    val e = prepare(df, idCol, vecCol)
+    val n = e.count()
+    val cents = centroids(e, if (cells > 0) cells else cellsFor(n))
+    val assign = assignments(e, cents)
+    // collect_list order is partition-dependent — harmless: BlockTopK
+    // selects under the (score desc, id asc) TOTAL order, so block
+    // content order never reaches the output. localCheckpoint: the
+    // blocks frame is cells-sized (√N rows) and feeds THREE consumers
+    // below — materialize once instead of recomputing the assignment
+    // pipeline per consumer.
+    val blocks = assign.groupBy("cell")
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("blk"))
+      .localCheckpoint(true)
+    // cell ids are model-sized (≤ 512 longs) — the util.Local collect
+    // discipline, same as AnnIndex's probed-cell list
+    val cellIds = graft.util.Local.model(blocks.select("cell"))
+      .collect().map(_.getLong(0)).sorted
+    // Fan each a-block out to every partner cell WITHOUT a join: the
+    // pair frame is byte-tiny but carries ALL the compute, and left to
+    // AQE it coalesces into one partition (measured: the 10× tier
+    // serialized at 57 s; as a shuffle join it instead sort-exchanged
+    // 3 GB of block payloads twice). An EXPLICIT repartition of the
+    // cells-sized block frame (exempt from AQE coalescing) spreads the
+    // a-blocks, then exploding the literal cell list multiplies rows
+    // in place — no exchange touches a block row after this point.
+    val p = s.sessionState.conf.numShufflePartitions
+    val aSide = blocks
+      .repartition(p, col("cell"))
+      .select(col("blk").as("blk_a"),
+        explode(typedLit(cellIds.toSeq)).as("cell_b"))
+    // b-blocks attach by equi-join on cell_b. Pick the join shape the
+    // way DedupIndex.queryBatch does: when the whole block set is
+    // executor-memory-sized (it is whenever exact kNN is sane to run —
+    // this operator is the documented Ω(N²) reference; the ANN twin is
+    // the 100-TB path), BROADCAST it so the probe is map-side; only a
+    // corpus too big to broadcast falls back to the shuffle join, which
+    // is then dwarfed by its own N² scoring anyway.
+    val b = blocks.select(col("cell").as("cell_b"), col("blk").as("blk_b"))
+    val dim = {
+      val one = graft.util.Local.model(
+        e.limit(1).select(size(col("v")).as("d"))).collect()
+      if (one.isEmpty) 0L else one.head.getInt(0).toLong
+    }
+    // id + norm + array header ≈ 24 B/vector on top of 8 B per component
+    val bBytes = (dim * 8L + 24L) * n
+    val bJoined =
+      if (bBytes <= MaxBroadcastBlockBytes) aSide.join(broadcast(b), Seq("cell_b"))
+      else aSide.join(b, Seq("cell_b"))
+    bJoined
+      .select(explode(graft.functions.BlockKnn
+        .topkPerBlockPair(col("blk_a"), col("blk_b"), k)).as("p"))
       .select("p.vec_id", "p.nbr_id", "p.cos_sim")
       .groupBy("vec_id")
       .agg(graft.functions.TopKByScore

@@ -36,6 +36,37 @@ class VectorSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("block-scored knnJoin ≡ pair-row formulation bit-for-bit at two tiers") {
+    // knnJoin now scores packed cell blocks inside BlockTopK's primitive
+    // loop; the reference here is the OLD pair-row plan — canonical
+    // scored pairs from pairs() at threshold −1, both orientations, the
+    // same TopKByScore merge. Every double must match exactly: the block
+    // kernel reproduces the left-to-right dot, the nrm division, and
+    // Catalyst's HALF_UP 4-dp round.
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val emb = Tables.embeddings(spark, sf)
+      val got = VectorSimJoin.knnJoin(emb, "vec_id", "embedding", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val scored = VectorSimJoin
+        .pairs(emb, "vec_id", "embedding", threshold = -1.0)
+      val expect = scored.select(explode(array(
+          struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"),
+                 col("cos_sim")),
+          struct(col("id_b").as("vec_id"), col("id_a").as("nbr_id"),
+                 col("cos_sim")))).as("p"))
+        .select("p.vec_id", "p.nbr_id", "p.cos_sim")
+        .groupBy("vec_id")
+        .agg(graft.functions.TopKByScore
+          .topk(col("cos_sim"), col("nbr_id"), 3).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.id"), col("t.score"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === expect, s"block knnJoin diverged from pair rows at $sf")
+    }
+  }
+
   test("Graft.similarityJoin facade routes through the cell join unchanged") {
     val got = Graft.similarityJoin(Tables.embeddings(spark, sf0001),
         "vec_id", "embedding", 0.4)
