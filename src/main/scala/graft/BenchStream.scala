@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Ev, Streams}
+
+/** Streaming throughput bench — the s_* counterpart of [[Bench]].
+  *
+  * Batch keys have BENCH.json at three tiers; this closes the one
+  * unmeasured tier by timing the flagship stream-stream interval join
+  * (s_join_stream_stream) and a stateful key (s_stateful_counter)
+  * END-TO-END over a fixed deterministic MemoryStream corpus: N events
+  * fed in B micro-batches, `processAllAvailable` after each feed (the
+  * StreamingSpec drive pattern), watermark advanced past everything by a
+  * final flush batch. Reported per key: wall seconds from query start to
+  * final drain, micro-batch count (lastProgress.batchId + 1), input
+  * rows/s, and total sink output rows — so streaming perf is a committed
+  * artifact (BENCH_STREAM.json), not narrative.
+  *
+  * The sink is `noop`: memory-sink accumulation would turn a throughput
+  * measurement into a driver-heap measurement. Determinism: the corpus
+  * is a fixed arithmetic sequence (no RNG), so output-row counts are
+  * exact invariants — 100k view→purchase pairs at +3 min ≪ the 10-min
+  * join window, one final UserCount per user per input batch.
+  */
+object BenchStream {
+
+  private case class KeyResult(wallSec: Double, microBatches: Long,
+                               inputRows: Long, outputRows: Long)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // State partitions are a FIXED cost per micro-batch: every one of a
+    // stream-stream join's 4 state stores per partition snapshots every
+    // batch, whatever the row volume. 32 partitions for a 5k-row batch
+    // measured 2.4 s/batch of pure store commits (~10k file ops over the
+    // run) — per-batch overhead, not throughput. 8 partitions is the
+    // right-sized state layout for this corpus; a real deployment sizes
+    // this to keyspace × executor count, not to local core count.
+    val statePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", statePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_STREAM_PAIRS", "100000").toInt
+    val nBatches = 40
+    // view at t, matching purchase 3 min later (inside the 10-min window)
+    val corpus: Vector[Ev] = (0 until nPairs).iterator.flatMap { k =>
+      val user = (k % 512).toLong
+      val t = k.toLong * 1000L // one view per second of event time
+      Iterator(
+        Ev(2L * k, new Timestamp(t), user, "view", 1.0),
+        Ev(2L * k + 1, new Timestamp(t + 180000L), user, "purchase", 10.0))
+    }.toVector
+    val flush = Seq(Ev(-1L, new Timestamp(nPairs.toLong * 1000L + 86400000L),
+      -1L, "flush", 0.0))
+    val batches: Seq[Seq[Ev]] =
+      corpus.grouped(math.max(1, corpus.size / nBatches)).toSeq :+ flush
+
+    def drive(f: MemoryStream[Ev] => org.apache.spark.sql.DataFrame,
+              mode: String): KeyResult = {
+      val mem = MemoryStream[Ev](spark)
+      val t0 = System.nanoTime()
+      val q = f(mem).writeStream.format("noop").outputMode(mode).start()
+      try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val out = q.recentProgress.iterator
+        .map(p => p.sink.numOutputRows).filter(_ > 0).sum
+      KeyResult(wall, q.lastProgress.batchId + 1,
+        corpus.size.toLong + flush.size, out)
+    }
+
+    val results = Seq(
+      "s_join_stream_stream" -> drive(m => {
+        val src = m.toDF()
+        Streams.viewPurchaseJoin(
+          src.filter(col("event_type") === "view"),
+          src.filter(col("event_type") === "purchase"))
+      }, "append"),
+      "s_stateful_counter" -> drive(m =>
+        Streams.statefulCounter(m.toDS()).toDF(), "update"))
+
+    def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, r) =>
+      s""""$k":{"wall_sec":${fmt(r.wallSec)},"micro_batches":${r.microBatches},""" +
+        s""""input_rows":${r.inputRows},"rows_per_sec":${fmt(r.inputRows / r.wallSec)},""" +
+        s""""output_rows":${r.outputRows}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.wallSec).sum
+    val line =
+      s"""{"metric":"stream_total","value":${fmt(total)},"unit":"sec","pairs":$nPairs,"queries":$qs}"""
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",
+      System.getProperty("user.dir"))
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "BENCH_STREAM.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$repoRoot/$artifact"), line)
+    catch { case e: Throwable =>
+      Console.err.println(s"WARN: stream bench artifact write failed: $e")
+    }
+    println(line)
+    spark.stop()
+  }
+}
