@@ -112,9 +112,14 @@ object DedupIndex {
     * the band artifact, exact Jaccard >= `threshold` from the profile
     * artifact. The corpus documents themselves are never read — only
     * their (8-byte band rows, shingle profiles) at rest. */
+  /** `docBroadcastLimit` / `pairBroadcastLimit` expose the adaptive-pick
+    * thresholds (tests pin the shuffle branch by forcing them to 0; the
+    * defaults are the production gates). */
   def queryBatch(s: SparkSession, root: String, batchShingles: DataFrame,
                  k: Int = 16, b: Int = 8, r: Int = 2,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 docBroadcastLimit: Long = 20000L,
+                 pairBroadcastLimit: Long = 100000L): DataFrame = {
     // Adaptive plan picks need SIZE FACTS, which cost bounded jobs (the
     // same trade AQE makes): checkpoint the batch shingles once so the
     // two decision counts never re-run the shingling, then key EACH
@@ -128,7 +133,7 @@ object DedupIndex {
     val batchSh = batchShingles.localCheckpoint(true)
     val nBatch = batchSh.select("doc_id").distinct().count()
     def docSized(df: DataFrame): DataFrame =
-      if (nBatch <= 20000) broadcast(df) else df
+      if (nBatch <= docBroadcastLimit) broadcast(df) else df
     val batchBands =
       MinHashLSH.bands(MinHashLSH.signatures(batchSh, k), b, r)
         .withColumnRenamed("doc_id", "batch_doc")
@@ -141,7 +146,7 @@ object DedupIndex {
       .localCheckpoint(true) // two-long rows; reused by count + join
     val nPairs = cands.count()
     def pairSized(df: DataFrame): DataFrame =
-      if (nPairs <= 100000) broadcast(df) else df
+      if (nPairs <= pairBroadcastLimit) broadcast(df) else df
     // exact verify: candidates (pair-bounded) against the stored
     // profiles; batch profiles computed in flight
     val verified = cands

@@ -378,6 +378,29 @@ object DedupOps {
         .orderBy("batch_doc", "corpus_doc")
     }),
 
+    // ---- The BACKFILL-WAVE shape of the dedup index: the same stored
+    // artifact, but the incoming "batch" is CORPUS-SCALE (the 80% side
+    // of the split screened against a 20% index — a re-crawl or initial
+    // backfill, vs q_dedup_index_query's daily increment). At replica
+    // tiers the batch doc count crosses queryBatch's broadcast gate and
+    // the adaptive pick takes the SHUFFLE branch — the plan that exists
+    // because a forced broadcast of a 100k-doc batch OOMed the 100×
+    // probe. Branch equivalence (shuffle ≡ broadcast, bit-for-bit) and
+    // both plan shapes are pinned in DedupIndexSpec.
+    "q_dedup_index_backfill" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val root = Scans.scratch("dedupbackfill", s, d)
+      val docs = Tables.documents(s, d)
+      if (!DedupIndex.exists(s, root))
+        DedupIndex.build(
+          LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          root)
+      DedupIndex.queryBatch(s, root,
+          LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+          threshold = 0.8)
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
     // ---- Exact corpus-wide kNN JOIN: top-3 neighbors of EVERY vector —
     // the batch retrieval/dedup-clustering shape (vs q_knn_cosine's one
     // query). Distributed block join via the VectorSimJoin cell
@@ -562,6 +585,32 @@ object DedupOps {
                   COUNT(*) AS n_inter
            FROM sh a JOIN sh b ON a.shingle = b.shingle
            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+           GROUP BY 1, 2)
+         SELECT batch_doc, corpus_doc,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON batch_doc = sa.doc_id
+         JOIN sizes sb ON corpus_doc = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+         ORDER BY batch_doc, corpus_doc""",
+    // the backfill-wave flip of the same oracle: batch = the 80% side,
+    // stored corpus = the 20% side
+    "q_dedup_index_backfill" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                  COUNT(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
            GROUP BY 1, 2)
          SELECT batch_doc, corpus_doc,
            round(CAST(n_inter AS DOUBLE)

@@ -136,4 +136,52 @@ class DedupIndexSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("/bands")),
       s"candidate job does not stream the stored bands:\n$candPlan")
   }
+
+  test("shuffle branch (corpus-scale batch) ≡ broadcast branch at two sizes") {
+    // The adaptive pick's OTHER arm — the plan that exists because a
+    // forced broadcast of a 100k-doc batch OOMed the 100× probe. Force
+    // it by zeroing the gates and pin (a) bit-for-bit result equality
+    // with the broadcast branch and (b) the plan shape: no broadcast of
+    // the batch frame — the joins run as exchanges on the join keys.
+    for (sf <- Seq(sf0001, sf001)) {
+      val root = tmpRoot("shufbr")
+      DedupIndex.build(shingles(sf, pmod(col("doc_id"), lit(5)) =!= 0), root)
+      val batch = shingles(sf, pmod(col("doc_id"), lit(5)) === 0)
+      def ask(docLim: Long, pairLim: Long) =
+        DedupIndex.queryBatch(spark, root, batch,
+          docBroadcastLimit = docLim, pairBroadcastLimit = pairLim)
+      val bcast = ask(20000L, 100000L)
+      // Zeroing the gates removes the HINT; at fixture scale AQE still
+      // elects to broadcast the byte-tiny frames (correct adaptive
+      // behavior — at a real corpus-scale batch the frames exceed the
+      // auto threshold and AQE goes shuffle on its own). Pin the shuffle
+      // SHAPE by also disabling auto-broadcast, the way the 100×-scale
+      // sizes would.
+      val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = thresholds.map(t => t -> spark.conf.getOption(t)).toMap
+      thresholds.foreach(spark.conf.set(_, "-1"))
+      val (shuf, shufRows) =
+        try {
+          val df = ask(0L, 0L).orderBy("batch_doc", "corpus_doc")
+          (df, df.collect().map(_.toString).toSeq) // executed shuffle-shaped
+        } finally prev.foreach {
+          case (t, Some(v)) => spark.conf.set(t, v)
+          case (t, None)    => spark.conf.unset(t)
+        }
+      assert(shufRows
+        === bcast.orderBy("batch_doc", "corpus_doc").collect().map(_.toString).toSeq,
+        s"shuffle branch diverged from broadcast branch at $sf")
+      def finalPlan(full: String): String =
+        full.indexOf("== Initial Plan ==") match {
+          case -1 => full
+          case i  => full.substring(0, i)
+        }
+      val plan = finalPlan(shuf.queryExecution.executedPlan.toString)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"shuffle branch still broadcasts at $sf:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"shuffle branch shows no key exchange at $sf:\n$plan")
+    }
+  }
 }
