@@ -29,17 +29,7 @@ import org.apache.spark.sql.types._
   * (~10⁶ multiplies for √N-sized cells), so per-call boxing is noise,
   * and the inner loops are plain primitive-array JIT fodder.
   */
-case class BlockTopK(left: Expression, right: Expression, k: Int)
-  extends BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("vec_id", LongType, nullable = false),
-    StructField("nbr_id", LongType, nullable = false),
-    StructField("cos_sim", DoubleType, nullable = false))),
-    containsNull = false)
-
-  override def prettyName: String = "graft_block_topk"
-
+private[functions] object BlockVec {
   /** Catalyst Round(double, 4, HALF_UP) semantics, replicated exactly.
     * Spark's RoundBase routes DoubleType through
     * BigDecimal(double).setScale(4, HALF_UP).toDouble — ~300 ns of
@@ -52,7 +42,7 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
     * data — takes the slow exact path. HALF_UP rounds away from zero,
     * which floor(+0.5) gets wrong for exactly-.5 NEGATIVES; those sit
     * in the band too. */
-  private def round4(x: Double): Double = {
+  def round4(x: Double): Double = {
     val y = x * 10000.0
     val f = math.floor(y + 0.5)
     if (math.abs(y + 0.5 - f) < 1e-9)
@@ -61,7 +51,8 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
     else f / 10000.0
   }
 
-  private def unpack(ad: ArrayData)
+  /** Unpack a block of (id, v, nrm) structs to primitive arrays. */
+  def unpack(ad: ArrayData)
       : (Array[Long], Array[Array[Double]], Array[Double]) = {
     val n = ad.numElements()
     val ids = new Array[Long](n)
@@ -77,6 +68,19 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
     }
     (ids, vecs, nrms)
   }
+}
+
+case class BlockTopK(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with CodegenFallback {
+  import BlockVec.{round4, unpack}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("nbr_id", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_block_topk"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (idsA, vecsA, nrmsA) = unpack(a.asInstanceOf[ArrayData])
@@ -131,6 +135,59 @@ case class BlockTopK(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Threshold sibling of [[BlockTopK]] for the exact similarity JOIN:
+  * emits every (id_a < id_b) pair of the block product whose rounded
+  * cosine clears `threshold` — the id_a < id_b gate makes each
+  * unordered pair surface in exactly ONE of a cell pair's two
+  * orientations, so the both-orientations cell-pair frame needs no
+  * downstream dedup (the same canonicalization the old per-pair join
+  * form applied row-wise). Same arithmetic discipline as BlockTopK:
+  * left-to-right dot, nrm division, exact HALF_UP 4-dp round. */
+case class BlockSimPairs(left: Expression, right: Expression,
+                         threshold: Double)
+  extends BinaryExpression with CodegenFallback {
+  import BlockVec.{round4, unpack}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_block_simpairs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (idsA, vecsA, nrmsA) = unpack(a.asInstanceOf[ArrayData])
+    val (idsB, vecsB, nrmsB) = unpack(b.asInstanceOf[ArrayData])
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var ai = 0
+    while (ai < idsA.length) {
+      val va = vecsA(ai); val na = nrmsA(ai); val ida = idsA(ai)
+      var bi = 0
+      while (bi < idsB.length) {
+        val idb = idsB(bi)
+        if (ida < idb) {
+          val vb = vecsB(bi)
+          val n = math.min(va.length, vb.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += va(i) * vb(i); i += 1 }
+          val c = round4(s / (na * nrmsB(bi)))
+          if (c >= threshold)
+            out += new GenericInternalRow(Array[Any](ida, idb, c))
+        }
+        bi += 1
+      }
+      ai += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object BlockKnn {
   /** Top-k rows of block A against block B (self-pairs excluded), as an
     * array of (vec_id, nbr_id, cos_sim) structs. Blocks are
@@ -138,4 +195,12 @@ object BlockKnn {
   def topkPerBlockPair(blockA: Column, blockB: Column, k: Int): Column =
     ColumnBridge.column(BlockTopK(
       ColumnBridge.expression(blockA), ColumnBridge.expression(blockB), k))
+
+  /** Canonical (id_a < id_b) pairs of the block product with rounded
+    * cosine ≥ threshold. */
+  def simPairsPerBlockPair(blockA: Column, blockB: Column,
+                           threshold: Double): Column =
+    ColumnBridge.column(BlockSimPairs(
+      ColumnBridge.expression(blockA), ColumnBridge.expression(blockB),
+      threshold))
 }

@@ -78,6 +78,31 @@ object VectorSimJoin {
     * memory — the DedupIndex.queryBatch adaptive-pick discipline. */
   private val MaxBroadcastBlockBytes = 256L << 20
 
+  /** Hard ceiling on rows per packed block. The block product's skew
+    * story: with one row per CELL, a hot cell (a clustered corpus where
+    * 80% of vectors share one cell) becomes one giant eval that AQE
+    * cannot split — skew-join rewrites operate on multi-row partitions,
+    * not inside a single row. Slicing bounds every task STRUCTURALLY:
+    * a cell with n rows splits into ⌈n/2048⌉ hash-slices, cell pairs
+    * expand to slice pairs, and the biggest eval is ≤ 2048² dots
+    * (~0.3 s) whatever the cell distribution. 2048²·8 B of unpacked
+    * doubles ≈ 2 MB/task — cache-friendly, far under executor memory. */
+  private[graft] val MaxBlockRows = 2048L
+
+  /** (cell, slice, blk) — per-cell vector blocks, hash-sliced so no
+    * block exceeds [[MaxBlockRows]] rows. Slice ids are deterministic
+    * (xxhash64 of the vector id mod the cell's slice count). */
+  private[graft] def packedBlocks(assign: DataFrame): DataFrame = {
+    val cnts = assign.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+      .select(col("cell"),
+        ceil(col("n_cell").cast("double") / MaxBlockRows.toDouble)
+          .cast("long").as("n_slices"))
+    assign.join(broadcast(cnts), Seq("cell"))
+      .withColumn("slice", pmod(xxhash64(col("id")), col("n_slices")))
+      .groupBy("cell", "slice")
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("blk"))
+  }
+
   /** (id, v, nrm, cell, theta): nearest-centroid assignment. The
     * crossJoin is a k-row broadcast and the min_by groupBy
     * partial-aggregates map-side, so the shuffle carries N rows, not
@@ -114,28 +139,64 @@ object VectorSimJoin {
       .select("cell_a", "cell_b")
   }
 
+  /** Vector dimension from one row — a model-sized probe. */
+  private def dimOf(e: DataFrame): Long = {
+    val one = graft.util.Local.model(
+      e.limit(1).select(size(col("v")).as("d"))).collect()
+    if (one.isEmpty) 0L else one.head.getInt(0).toLong
+  }
+
   /** All pairs (id_a < id_b) with round(cos, 4) ≥ threshold — exact.
-    * `k` ≤ 0 (the default) picks the adaptive √N cell count. */
+    * `k` ≤ 0 (the default) picks the adaptive √N cell count.
+    *
+    * Same block-product execution as [[knnJoin]] (packed cells scored
+    * inside functions.BlockSimPairs' primitive loop — no per-pair join
+    * rows, no per-pair BigDecimal round), but with the angular cell-pair
+    * PRUNING kept in front: only surviving cell pairs reach the scorer,
+    * so clustered corpora still collapse to overlapping-cluster blocks.
+    * The id_a < id_b gate inside the eval canonicalizes pairs exactly as
+    * the old row-wise filter did (each unordered pair passes in exactly
+    * one of a cell pair's two orientations). */
   def pairs(df: DataFrame, idCol: String, vecCol: String,
             threshold: Double, k: Int = -1): DataFrame = {
+    val s = df.sparkSession
     val e = prepare(df, idCol, vecCol)
-    val cents = centroids(e, if (k > 0) k else adaptiveCells(e))
+    val n = e.count()
+    val cents = centroids(e, if (k > 0) k else cellsFor(n))
     val assign = assignments(e, cents)
     val cellPairs = survivingCellPairs(assign, cents, threshold)
-    val a = assign.select(col("id").as("id_a"), col("v").as("v_a"),
-                          col("nrm").as("n_a"), col("cell").as("cell_a"))
-    val b = assign.select(col("id").as("id_b"), col("v").as("v_b"),
-                          col("nrm").as("n_b"), col("cell").as("cell_b"))
-    // no broadcast hint on cellPairs: it is bounded by k² rows, which a
-    // caller sizing k for a huge corpus can push past broadcast limits —
-    // AQE broadcasts it when small (always, at the default k=16)
-    a.join(cellPairs, Seq("cell_a"))
-      .join(b, Seq("cell_b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(
-        VectorExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+    val blocks = packedBlocks(assign).localCheckpoint(true)
+    // expand surviving cell pairs to BLOCK-KEY pairs by joining the
+    // actual (cell, slice) key sets — hot cells contribute several
+    // bounded slices instead of one giant block (skew handled
+    // structurally; AQE's skew rewrite cannot split inside one row)
+    val keysA = blocks.select(col("cell").as("cell_a"),
+      col("slice").as("slice_a"))
+    val keysB = blocks.select(col("cell").as("cell_b"),
+      col("slice").as("slice_b"))
+    val blockPairs = cellPairs
+      .join(broadcast(keysA), Seq("cell_a"))
+      .join(broadcast(keysB), Seq("cell_b"))
+    // spread the byte-tiny pair frame explicitly (AQE-coalesce-exempt) —
+    // it carries all the compute (the knnJoin lesson)
+    val p = s.sessionState.conf.numShufflePartitions
+    val spread = blockPairs.repartition(p,
+      col("cell_a"), col("slice_a"), col("cell_b"), col("slice_b"))
+    val a = blocks.select(col("cell").as("cell_a"),
+      col("slice").as("slice_a"), col("blk").as("blk_a"))
+    val b = blocks.select(col("cell").as("cell_b"),
+      col("slice").as("slice_b"), col("blk").as("blk_b"))
+    val bBytes = (dimOf(e) * 8L + 24L) * n
+    val attached =
+      if (bBytes <= MaxBroadcastBlockBytes)
+        spread.join(broadcast(a), Seq("cell_a", "slice_a"))
+          .join(broadcast(b), Seq("cell_b", "slice_b"))
+      else spread.join(a, Seq("cell_a", "slice_a"))
+        .join(b, Seq("cell_b", "slice_b"))
+    attached
+      .select(explode(graft.functions.BlockKnn
+        .simPairsPerBlockPair(col("blk_a"), col("blk_b"), threshold)).as("p"))
+      .select("p.id_a", "p.id_b", "p.cos_sim")
   }
 
   /** Exact k-nearest-neighbor JOIN: the top `k` neighbors of EVERY
@@ -175,47 +236,44 @@ object VectorSimJoin {
     // collect_list order is partition-dependent — harmless: BlockTopK
     // selects under the (score desc, id asc) TOTAL order, so block
     // content order never reaches the output. localCheckpoint: the
-    // blocks frame is cells-sized (√N rows) and feeds THREE consumers
-    // below — materialize once instead of recomputing the assignment
-    // pipeline per consumer.
-    val blocks = assign.groupBy("cell")
-      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("blk"))
-      .localCheckpoint(true)
-    // cell ids are model-sized (≤ 512 longs) — the util.Local collect
-    // discipline, same as AnnIndex's probed-cell list
-    val cellIds = graft.util.Local.model(blocks.select("cell"))
-      .collect().map(_.getLong(0)).sorted
-    // Fan each a-block out to every partner cell WITHOUT a join: the
+    // sliced block frame feeds multiple consumers below — materialize
+    // once instead of recomputing the assignment pipeline per consumer.
+    val blocks = packedBlocks(assign).localCheckpoint(true)
+    // block keys are model-sized (≤ cells × slices rows of two longs) —
+    // the util.Local collect discipline, same as AnnIndex's probed-cell
+    // list
+    val blockKeys = graft.util.Local.model(blocks.select("cell", "slice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // Fan each a-block out to every partner block WITHOUT a join: the
     // pair frame is byte-tiny but carries ALL the compute, and left to
     // AQE it coalesces into one partition (measured: the 10× tier
     // serialized at 57 s; as a shuffle join it instead sort-exchanged
     // 3 GB of block payloads twice). An EXPLICIT repartition of the
-    // cells-sized block frame (exempt from AQE coalescing) spreads the
-    // a-blocks, then exploding the literal cell list multiplies rows
-    // in place — no exchange touches a block row after this point.
+    // block frame (exempt from AQE coalescing) spreads the a-blocks,
+    // then exploding the literal key list multiplies rows in place — no
+    // exchange touches a block row after this point. Hot cells arrive
+    // pre-sliced (packedBlocks), so no eval exceeds MaxBlockRows² dots.
     val p = s.sessionState.conf.numShufflePartitions
     val aSide = blocks
-      .repartition(p, col("cell"))
-      .select(col("blk").as("blk_a"),
-        explode(typedLit(cellIds.toSeq)).as("cell_b"))
-    // b-blocks attach by equi-join on cell_b. Pick the join shape the
-    // way DedupIndex.queryBatch does: when the whole block set is
+      .repartition(p, col("cell"), col("slice"))
+      .select(col("blk").as("blk_a"), explode(typedLit(blockKeys)).as("bk"))
+      .select(col("blk_a"), col("bk._1").as("cell_b"),
+        col("bk._2").as("slice_b"))
+    // b-blocks attach by equi-join on the block key. Pick the join shape
+    // the way DedupIndex.queryBatch does: when the whole block set is
     // executor-memory-sized (it is whenever exact kNN is sane to run —
     // this operator is the documented Ω(N²) reference; the ANN twin is
     // the 100-TB path), BROADCAST it so the probe is map-side; only a
     // corpus too big to broadcast falls back to the shuffle join, which
     // is then dwarfed by its own N² scoring anyway.
-    val b = blocks.select(col("cell").as("cell_b"), col("blk").as("blk_b"))
-    val dim = {
-      val one = graft.util.Local.model(
-        e.limit(1).select(size(col("v")).as("d"))).collect()
-      if (one.isEmpty) 0L else one.head.getInt(0).toLong
-    }
+    val b = blocks.select(col("cell").as("cell_b"),
+      col("slice").as("slice_b"), col("blk").as("blk_b"))
     // id + norm + array header ≈ 24 B/vector on top of 8 B per component
-    val bBytes = (dim * 8L + 24L) * n
+    val bBytes = (dimOf(e) * 8L + 24L) * n
     val bJoined =
-      if (bBytes <= MaxBroadcastBlockBytes) aSide.join(broadcast(b), Seq("cell_b"))
-      else aSide.join(b, Seq("cell_b"))
+      if (bBytes <= MaxBroadcastBlockBytes)
+        aSide.join(broadcast(b), Seq("cell_b", "slice_b"))
+      else aSide.join(b, Seq("cell_b", "slice_b"))
     bJoined
       .select(explode(graft.functions.BlockKnn
         .topkPerBlockPair(col("blk_a"), col("blk_b"), k)).as("p"))

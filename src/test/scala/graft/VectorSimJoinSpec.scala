@@ -112,62 +112,67 @@ class VectorSimJoinSpec extends SparkSpec {
     assert(got.nonEmpty, "clustered fixture should produce within-cluster pairs")
   }
 
-  test("skewed-cell corpus: AQE splits the hot cell partition (skew=true)") {
+  test("skewed-cell corpus: hot cells are SLICED to bounded blocks, result exact") {
     import spark.implicits._
     // the 100-TB failure mode the cell join must survive: a clustered
-    // corpus where ONE cell holds most of the corpus, so one shuffle
-    // partition of the cell equi-join dwarfs the rest. AQE's skew-join
-    // rewrite must split that partition (thresholds lowered to make the
-    // small fixture exhibit what 100 TB exhibits at defaults).
+    // corpus where ONE cell holds most of the corpus. Under the old
+    // per-pair equi-join this leaned on AQE's skew-join rewrite; the
+    // block-product form packs each cell into ONE row, which AQE cannot
+    // split — so skew is now handled STRUCTURALLY: packedBlocks slices
+    // any cell past MaxBlockRows into hash-slices, bounding every
+    // scoring task by construction whatever the cell distribution.
     val dim = 8
     def h(i: Long, j: Int): Double =
       (((i * 2654435761L + j.toLong * 40503L + 7L) >>> 16) & 0xffffL)
         .toDouble / 65535.0
     val rows = (0L until 4000L).map { i =>
       val v =
-        if (i % 5 != 0) // 80% of vectors in one tight cluster → one hot cell
+        // ids < 16 are the centroid sample (lowest ids) — keep them
+        // ISOTROPIC so the tight cluster has no dedicated centroid and
+        // all its members collapse onto the single nearest one: a
+        // genuinely hot cell, the regime this test exists to provoke
+        if (i >= 16L && i % 5 != 0) // 80% in one tight cluster
           Array.tabulate(dim)(j =>
             (if (j == 0) 1.0 else 0.0) + 0.05 * (h(i, j) - 0.5))
-        else            // 20% isotropic background
+        else                        // isotropic background
           Array.tabulate(dim)(j => 2.0 * (h(i, j) - 0.5))
       (i, v)
     }
     val df = rows.toDF("vec_id", "embedding")
-    val confs = Map(
-      // force shuffle joins (broadcast would sidestep the skew machinery)
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      // scale AQE's skew thresholds down to fixture size (shuffle sizes
-      // are COMPRESSED bytes, so they run far below the in-memory size)
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      // coalescing would re-merge the sub-advisory background partitions
-      // and muddy the assertion — turn it off for the probe
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      // k pinned at 16: the adaptive √N default (64 cells here) spreads
-      // the hot cluster over many near-identical centroids and genuinely
-      // removes the skew this test exists to provoke — a SMALL fixed cell
-      // count is exactly the regime where one cell goes hot and AQE must
-      // carry the split
-      val out = VectorSimJoin.pairs(df, "vec_id", "embedding",
+    // (1) the structural bound: with k=16 cells the hot cluster (3200
+    // rows) lands in one cell, which packedBlocks must split into ≥ 2
+    // hash-slices, every block ≤ MaxBlockRows
+    val v = col("embedding").cast("array<double>")
+    val e = df.select(col("vec_id").as("id"), v.as("v"),
+      graft.functions.VectorExprs.norm(v).as("nrm"))
+    val cents = e.orderBy("id").limit(16)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val blocks = VectorSimJoin.packedBlocks(
+        VectorSimJoin.assignments(e, cents))
+      .select(col("cell"), col("slice"), size(col("blk")).as("n"))
+      .collect()
+    val maxBlock = blocks.map(_.getAs[Int]("n")).max
+    assert(maxBlock <= VectorSimJoin.MaxBlockRows,
+      s"a block exceeds the bound: $maxBlock > ${VectorSimJoin.MaxBlockRows}")
+    val slicesPerCell = blocks.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(slicesPerCell.values.max >= 2,
+      s"hot cell was not sliced: $slicesPerCell")
+    // (2) slicing must be invisible in the output: exact equality with
+    // brute force on the skewed corpus at k=16 (the hot-cell regime)
+    val got = VectorSimJoin.pairs(df, "vec_id", "embedding",
         threshold = 0.95, k = 16)
-      // execute THIS DataFrame's plan (count() would plan its own query
-      // and the skew decision would land there, not here), then read the
-      // finalized adaptive plan
-      assert(out.queryExecution.toRdd.count() > 0, "hot-cluster pairs must qualify")
-      val p = out.queryExecution.executedPlan.toString
-      assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n${p.take(500)}")
-      assert(p.contains("skew=true"),
-        s"AQE did not split the hot cell partition:\n${p.take(3000)}")
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(
+        graft.functions.VectorExprs.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 4))
+      .filter(col("cos_sim") >= 0.95)
+      .select("id_a", "id_b", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(got.nonEmpty, "hot-cluster pairs must qualify")
+    assert(got === brute, "sliced block join diverged from brute force")
   }
 }
