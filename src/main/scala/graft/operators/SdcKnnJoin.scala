@@ -50,7 +50,7 @@ object SdcKnnJoin {
     * Guards the copy-key packing invariant: cell ids must stay below
     * 1024 (callers may hand in any centroid table), checked against the
     * model-sized `cents` frame — k rows, one cheap action. */
-  private def multiAssign(emb: DataFrame, cents: DataFrame,
+  private[graft] def multiAssign(emb: DataFrame, cents: DataFrame,
                           nprobe: Int): DataFrame = {
     val maxCell = graft.util.Local
       .modelRows(cents.agg(max(col("cent_id")).as("mx"))).head.getInt(0)
@@ -58,13 +58,23 @@ object SdcKnnJoin {
       s"cell ids must be < 1024 for the packed copy key (got $maxCell)")
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cent_id").asc)
+    // whole-partition window (same partitioning as `aw`, no extra
+    // exchange): at nprobe = 2 each copy learns its vector's OTHER
+    // probed cell — the fact that lets the block scorer decide estimate
+    // canonicality LOCALLY (see scoreBlocks); −1 when the vector has a
+    // single copy. Meaningless (and unused) at nprobe > 2.
+    val vw = Window.partitionBy("vec_id")
     emb.crossJoin(broadcast(cents))
       .withColumn("sim",
         VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") <= nprobe)
+      .withColumn("other_cell",
+        when(count(lit(1)).over(vw) === 2,
+          sum(col("cent_id").cast("long")).over(vw) - col("cent_id"))
+          .otherwise(lit(-1L)))
       .select(col("vec_id"), col("cent_id").as("cell"),
-        (col("rk") === 1).as("primary"),
+        (col("rk") === 1).as("primary"), col("other_cell"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
       .localCheckpoint(true)
   }
@@ -89,7 +99,7 @@ object SdcKnnJoin {
           .filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
           .select(col("vec_id"), col("rv").as("v")), m, dim),
       kCodes, iters = 2)
-    score(assigned, cb, m, dim, kCodes, k)
+    score(assigned, cb, m, dim, kCodes, k, nprobe)
   }
 
   /** [[join]] with PRE-TRAINED models — the deployment form: coarse
@@ -100,34 +110,58 @@ object SdcKnnJoin {
   def joinWithModels(emb: DataFrame, cents: DataFrame, cb: DataFrame,
                      m: Int = 16, dim: Int = 64, kCodes: Int = 32,
                      k: Int = 3, nprobe: Int = 2): DataFrame =
-    score(multiAssign(emb, cents, nprobe), cb, m, dim, kCodes, k)
+    score(multiAssign(emb, cents, nprobe), cb, m, dim, kCodes, k, nprobe)
 
   /** Encode every (vector, probed cell) copy with `cb`, build the SDC
-    * lookup literal, score same-cell pairs, partial-reduce top-`k`. */
+    * lookup literal, score same-cell pairs, partial-reduce top-`k`.
+    * Dispatch: at nprobe ≤ 2 the BLOCK path (functions.BlockSdcTopK —
+    * whole coded slices scored in primitive loops, canonicality decided
+    * locally via each copy's other probed cell); at nprobe > 2 a pair
+    * can meet in 3+ cells and canonicality needs the cross-cell
+    * aggregate, so the general pair-row path runs. The two paths are
+    * spec-pinned identical at nprobe = 2 (SdcKnnJoinSpec). */
   private def score(assigned: DataFrame, cb: DataFrame, m: Int, dim: Int,
-                    kCodes: Int, k: Int): DataFrame = {
-    // copy key packs (vec_id, cell, primary-bit) into one long so the
-    // encode window keys stay fixed-width. Bounds: cell < 1024 (checked
-    // in multiAssign) and vec_id < 2^51 (the pack multiplies by 2048;
-    // unpack below is exact integral `div`/`pmod`, no float division)
-    val copyId = (col("vec_id") * lit(1024L) + col("cell")) * lit(2L) +
-      col("primary").cast("long")
+                    kCodes: Int, k: Int, nprobe: Int): DataFrame = {
+    val packed = packedOf(assigned, cb, m, dim)
+    val flat = sdcTable(cb, m, kCodes)
+    if (nprobe <= 2) blockScore(packed, flat, kCodes, k)
+    else generalScore(packed, flat, kCodes, k)
+  }
+
+  /** One packed code array per (vector, probed cell) copy —
+    * (vec_id, cell, primary, other_cell, codes). The copy key packs
+    * (vec_id, cell, other_cell, primary-bit) into one long so the
+    * encode window keys stay fixed-width. Bounds: cell and other_cell+1
+    * < 2048 (cells < 1024, checked in multiAssign) and vec_id < 2^41
+    * (the pack multiplies by 1024·2048·2 = 2^22; unpack is exact
+    * integral `div`/`pmod`, no float division — 2^41 ≈ 2.2e12 clears
+    * the 100× replica tier's 1e10 ids with two orders to spare). */
+  private[graft] def packedOf(assigned: DataFrame, cb: DataFrame, m: Int,
+                       dim: Int): DataFrame = {
+    val copyId =
+      ((col("vec_id") * lit(1024L) + col("cell")) * lit(2048L) +
+        (col("other_cell") + lit(1L))) * lit(2L) +
+        col("primary").cast("long")
     val subs = ProductQuantizer.subvectors(
         assigned.select(copyId.as("vec_id"), col("rv").as("v")), m, dim)
       .localCheckpoint(true)
-    // one packed code array per (vector, probed cell) copy
-    val packed = ProductQuantizer.encode(subs, cb)
+    ProductQuantizer.encode(subs, cb)
       .groupBy("vec_id")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code_id")))),
         e => e("code_id")).as("codes"))
       .withColumn("primary", pmod(col("vec_id"), lit(2L)) === 1L)
-      .withColumn("rest", expr("vec_id div 2"))
-      .withColumn("cell", pmod(col("rest"), lit(1024L)).cast("int"))
-      .withColumn("vec_id", expr("rest div 1024"))
-      .drop("rest")
-    // the SDC model: flat [sub][code_a][code_b] distance array published
-    // as an expression literal (m·kCodes² doubles — model-sized)
+      .withColumn("r1", expr("vec_id div 2"))
+      .withColumn("other_cell", pmod(col("r1"), lit(2048L)) - 1L)
+      .withColumn("r2", expr("r1 div 2048"))
+      .withColumn("cell", pmod(col("r2"), lit(1024L)).cast("int"))
+      .withColumn("vec_id", expr("r2 div 1024"))
+      .drop("r1", "r2")
+  }
+
+  /** The SDC model: flat [sub][code_a][code_b] distance array published
+    * as an expression literal (m·kCodes² doubles — model-sized). */
+  private[graft] def sdcTable(cb: DataFrame, m: Int, kCodes: Int): Array[Double] = {
     val kk = kCodes * kCodes
     val flat = new Array[Double](m * kk)
     graft.util.Local.modelRows(
@@ -140,7 +174,57 @@ object SdcKnnJoin {
         flat(r.getInt(0) * kk + (r.getInt(1) - 1) * kCodes +
           (r.getInt(2) - 1)) = r.getDouble(3)
       }
-    // canonical same-cell pairs, scored by m lookups INSIDE the pair row
+    flat
+  }
+
+  /** BLOCK path (nprobe ≤ 2): cells packed into ≤ MaxBlockRows coded
+    * slices, every ordered slice pair of a cell scored inside
+    * functions.BlockSdcTopK — m lookups per pair in a primitive loop,
+    * canonical multi-probe duplicates skipped locally, ≤ |slice|·k
+    * emitted rows per eval. The join-row form streamed ~N²/cells pair
+    * rows through a hash join and a nearly-no-reduction cross-cell
+    * aggregate; this path's exchanges carry only block rows and top-k
+    * partials (measured 7.8 → see BENCH_10x at the 10× tier). */
+  private[graft] def blockScore(packed: DataFrame, flat: Array[Double],
+                                kCodes: Int, k: Int): DataFrame = {
+    val s = packed.sparkSession
+    val cnts = packed.groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell"),
+        ceil(col("n").cast("double") / 2048.0).cast("long").as("ns"))
+    // hot IVF cells slice like VectorSimJoin.packedBlocks — the largest
+    // eval is bounded by construction whatever the cell distribution
+    val blocks = packed.join(broadcast(cnts), Seq("cell"))
+      .withColumn("slice", pmod(xxhash64(col("vec_id")), col("ns")))
+      .groupBy("cell", "slice")
+      .agg(collect_list(struct(col("vec_id"), col("codes"),
+        col("primary"), col("other_cell"))).as("blk"))
+      .localCheckpoint(true)
+    val slicePairs = blocks.select(col("cell"), col("slice").as("slice_a"))
+      .join(blocks.select(col("cell"), col("slice").as("slice_b")),
+        Seq("cell"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("cell"), col("slice_a"), col("slice_b"))
+    val a = blocks.select(col("cell"), col("slice").as("slice_a"),
+      col("blk").as("blk_a"))
+    val b = blocks.select(col("cell"), col("slice").as("slice_b"),
+      col("blk").as("blk_b"))
+    slicePairs.join(a, Seq("cell", "slice_a")).join(b, Seq("cell", "slice_b"))
+      .select(explode(graft.functions.BlockSdc.topkPerSlicePair(
+        col("blk_a"), col("blk_b"), col("cell").cast("long"),
+        flat, kCodes, k)).as("p"))
+      .select("p.*")
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKByScore
+        .topk(-col("approx_d2"), col("nbr_id"), k).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("nbr_id"),
+        (-col("t.score")).as("approx_d2"))
+  }
+
+  /** GENERAL path (any nprobe): canonical same-cell pairs scored by m
+    * lookups inside the pair row. */
+  private[graft] def generalScore(packed: DataFrame, flat: Array[Double],
+                                  kCodes: Int, k: Int): DataFrame = {
     val a = packed.select(col("cell"), col("vec_id").as("id_a"),
       col("codes").as("codes_a"), col("primary").as("pa"))
     val b = packed.select(col("cell"), col("vec_id").as("id_b"),
@@ -159,16 +243,24 @@ object SdcKnnJoin {
     // coarse). Keep ONE canonical estimate per pair: highest assignment
     // priority (both-primary > one-primary > none) first, then lowest
     // cell id — a deterministic pick that never lets a noisy secondary
-    // estimate displace a primary one. Map-side combinable (struct MIN),
-    // keyed by the 16-byte pair.
+    // estimate displace a primary one. The pick is min_by over a PACKED
+    // PRIMITIVE priority (np·2048 + cell — injective and
+    // order-preserving since cell < 1024, so ≡ the lexicographic
+    // (np, cell) struct min it replaces): a primitive two-field buffer
+    // keeps the agg in codegen'd HashAggregate, where the struct-MIN
+    // form forced ObjectHashAggregate over ~N²/cells nearly-unique pair
+    // groups — together with the per-pair BigDecimal inside Catalyst's
+    // round (→ functions.FastRound), the actual cost of this stage
+    // (measured 4.5 → 1.5 s at the 10× tier, identical output).
     val scored = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("np",
-        lit(2) - col("pa").cast("int") - col("pb").cast("int"))
+      .withColumn("prio",
+        (lit(2) - col("pa").cast("long") - col("pb").cast("long"))
+          * lit(2048L) + col("cell").cast("long"))
       .groupBy("id_a", "id_b")
-      .agg(min(struct(col("np"), col("cell"), score.as("d"))).as("best"))
+      .agg(min_by(score.as("d"), col("prio")).as("d"))
       .select(col("id_a"), col("id_b"),
-        round(col("best.d"), 6).as("approx_d2"))
+        graft.functions.FastRound.round(col("d"), 6).as("approx_d2"))
     // both orientations from one scored pass, then partial-reduce top-k
     scored.select(explode(array(
         struct(col("id_a").as("vec_id"), col("id_b").as("nbr_id"),

@@ -123,6 +123,38 @@ class SdcKnnJoinSpec extends SparkSpec {
     assert(mean >= 0.8, f"mean recall@3 = $mean%.3f")
   }
 
+  test("block path ≡ general pair-row path bit-for-bit at nprobe = 2") {
+    // The block scorer decides multi-probe canonicality LOCALLY (each
+    // copy carries its vector's other probed cell); the general path
+    // resolves it with the cross-cell (np, cell) pick. Same corpus,
+    // same models ⇒ the two formulations must agree on every
+    // (vec_id, nbr_id, approx_d2) triple, including pairs that meet in
+    // two shared cells (the clustered corpus + nprobe 2 produces them).
+    graft.util.Confs.ensureObjectHashHeadroom(spark)
+    val e = clustered(64).localCheckpoint(true)
+    val cents = IvfKMeans.centroids(
+      e.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+      k = 8, iters = 2)
+    val assigned = SdcKnnJoin.multiAssign(e, cents, nprobe = 2)
+    val cb = graft.operators.ProductQuantizer.codebooks(
+      graft.operators.ProductQuantizer.subvectors(
+        assigned.filter(col("primary"))
+          .filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L)
+          .select(col("vec_id"), col("rv").as("v")), 16, 64),
+      32, iters = 2)
+    val packed = SdcKnnJoin.packedOf(assigned, cb, 16, 64)
+      .localCheckpoint(true)
+    val flat = SdcKnnJoin.sdcTable(cb, 16, 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+    val blockOut = rows(SdcKnnJoin.blockScore(packed, flat, 32, 3))
+    val generalOut = rows(SdcKnnJoin.generalScore(packed, flat, 32, 3))
+    assert(blockOut === generalOut,
+      "block SDC path diverged from the general pair-row path")
+    assert(blockOut.nonEmpty)
+  }
+
   test("cell-id packing guard rejects centroid tables with >= 1024 cells") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
