@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.MinHashLSH
+import graft.operators.{MinHashLSH, PrefixFilter}
 import graft.sources.Tables
 import graft.util.Det._
 
@@ -22,6 +22,62 @@ import graft.util.Det._
   *    cannot be replicated in DuckDB) — driver records rows-only.
   */
 object DedupOps {
+
+  /** CONTENT-GRAIN near-dup machinery shared by q_dedup_near and
+    * q_dedup_cluster: exact duplicates — the dominant near-dup
+    * population of a real crawl corpus, and exactly what the replica
+    * tiers simulate — share one text, so shingling, prefix filtering,
+    * and the exact Jaccard verify all run once per DISTINCT text
+    * (the SimHash.pairs signature-grain discipline applied to the
+    * Jaccard family). Doc pairs expand from group membership: identical
+    * texts have identical shingle sets, so J(member_a, member_b) ≡
+    * J(rep_a, rep_b) and intra-group pairs are J = 1.0 by definition —
+    * the expansion is a pure map-side explode with a bit-identical
+    * result (zero-shingle texts expand to nothing, matching the
+    * full-grain behavior where they never enter the shingle frame).
+    *
+    * Returns (groups with a has_sh flag, qualifying rep-grain pairs,
+    * expanded doc-grain pairs (doc_a < doc_b, jaccard)). Grouping key
+    * is the text itself (exact equality); a 100-TB build would group on
+    * sha2(text, 256) to keep the shuffle narrow. */
+  private[graft] def grainedNearDup(docs: DataFrame, t: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val g = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+           collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true) // distinct-text-sized; consumed 4×
+    val sh = LlmOps.shingles(
+      g.select(col("rep").as("doc_id"), col("text")))
+    val cands = PrefixFilter.candidatePairs(sh, t)
+    val rp = jaccardPairs(sh, Some(cands))
+      .filter(col("jaccard_raw") >= t)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint(true) // consumed by expansion AND cluster CC
+    val gf = g.join(
+        sh.select(col("doc_id").as("rep")).distinct()
+          .withColumn("has_sh", lit(true)),
+        Seq("rep"), "left")
+      .withColumn("has_sh", coalesce(col("has_sh"), lit(false)))
+    val intra = gf
+      .filter(col("has_sh") && size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", lit(1.0))
+      .select("doc_a", "doc_b", "jaccard")
+    // memberships are disjoint, so each unordered doc pair surfaces
+    // exactly once — no trailing distinct
+    val inter = rp
+      .join(g.select(col("rep").as("doc_a"), col("members").as("ma")),
+        Seq("doc_a"))
+      .join(g.select(col("rep").as("doc_b"), col("members").as("mb")),
+        Seq("doc_b"))
+      .select(col("jaccard"), explode(col("ma")).as("da"), col("mb"))
+      .select(col("jaccard"), col("da"), explode(col("mb")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    (gf, rp, intra.unionByName(inter))
+  }
 
   /** Exact Jaccard over (doc_a, doc_b) shingle sets, optionally restricted
     * to a candidate pair set (the LSH path). With candidates, pair rows

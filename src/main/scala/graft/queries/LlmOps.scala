@@ -73,15 +73,12 @@ object LlmOps {
       // prefix filtering (operators.PrefixFilter): candidates are pairs
       // sharing a shingle in their df-ordered PREFIX (provably a superset
       // of all J >= 0.8 pairs), then scored exactly by the same
-      // jaccardPairs verify q_dedup_minhash uses. The full shingle
-      // self-join — whose frequent-shingle buckets grow quadratically
-      // with corpus size — is never enumerated.
-      val sh = shingles(Tables.documents(s, d))
-      val cands = graft.operators.PrefixFilter.candidatePairs(sh, 0.8)
-      DedupOps.jaccardPairs(sh, Some(cands))
-        .filter(col("jaccard_raw") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      // jaccardPairs verify q_dedup_minhash uses — all at CONTENT grain
+      // (once per distinct text; doc pairs expand from membership with a
+      // bit-identical result — DedupOps.grainedNearDup).
+      val (_, _, pairs) =
+        DedupOps.grainedNearDup(Tables.documents(s, d), 0.8)
+      pairs.orderBy("doc_a", "doc_b")
     }),
 
     "q_knn_cosine" -> ((s, d) => {

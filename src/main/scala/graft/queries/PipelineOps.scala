@@ -28,15 +28,28 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     // ---- near-dup pairs → dedup decision: cluster_id = min reachable
     // doc_id through the exact (prefix-filtered) J >= 0.8 pair graph;
-    // the cluster_id row is the keeper, the rest are drops.
+    // the cluster_id row is the keeper, the rest are drops. Runs at
+    // CONTENT grain (DedupOps.grainedNearDup): identical texts form
+    // cliques, so the CC fixpoint iterates over the distinct-text rep
+    // graph and members inherit their rep's component afterwards —
+    // rep = min(group), so the component minimum is the min rep and
+    // every label matches the full-grain run exactly. Members of a
+    // zero-shingle group stay singletons (they never enter the pair
+    // graph), matching the full-grain behavior.
     "q_dedup_cluster" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = LlmOps.shingles(docs)
-      val cands = PrefixFilter.candidatePairs(sh, 0.8)
-      val pairs = DedupOps.jaccardPairs(sh, Some(cands))
-        .filter(col("jaccard_raw") >= 0.8)
-        .select("doc_a", "doc_b")
-      DedupCluster.clusters(docs.select("doc_id"), pairs)
+      val (groups, repPairs, _) = DedupOps.grainedNearDup(docs, 0.8)
+      val repClusters = DedupCluster.clusters(
+          groups.select(col("rep").as("doc_id")),
+          repPairs.select("doc_a", "doc_b"))
+        .withColumnRenamed("doc_id", "rep")
+        .withColumnRenamed("cluster_id", "rep_cluster")
+      groups.select(col("rep"), col("has_sh"),
+          explode(col("members")).as("doc_id"))
+        .join(repClusters, Seq("rep"))
+        .withColumn("cluster_id",
+          when(col("has_sh"), col("rep_cluster")).otherwise(col("doc_id")))
+        .select("doc_id", "cluster_id")
         .withColumn("is_keeper",
           (col("doc_id") === col("cluster_id")).cast("long"))
         .orderBy("doc_id")
