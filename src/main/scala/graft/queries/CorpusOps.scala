@@ -180,10 +180,43 @@ object CorpusOps {
     // paragraph quoted inside a bigger doc). Candidates via the
     // contained-side prefix filter (operators.PrefixFilter), verified
     // candidate-first with exact integer threshold arithmetic
-    // (5*n_inter >= 4*n_a — no float in the predicate).
+    // (5*n_inter >= 4*n_a — no float in the predicate). Runs at CONTENT
+    // grain (the DedupOps.grainedNearDup discipline): shingling, the
+    // prefix filter, and the verify once per distinct text; ordered doc
+    // pairs expand from membership — intra-group pairs are C = 1.0 with
+    // n_a = n_b = n_inter = the group's shingle count, inter pairs
+    // inherit their rep pair's values verbatim (identical sets), and the
+    // directed orientation is preserved (no least/greatest).
     "q_dedup_containment" -> ((s, d) => {
-      val sh = LlmOps.shingles(Tables.documents(s, d))
-      containmentPairs(sh, 4, 5).orderBy("doc_a", "doc_b")
+      val g = Tables.documents(s, d).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("rep"),
+             collect_list(col("doc_id")).as("members"))
+        .localCheckpoint(true)
+      val sh = LlmOps.shingles(g.select(col("rep").as("doc_id"), col("text")))
+      val repPairs = containmentPairs(sh, 4, 5)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .withColumnRenamed("doc_id", "rep")
+      val intra = g.join(sizes, Seq("rep"))
+        .filter(size(col("members")) >= 2)
+        .select(col("n_sh"), explode(col("members")).as("doc_a"),
+          col("members"))
+        .select(col("n_sh"), col("doc_a"),
+          explode(col("members")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_sh").as("n_a"),
+          col("n_sh").as("n_b"), col("n_sh").as("n_inter"),
+          lit(1.0).as("containment"))
+      val inter = repPairs
+        .join(g.select(col("rep").as("doc_a"), col("members").as("ma")),
+          Seq("doc_a"))
+        .join(g.select(col("rep").as("doc_b"), col("members").as("mb")),
+          Seq("doc_b"))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("containment"),
+          explode(col("ma")).as("doc_a2"), col("mb"))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("containment"),
+          col("doc_a2").as("doc_a"), explode(col("mb")).as("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "containment")
+      intra.unionByName(inter).orderBy("doc_a", "doc_b")
     }),
 
     // ---- int8 symmetric embedding quantization: per-vector scale =

@@ -90,14 +90,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_dedup_near self-joins PREFIX rows only (prefix filter in the plan)") {
-    // the candidate join's inputs must carry the prefix_pos rank filter —
-    // i.e. the plan joins each doc's df-ordered prefix, not all shingles
+  test("q_dedup_near: content-grain expansion + prefix-filtered rep pairs") {
+    // the declared plan is the membership EXPANSION (the rep-grain pair
+    // subtree materializes once behind grainedNearDup's checkpoint) —
+    // pin the expansion shape on the key, and the prefix-filter routing
+    // on the shared machinery with checkpointing bypassed
     val p = plan("q_dedup_near")
-    assert(p.contains("prefix_pos"),
-      s"prefix filter missing from plan:\n${p.take(2000)}")
-    assert(p.contains("row_number()"),
-      s"df-order ranking missing from plan:\n${p.take(2000)}")
+    assert(p.contains("explode(members"),
+      s"content-grain membership expansion missing:\n${p.take(2000)}")
+    val sh = Graft.shingleRows(
+      graft.sources.Tables.documents(spark, sf0001), "doc_id", "text")
+    val rp = graft.queries.DedupOps.jaccardPairs(sh,
+      Some(graft.operators.PrefixFilter.candidatePairs(sh, 0.8)))
+    val pairPlan = rp.queryExecution.optimizedPlan.toString
+    assert(pairPlan.contains("prefix_pos"),
+      s"prefix filter missing from the pair machinery:\n${pairPlan.take(2000)}")
+    assert(pairPlan.contains("row_number()"),
+      s"df-order ranking missing from the pair machinery:\n${pairPlan.take(2000)}")
   }
 
   test("q_dedup_containment prefix-filters the CONTAINED side") {
@@ -188,17 +197,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"moments should need one exchange, got $exchanges")
   }
 
-  test("q_dedup_simhash reuses the signature exchange across the bands self-join") {
-    // the expensive subtree (tokenize + 64 partial sums + shuffle) must
-    // compute ONCE; the second join side reads it back as ReusedExchange.
-    // Guards the silent-double-compute class the r6 profile-verify
-    // rewrite could have introduced (audited: reuse held; this pins it).
+  test("q_dedup_simhash pairs at signature grain (single signature pass)") {
+    // the expensive subtree (tokenize + 64 partial sums + shuffle) now
+    // computes ONCE BY CONSTRUCTION: SimHash.pairs groups docs by
+    // signature behind a single checkpoint, the candidate self-join runs
+    // over signature-keyed rows (sig_a/sig_b), and doc pairs expand from
+    // membership. Pin the grain: signature-keyed band join + membership
+    // expansion, zero document scans in the declared plan (they all
+    // happened inside the one materialization).
     val p = executedFinal("q_dedup_simhash")
-    assert("ReusedExchange \\[[^\\]]*sum#".r.findFirstIn(p).isDefined,
-      s"signature exchange not reused:\n${p.take(3000)}")
+    assert(p.contains("sig_a#") && p.contains("sig_b#"),
+      s"candidate join is not at signature grain:\n${p.take(3000)}")
+    assert(p.contains("explode(members"),
+      s"membership expansion missing:\n${p.take(3000)}")
     val docScans = "FileScan parquet \\[doc_id".r.findAllIn(p).size
-    assert(docScans == 1,
-      s"documents scanned $docScans times — signature subtree duplicated")
+    assert(docScans == 0,
+      s"documents scanned $docScans times post-checkpoint — signature subtree duplicated")
   }
 
   test("dedup verify paths reuse the per-doc profile subtree (one build each)") {
