@@ -51,6 +51,19 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
+        // keys are independent, but localCheckpoint() persists its
+        // materialized RDD in the block manager for the JVM lifetime —
+        // left alone, checkpoint blocks accumulate across the suite and
+        // at the 100× tier the leaked storage OOMed later keys (found
+        // when the block-vector keys joined the scale probe). Each run
+        // rebuilds its plan from scratch, so dropping them is free.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // broadcast relations (the block-vector keys ship ~100 MB sides
+        // at the 100× tier) are reaped by the ContextCleaner only after
+        // their owners are GC'd — nudge collection so one key's
+        // broadcasts don't squat the heap under the next key's run
+        System.gc()
         (ok, (System.nanoTime() - t0) / 1e9)
       }
       // a throwing query must read as an ERROR (-1), not as a fast timing —

@@ -80,14 +80,17 @@ object SimHash {
             maxHamming: Int = 3): DataFrame = {
     require(maxHamming < b,
       s"pigeonhole needs maxHamming($maxHamming) < bands($b) for recall 1")
-    // distinct-signature-sized; consumed by the band join and all three
-    // expansions below — materialize once (also keeps the expensive
-    // 64-aggregate signature subtree single-execution)
-    val groups = signatures(docs, idCol, textCol)
-      .groupBy("simhash").agg(collect_list(col("doc_id")).as("members"))
-      .localCheckpoint(true)
+    // (doc_id, simhash) — materialized once (keeps the expensive
+    // 64-aggregate signature subtree single-execution); this narrow
+    // frame IS the group membership, so expansion below is plain
+    // equi-joins with spillable build sides. (A first cut collected
+    // members into per-signature ARRAYS and double-exploded them — each
+    // intermediate row carried the whole array, quadratic MEMORY per
+    // group, and a hot signature group OOMed the 100× tier.)
+    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
     val sg = bands(
-        groups.select(col("simhash").as("doc_id"), col("simhash")), b)
+        sig.select(col("simhash")).distinct()
+          .select(col("simhash").as("doc_id"), col("simhash")), b)
       .select(col("simhash").as("sig"), col("band_idx"), col("band_val"))
     // a signature pair sharing several bands matches several times with
     // an IDENTICAL row — distinct at signature grain is cheap
@@ -101,22 +104,20 @@ object SimHash {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("sig_a", "sig_b", "hamming").distinct()
-    // same-signature pairs: hamming 0 by definition
-    val intra = groups
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+    // same-signature pairs: hamming 0 by definition — a self-join on the
+    // signature, never an array materialization
+    val intra = sig.select(col("simhash"), col("doc_id").as("doc_a"))
+      .join(sig.select(col("simhash"), col("doc_id").as("doc_b")),
+            Seq("simhash"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", lit(0L))
-      .select("doc_a", "doc_b", "hamming")
-    // qualifying signature pairs expand over both member lists; each doc
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    // qualifying signature pairs expand over both memberships; each doc
     // belongs to exactly one group, so no pair repeats
     val inter = sigPairs
-      .join(groups.select(col("simhash").as("sig_a"),
-        col("members").as("ma")), Seq("sig_a"))
-      .join(groups.select(col("simhash").as("sig_b"),
-        col("members").as("mb")), Seq("sig_b"))
-      .select(col("hamming"), explode(col("ma")).as("da"), col("mb"))
-      .select(col("hamming"), col("da"), explode(col("mb")).as("db"))
+      .join(sig.select(col("simhash").as("sig_a"), col("doc_id").as("da")),
+            Seq("sig_a"))
+      .join(sig.select(col("simhash").as("sig_b"), col("doc_id").as("db")),
+            Seq("sig_b"))
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     intra.unionByName(inter)

@@ -196,26 +196,24 @@ object CorpusOps {
       val repPairs = containmentPairs(sh, 4, 5)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         .withColumnRenamed("doc_id", "rep")
-      val intra = g.join(sizes, Seq("rep"))
-        .filter(size(col("members")) >= 2)
-        .select(col("n_sh"), explode(col("members")).as("doc_a"),
-          col("members"))
-        .select(col("n_sh"), col("doc_a"),
-          explode(col("members")).as("doc_b"))
+      // narrow (rep, doc_id) membership + equi-joins — never a
+      // double-explode carrying the member array per intermediate row
+      // (quadratic memory on a hot group; see DedupOps.grainedNearDup)
+      val m = g.select(col("rep"), explode(col("members")).as("doc_id"))
+      val intra = m.join(sizes, Seq("rep"))
+        .select(col("rep"), col("n_sh"), col("doc_id").as("doc_a"))
+        .join(m.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("n_sh").as("n_a"),
           col("n_sh").as("n_b"), col("n_sh").as("n_inter"),
           lit(1.0).as("containment"))
       val inter = repPairs
-        .join(g.select(col("rep").as("doc_a"), col("members").as("ma")),
+        .join(m.select(col("rep").as("doc_a"), col("doc_id").as("da")),
           Seq("doc_a"))
-        .join(g.select(col("rep").as("doc_b"), col("members").as("mb")),
+        .join(m.select(col("rep").as("doc_b"), col("doc_id").as("db")),
           Seq("doc_b"))
-        .select(col("n_a"), col("n_b"), col("n_inter"), col("containment"),
-          explode(col("ma")).as("doc_a2"), col("mb"))
-        .select(col("n_a"), col("n_b"), col("n_inter"), col("containment"),
-          col("doc_a2").as("doc_a"), explode(col("mb")).as("doc_b"))
-        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "containment")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_a"), col("n_b"), col("n_inter"), col("containment"))
       intra.unionByName(inter).orderBy("doc_a", "doc_b")
     }),
 

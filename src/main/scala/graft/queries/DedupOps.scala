@@ -58,22 +58,24 @@ object DedupOps {
           .withColumn("has_sh", lit(true)),
         Seq("rep"), "left")
       .withColumn("has_sh", coalesce(col("has_sh"), lit(false)))
-    val intra = gf
-      .filter(col("has_sh") && size(col("members")) >= 2)
-      .select(explode(col("members")).as("doc_a"), col("members"))
-      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+    // narrow (rep, doc_id) membership — a SINGLE explode per row is
+    // memory-safe; the expansions below are equi-joins on it, never a
+    // double-explode whose intermediate rows each carry the whole
+    // member array (quadratic memory on a hot group — the class that
+    // OOMed SimHash's first content-grain cut at the 100× tier)
+    val m = g.select(col("rep"), explode(col("members")).as("doc_id"))
+    val mSh = m.join(gf.filter(col("has_sh")).select("rep"), Seq("rep"))
+    val intra = mSh.select(col("rep"), col("doc_id").as("doc_a"))
+      .join(mSh.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", lit(1.0))
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
     // memberships are disjoint, so each unordered doc pair surfaces
     // exactly once — no trailing distinct
     val inter = rp
-      .join(g.select(col("rep").as("doc_a"), col("members").as("ma")),
+      .join(m.select(col("rep").as("doc_a"), col("doc_id").as("da")),
         Seq("doc_a"))
-      .join(g.select(col("rep").as("doc_b"), col("members").as("mb")),
+      .join(m.select(col("rep").as("doc_b"), col("doc_id").as("db")),
         Seq("doc_b"))
-      .select(col("jaccard"), explode(col("ma")).as("da"), col("mb"))
-      .select(col("jaccard"), col("da"), explode(col("mb")).as("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
     (gf, rp, intra.unionByName(inter))

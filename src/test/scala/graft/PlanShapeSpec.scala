@@ -208,8 +208,8 @@ class PlanShapeSpec extends SparkSpec {
     val p = executedFinal("q_dedup_simhash")
     assert(p.contains("sig_a#") && p.contains("sig_b#"),
       s"candidate join is not at signature grain:\n${p.take(3000)}")
-    assert(p.contains("explode(members"),
-      s"membership expansion missing:\n${p.take(3000)}")
+    assert(p.contains("Join [simhash") || p.contains("[simhash#"),
+      s"membership expansion join missing:\n${p.take(3000)}")
     val docScans = "FileScan parquet \\[doc_id".r.findAllIn(p).size
     assert(docScans == 0,
       s"documents scanned $docScans times post-checkpoint — signature subtree duplicated")
