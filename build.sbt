@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console VERBATIM: sbt's default
+// logger prefixes every forked-output line with "[info] ", which broke the
+// driver's last-line JSON parse of Bench's compact summary (BENCH_r11.json
+// "parsed": null). StdoutOutput pipes the child's stdout straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

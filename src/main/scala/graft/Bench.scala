@@ -51,6 +51,12 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
+        // Stop the clock HERE: the cleanup below (unpersist + System.gc)
+        // is inter-key housekeeping, not operator cost. Timing it charged
+        // a full-GC pause to every key — on a loaded machine that was a
+        // uniform ~+0.2 s/key floor (round-11 driver run read 104.2 s vs
+        // 61.7 s committed on identical plans).
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // keys are independent, but localCheckpoint() persists its
         // materialized RDD in the block manager for the JVM lifetime —
         // left alone, checkpoint blocks accumulate across the suite and
@@ -64,7 +70,7 @@ object Bench {
         // their owners are GC'd — nudge collection so one key's
         // broadcasts don't squat the heap under the next key's run
         System.gc()
-        (ok, (System.nanoTime() - t0) / 1e9)
+        (ok, elapsed)
       }
       // a throwing query must read as an ERROR (-1), not as a fast timing —
       // min-of-2 would otherwise prefer the quickest failure

@@ -44,8 +44,16 @@ private[functions] object BlockVec {
     * in the band too. */
   def round4(x: Double): Double = {
     val y = x * 10000.0
-    val f = math.floor(y + 0.5)
-    if (math.abs(y + 0.5 - f) < 1e-9)
+    val z = y + 0.5
+    val f = math.floor(z)
+    // band scales with |y| (16 ulp ≈ 8× the worst shortest-decimal /
+    // multiply discrepancy) and is measured against the NEAREST integer
+    // of z (rint), not floor — a binary y just BELOW the .5 boundary
+    // reads diff ≈ 1 under floor and was silently missed. MUST stay in
+    // lockstep with FastRound.fastRound and BlockSdc.round6: the specs
+    // pin block ≡ join-form bit-for-bit, so both paths must take the
+    // slow exact branch on exactly the same inputs.
+    if (math.abs(z - math.rint(z)) < 16.0 * math.ulp(math.max(math.abs(y), 1.0)))
       scala.math.BigDecimal(x)
         .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     else f / 10000.0

@@ -48,8 +48,15 @@ case class BlockSdcTopK(first: Expression, second: Expression,
 
   private def round6(x: Double): Double = {
     val y = x * 1e6
-    val f = math.floor(y + 0.5)
-    if (math.abs(y + 0.5 - f) < 1e-9)
+    val z = y + 0.5
+    val f = math.floor(z)
+    // ulp-scaled band measured against rint(z), in lockstep with
+    // FastRound.fastRound (the join-form path this expression is
+    // spec-pinned bit-identical to): a fixed 1e-9 band under-covers
+    // once |y| ≳ 4.5e6 — reachable here, since y is a squared distance
+    // × 10⁶ — and a floor-based diff misses the just-below-boundary
+    // half of the cases entirely
+    if (math.abs(z - math.rint(z)) < 16.0 * math.ulp(math.max(math.abs(y), 1.0)))
       scala.math.BigDecimal(x)
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     else f / 1e6

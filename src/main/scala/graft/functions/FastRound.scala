@@ -32,10 +32,28 @@ case class FastRound(child: Expression, scale: Int)
     scala.math.BigDecimal(x)
       .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The guard band must scale with |y|: the shortest-decimal-vs-binary
+    * discrepancy the slow path exists to absorb grows as ~|y|·2⁻⁵³ (≤ ~2
+    * ulp of y across all sources: shortest-decimal round-trip, the x·10ˢ
+    * multiply, the +0.5 add). A fixed absolute band (1e-9 originally)
+    * silently under-covers once |y| ≳ 4.5e6 — e.g. scale 9 on any
+    * unit-scale value. 16 ulps = 8× the worst case, floored at ulp(1.0)
+    * so subnormal-small y keeps a sane absolute band. */
+  @inline private def band(y: Double): Double =
+    16.0 * math.ulp(math.max(math.abs(y), 1.0))
+
+  /** The boundary test must measure distance to the NEAREST integer of
+    * y+0.5, not to floor(y+0.5): when binary y lands just BELOW a .5
+    * boundary (the true decimal value rounds up, floor rounds down) the
+    * floor-based diff reads ≈ 1, not ≈ 0, and the guard silently missed
+    * exactly the divergent case (caught by FastRoundSpec's adversarial
+    * sweep — e.g. 5684423.26175 at scale 4 sits 1 ulp under the
+    * boundary). */
   def fastRound(x: Double): Double = {
     val y = x * pow10
-    val f = math.floor(y + 0.5)
-    if (math.abs(y + 0.5 - f) < 1e-9) exactRound(x) else f / pow10
+    val z = y + 0.5
+    val f = math.floor(z)
+    if (math.abs(z - math.rint(z)) < band(y)) exactRound(x) else f / pow10
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -47,10 +65,15 @@ case class FastRound(child: Expression, scale: Int)
         classOf[FastRound].getName)
       val y = ctx.freshName("y")
       val f = ctx.freshName("f")
+      val z = ctx.freshName("z")
+      val b = ctx.freshName("band")
       s"""
         final double $y = $x * $pow10;
-        final double $f = java.lang.Math.floor($y + 0.5);
-        ${ev.value} = (java.lang.Math.abs($y + 0.5 - $f) < 1e-9)
+        final double $z = $y + 0.5;
+        final double $f = java.lang.Math.floor($z);
+        final double $b = 16.0 * java.lang.Math.ulp(
+          java.lang.Math.max(java.lang.Math.abs($y), 1.0));
+        ${ev.value} = (java.lang.Math.abs($z - java.lang.Math.rint($z)) < $b)
           ? $self.exactRound($x) : $f / $pow10;
       """
     })

@@ -62,7 +62,11 @@ object AsOf {
     // BOTH sides into one partition and "match" them — a silent
     // divergence from the DuckDB ASOF oracle. Null-keyed LEFT rows stay
     // (alone in the null partition, no right rows → null carry).
-    val r = right.filter(col(rightKey).isNotNull)
+    // A NULL right TIME likewise matches nothing (the ASOF inequality is
+    // never true on null) — unfiltered it would sort FIRST (nulls-first
+    // asc) and the backward last(ignoreNulls) would carry its values into
+    // left rows that have no real earlier right row.
+    val r = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(rightSide))
       .select((leftCols.map(c =>
@@ -115,7 +119,8 @@ object AsOf {
     val rvType = org.apache.spark.sql.types.StructType(
       rightVals.map(c => right.schema(c).copy(name = c)))
     def sideRow(df0: DataFrame, side: Int, bv: Boolean): DataFrame = {
-      val df = df0.filter(col(rightKey).isNotNull) // SQL: null key matches nothing
+      // SQL: null key/time matches nothing (same rule as join() above)
+      val df = df0.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       df.withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(side))
       .select((leftCols.map(c =>

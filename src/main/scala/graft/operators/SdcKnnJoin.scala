@@ -138,10 +138,17 @@ object SdcKnnJoin {
     * the 100× replica tier's 1e10 ids with two orders to spare). */
   private[graft] def packedOf(assigned: DataFrame, cb: DataFrame, m: Int,
                        dim: Int): DataFrame = {
-    val copyId =
+    // vec_id headroom is ENFORCED, not just documented: an id ≥ 2^41
+    // would silently wrap into another copy's packed key and produce
+    // wrong neighbors. Per-row assert_true (one codegen'd comparison,
+    // null when it holds) instead of a driver-side max() — that would
+    // cost a full corpus scan per call just to check an invariant.
+    val idOk = assert_true(col("vec_id") < lit(1L << 41),
+      lit("vec_id must be < 2^41 for the packed copy key"))
+    val copyId = when(idOk.isNull,
       ((col("vec_id") * lit(1024L) + col("cell")) * lit(2048L) +
         (col("other_cell") + lit(1L))) * lit(2L) +
-        col("primary").cast("long")
+        col("primary").cast("long"))
     val subs = ProductQuantizer.subvectors(
         assigned.select(copyId.as("vec_id"), col("rv").as("v")), m, dim)
       .localCheckpoint(true)

@@ -212,6 +212,28 @@ class PropertySpec extends SparkSpec {
       "null-time left row matched a right row in nearest")
   }
 
+  test("as-of and nearest joins: NULL right TIME never matches (SQL semantics)") {
+    // A null-time RIGHT row sorts FIRST in the window (nulls-first asc):
+    // without the right-side isNotNull filter the backward
+    // last(ignoreNulls) carries its values into left rows that have no
+    // real earlier right row — diverging from DuckDB ASOF, where the
+    // inequality is never true on null.
+    val L = Seq((1L, "a", 10L), (2L, "a", 5L)).toDF("lid", "k", "lt")
+    val R = Seq(("a", Option(8L), "x"), ("a", Option.empty[Long], "ghost"))
+      .toDF("rk", "rt", "rv")
+    val bwd = graft.operators.AsOf
+      .join(L, R, "k", "rk", "lt", "rt", Seq("rv"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(bwd(1L) === Some("x"))
+    assert(bwd(2L) === None,
+      "null-time right row was carried into an unmatched left row in as-of")
+    val near = graft.operators.AsOf
+      .joinNearest(L, R, "k", "rk", "lt", "rt", Seq("rv", "rt"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(near(1L) === Some("x"))
+    assert(near(2L) === Some("x"), "nearest ignores the null-time ghost row")
+  }
+
   test("prefix filter: candidates ⊇ all pairs with J ≥ t on generated docs") {
     // the SSJoin prefix theorem, checked empirically for ANY generated
     // corpus and several thresholds: restricting the self-join to each
