@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *      last symbol is `l` and the current is `r` — a just-merged `l+r`
   *      is a different string, so overlapping occurrences ("aaa" under
   *      (a,a)) merge non-overlapping left-to-right, the reference
-  *      greedy semantics. localCheckpoint truncates the per-iteration
-  *      lineage (the IvfKMeans discipline).
+  *      greedy semantics. util.Fixpoint.materialize truncates the
+  *      per-iteration lineage (locally by default; reliably under
+  *      spark.graft.checkpointDir — the IvfKMeans discipline).
   *
   * Returns the merge table (step, left, right, merged, pair_count) —
   * the tokenizer artifact itself. Driver state is one row per merge;
@@ -163,7 +164,7 @@ object BpeTrain {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         filter(split(col("w"), ""), c => length(c) > 0).as("syms"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // one-time vocab build, not a fixpoint round
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var step = 0
@@ -192,9 +193,10 @@ object BpeTrain {
         }
         // symbol-disjoint ⇒ the folds commute; applied in rank order so
         // the vocab state after the batch ≡ after the sequential merges
-        vocab = batch.foldLeft(vocab) { case (v, (l, r, _)) =>
-          v.withColumn("syms", mergeFold(col("syms"), l, r))
-        }.localCheckpoint(true)
+        vocab = graft.util.Fixpoint.materialize(
+          batch.foldLeft(vocab) { case (v, (l, r, _)) =>
+            v.withColumn("syms", mergeFold(col("syms"), l, r))
+          })
       }
     }
     s.createDataFrame(out.toSeq)

@@ -25,17 +25,18 @@ import org.apache.spark.sql.functions._
   * back in once, at the end, as singleton clusters via a single
   * anti-join.
   *
-  * Fault-tolerance trade-off: localCheckpoint(eager = true) truncates
-  * the growing lineage so plan size stays constant per iteration, but
-  * the checkpointed blocks live on executors — an executor loss
-  * mid-fixpoint fails the job (Spark cannot recompute a truncated
-  * lineage). That is the right default for this engine's single-JVM
-  * harness and acceptable for short fixpoints (O(log d) rounds of
-  * seconds each); a long-running 1000-executor deployment should flip
-  * to reliable `checkpoint()` against the cluster checkpoint dir, which
-  * swaps re-execution risk for one HDFS round-trip per iteration. The
-  * fixpoint itself is restart-idempotent either way — labels are a pure
-  * function of the pair graph.
+  * Fault-tolerance trade-off: by default each round truncates its
+  * lineage with localCheckpoint(eager = true) — plan size stays
+  * constant per iteration, but the checkpointed blocks live on
+  * executors, so an executor loss mid-fixpoint fails the job (Spark
+  * cannot recompute a truncated lineage). Right for this engine's
+  * single-JVM harness and short fixpoints (O(log d) rounds of seconds
+  * each). A long-running 1000-executor deployment flips the dial by
+  * setting `spark.graft.checkpointDir` (util.Fixpoint): the SAME call
+  * sites then use reliable `checkpoint()` against that directory,
+  * swapping re-execution risk for one HDFS round-trip per iteration.
+  * The fixpoint itself is restart-idempotent either way — labels are a
+  * pure function of the pair graph.
   *
   * Determinism: min-label fixpoints are confluent — the final labels are
   * independent of propagation order (and of whether a jump step fired),
@@ -59,13 +60,14 @@ object DedupCluster {
     // at the replica stress tier). The union itself is then two narrow
     // projections over the materialized rows — no second checkpoint
     // needed.
-    val p = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val p = graft.util.Fixpoint.materialize(
+      pairs.select("doc_a", "doc_b"))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val verts = edges.select(col("src").as("doc_id")).distinct()
-    var labels = verts.withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+    var labels = graft.util.Fixpoint.materialize(
+      verts.withColumn("cluster_id", col("doc_id")))
     // convergence check: labels only ever DECREASE, so the label sum
     // strictly decreases until the fixpoint — comparing exact decimal
     // sums (no int64 overflow at any corpus scale) detects convergence
@@ -86,9 +88,9 @@ object DedupCluster {
       // Union subtree (Catalyst's union constraint rewrite cannot handle
       // the deduplicated self-join attributes), and so per-round plan
       // size stays constant
-      val hop = labels.unionByName(prop)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val hop = graft.util.Fixpoint.materialize(
+        labels.unionByName(prop)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       // (b) pointer jump: label := label(label). Every label is a vertex
       // id in the same component (it arrived there along edges), so the
       // inner self-join keeps every row; labels only decrease, so the
@@ -99,11 +101,10 @@ object DedupCluster {
       // sf0.1); a deep chain survives past round 2 and from there halves
       // each round, preserving the O(log diameter) bound.
       val next = if (i < 2) hop else {
-        val jumped = hop.as("h")
+        val jumped = graft.util.Fixpoint.materialize(hop.as("h")
           .join(hop.as("p"), col("h.cluster_id") === col("p.doc_id"))
           .select(col("h.doc_id").as("doc_id"),
-                  col("p.cluster_id").as("cluster_id"))
-          .localCheckpoint(true)
+                  col("p.cluster_id").as("cluster_id")))
         // rebuild from the checkpointed RDD: localCheckpoint preserves
         // the origin plan's constraints, and the self-join's equality
         // constraint references the pruned p-side attribute — the next
