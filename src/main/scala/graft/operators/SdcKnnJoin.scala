@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs
 
@@ -45,37 +44,34 @@ import graft.functions.VectorExprs
 object SdcKnnJoin {
 
   /** Multiple assignment: each vector carries a residual PER probed
-    * cell — (vec_id, cell, primary, rv), localCheckpointed (consumed by
-    * both the encode and, in the training form, codebook fitting).
-    * Guards the copy-key packing invariant: cell ids must stay below
-    * 1024 (callers may hand in any centroid table), checked against the
-    * model-sized `cents` frame — k rows, one cheap action. */
+    * cell — (vec_id, cell, primary, other_cell, rv), localCheckpointed
+    * (consumed by both the encode and, in the training form, codebook
+    * fitting). Executed as a PURE MAP (functions.IvfCellProbes): the
+    * model-sized centroid table bakes into the expression and one eval
+    * scans all cells in a primitive loop. The crossJoin + row_number
+    * form this replaces shuffled and sorted N·cells join rows (90M at
+    * the 100× tier) just to pick top-nprobe — the machinery that made
+    * the ANN join lose to its exact twin on wall-clock (round-11
+    * verdict); outputs are bit-identical (same left-to-right sims, same
+    * (sim desc, cent_id asc) tie order — SdcKnnJoinSpec's block ≡
+    * general and index ≡ training pins re-prove it).
+    * Guards the cell-id headroom invariant: cell ids must stay below
+    * 1024 (callers may hand in any centroid table; generalScore's
+    * packed priority and the block scorer's canonicality math assume
+    * it), checked against the model-sized `cents` rows. */
   private[graft] def multiAssign(emb: DataFrame, cents: DataFrame,
                           nprobe: Int): DataFrame = {
-    val maxCell = graft.util.Local
-      .modelRows(cents.agg(max(col("cent_id")).as("mx"))).head.getInt(0)
+    val centRows = graft.util.Local
+      .modelRows(cents.select("cent_id", "cv", "cnrm"))
+    val maxCell = if (centRows.isEmpty) -1 else centRows.map(_.getInt(0)).max
     require(maxCell < 1024,
       s"cell ids must be < 1024 for the packed copy key (got $maxCell)")
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    // whole-partition window (same partitioning as `aw`, no extra
-    // exchange): at nprobe = 2 each copy learns its vector's OTHER
-    // probed cell — the fact that lets the block scorer decide estimate
-    // canonicality LOCALLY (see scoreBlocks); −1 when the vector has a
-    // single copy. Meaningless (and unused) at nprobe > 2.
-    val vw = Window.partitionBy("vec_id")
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") <= nprobe)
-      .withColumn("other_cell",
-        when(count(lit(1)).over(vw) === 2,
-          sum(col("cent_id").cast("long")).over(vw) - col("cent_id"))
-          .otherwise(lit(-1L)))
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        (col("rk") === 1).as("primary"), col("other_cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val probes = graft.functions.IvfProbe
+      .cellProbes(col("v"), col("nrm"), centRows, nprobe)
+    emb.select(col("vec_id"), explode(probes).as("p"))
+      .select(col("vec_id"), col("p.cell").as("cell"),
+        col("p.primary").as("primary"), col("p.other_cell").as("other_cell"),
+        col("p.rv").as("rv"))
       .localCheckpoint(true)
   }
 
@@ -122,48 +118,36 @@ object SdcKnnJoin {
     * spec-pinned identical at nprobe = 2 (SdcKnnJoinSpec). */
   private def score(assigned: DataFrame, cb: DataFrame, m: Int, dim: Int,
                     kCodes: Int, k: Int, nprobe: Int): DataFrame = {
-    val packed = packedOf(assigned, cb, m, dim)
+    // materialized once: both scoring paths read the coded copies twice
+    // (block counts + block build, or the a/b pair sides), and the
+    // coded frame is tiny (ids + m ints per copy)
+    val packed = packedOf(assigned, cb, m, dim).localCheckpoint(true)
     val flat = sdcTable(cb, m, kCodes)
     if (nprobe <= 2) blockScore(packed, flat, kCodes, k)
     else generalScore(packed, flat, kCodes, k)
   }
 
   /** One packed code array per (vector, probed cell) copy —
-    * (vec_id, cell, primary, other_cell, codes). The copy key packs
-    * (vec_id, cell, other_cell, primary-bit) into one long so the
-    * encode window keys stay fixed-width. Bounds: cell and other_cell+1
-    * < 2048 (cells < 1024, checked in multiAssign) and vec_id < 2^41
-    * (the pack multiplies by 1024·2048·2 = 2^22; unpack is exact
-    * integral `div`/`pmod`, no float division — 2^41 ≈ 2.2e12 clears
-    * the 100× replica tier's 1e10 ids with two orders to spare). */
+    * (vec_id, cell, primary, other_cell, codes). Executed as a PURE MAP
+    * (functions.PqEncodeCodes): the model-sized codebook bakes into the
+    * expression, one eval emits the m-code array with the exact
+    * (d2 asc, code_id asc) argmin of ProductQuantizer.encode. The
+    * explode→join→window→groupBy form this replaces shuffled m·kCodes
+    * rows per copy and needed a (vec_id, cell, other_cell, primary)
+    * long-packing scheme (with its 2^41 id headroom trap) just to carry
+    * the copy key through the re-assembly — with a map there is no
+    * re-assembly and no packed key at all. */
   private[graft] def packedOf(assigned: DataFrame, cb: DataFrame, m: Int,
                        dim: Int): DataFrame = {
-    // vec_id headroom is ENFORCED, not just documented: an id ≥ 2^41
-    // would silently wrap into another copy's packed key and produce
-    // wrong neighbors. Per-row assert_true (one codegen'd comparison,
-    // null when it holds) instead of a driver-side max() — that would
-    // cost a full corpus scan per call just to check an invariant.
-    val idOk = assert_true(col("vec_id") < lit(1L << 41),
-      lit("vec_id must be < 2^41 for the packed copy key"))
-    val copyId = when(idOk.isNull,
-      ((col("vec_id") * lit(1024L) + col("cell")) * lit(2048L) +
-        (col("other_cell") + lit(1L))) * lit(2L) +
-        col("primary").cast("long"))
-    val subs = ProductQuantizer.subvectors(
-        assigned.select(copyId.as("vec_id"), col("rv").as("v")), m, dim)
-      .localCheckpoint(true)
-    ProductQuantizer.encode(subs, cb)
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code_id")))),
-        e => e("code_id")).as("codes"))
-      .withColumn("primary", pmod(col("vec_id"), lit(2L)) === 1L)
-      .withColumn("r1", expr("vec_id div 2"))
-      .withColumn("other_cell", pmod(col("r1"), lit(2048L)) - 1L)
-      .withColumn("r2", expr("r1 div 2048"))
-      .withColumn("cell", pmod(col("r2"), lit(1024L)).cast("int"))
-      .withColumn("vec_id", expr("r2 div 1024"))
-      .drop("r1", "r2")
+    val cbRows = graft.util.Local
+      .modelRows(cb.select("sub", "code_id", "cv"))
+    // kCodes from the max surviving code id — per-sub counts vary
+    // (Lloyd rounds can empty a cluster), so length/m under-counts
+    val kCodes = if (cbRows.isEmpty) 0 else cbRows.map(_.getInt(1)).max
+    assigned.select(col("vec_id"), col("cell"), col("primary"),
+      col("other_cell"),
+      graft.functions.IvfProbe
+        .pqEncode(col("rv"), cbRows, m, kCodes, dim).as("codes"))
   }
 
   /** The SDC model: flat [sub][code_a][code_b] distance array published
