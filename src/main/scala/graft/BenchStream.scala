@@ -12,7 +12,9 @@ import graft.streaming.{Ev, Streams}
   *
   * Batch keys have BENCH.json at three tiers; this closes the one
   * unmeasured tier by timing the flagship stream-stream interval join
-  * (s_join_stream_stream) and a stateful key (s_stateful_counter)
+  * (s_join_stream_stream) and a stateful key (s_stateful_counter — plus
+  * its RocksDB+changelog twin s_state_rocksdb, same corpus, so backend
+  * cost is a measured delta)
   * END-TO-END over a fixed deterministic MemoryStream corpus: N events
   * fed in B micro-batches, `processAllAvailable` after each feed (the
   * StreamingSpec drive pattern), watermark advanced past everything by a
@@ -88,7 +90,25 @@ object BenchStream {
           src.filter(col("event_type") === "purchase"))
       }, "append"),
       "s_stateful_counter" -> drive(m =>
-        Streams.statefulCounter(m.toDS()).toDF(), "update"))
+        Streams.statefulCounter(m.toDS()).toDF(), "update"),
+      // the SAME stateful counter on the RocksDB provider with CHANGELOG
+      // checkpointing — the state backend the 100-TB story depends on
+      // (per-batch deltas, state off-heap, no full snapshots). Running it
+      // against the identical corpus makes backend cost a measured DELTA
+      // vs the HDFS-backed default above, not a correctness-only claim.
+      "s_state_rocksdb" -> {
+        val confs = Map(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider"),
+          ("spark.sql.streaming.stateStore.rocksdb." +
+            "changelogCheckpointing.enabled") -> "true")
+        val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try drive(m => Streams.statefulCounter(m.toDS()).toDF(), "update")
+        finally prev.foreach { case (k, vOpt) =>
+          vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      })
 
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, r) =>

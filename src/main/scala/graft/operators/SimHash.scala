@@ -88,22 +88,7 @@ object SimHash {
     // intermediate row carried the whole array, quadratic MEMORY per
     // group, and a hot signature group OOMed the 100× tier.)
     val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
-    val sg = bands(
-        sig.select(col("simhash")).distinct()
-          .select(col("simhash").as("doc_id"), col("simhash")), b)
-      .select(col("simhash").as("sig"), col("band_idx"), col("band_val"))
-    // a signature pair sharing several bands matches several times with
-    // an IDENTICAL row — distinct at signature grain is cheap
-    val sigPairs = sg
-      .select(col("sig").as("sig_a"), col("band_idx"), col("band_val"))
-      .join(sg.select(col("sig").as("sig_b"), col("band_idx"),
-                      col("band_val")),
-            Seq("band_idx", "band_val"))
-      .filter(col("sig_a") < col("sig_b"))
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("sig_a", "sig_b", "hamming").distinct()
+    val sigPairs = signaturePairs(sig, b, maxHamming)
     // same-signature pairs: hamming 0 by definition — a self-join on the
     // signature, never an array materialization
     val intra = sig.select(col("simhash"), col("doc_id").as("doc_a"))
@@ -121,5 +106,75 @@ object SimHash {
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     intra.unionByName(inter)
+  }
+
+  /** Qualifying DISTINCT-signature pairs (sig_a < sig_b, hamming ≤
+    * maxHamming) via the banded equi-join — the signature-grain core
+    * shared by [[pairs]] (which expands doc pairs from membership) and
+    * [[clusters]] (which never materializes doc pairs at all). */
+  private[graft] def signaturePairs(sig: DataFrame, b: Int,
+                                    maxHamming: Int): DataFrame = {
+    val sg = bands(
+        sig.select(col("simhash")).distinct()
+          .select(col("simhash").as("doc_id"), col("simhash")), b)
+      .select(col("simhash").as("sig"), col("band_idx"), col("band_val"))
+    // a signature pair sharing several bands matches several times with
+    // an IDENTICAL row — distinct at signature grain is cheap
+    sg.select(col("sig").as("sig_a"), col("band_idx"), col("band_val"))
+      .join(sg.select(col("sig").as("sig_b"), col("band_idx"),
+                      col("band_val")),
+            Seq("band_idx", "band_val"))
+      .filter(col("sig_a") < col("sig_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("sig_a", "sig_b", "hamming").distinct()
+  }
+
+  /** Decision-grain SimHash dedup: (doc_id, cluster_id, is_keeper) for
+    * EVERY document — connected components over the hamming-≤-maxHamming
+    * near-dup graph WITHOUT ever materializing document pairs.
+    *
+    * Why this surface exists: the pair form's OUTPUT is inherently
+    * quadratic in the duplication factor (a replica tier that copies
+    * texts ~10× yields ~100× the pairs — 1.009 B rows at the 100×
+    * probe, and streaming them dominated that tier's cost at 108.8 s),
+    * but real pipelines consume the dedup DECISION, which is
+    * corpus-sized. So the whole computation runs at signature/rep
+    * grain, the q_dedup_cluster shape: distinct signatures pair via the
+    * banded join, each signature group's rep (min doc_id) enters the CC
+    * fixpoint (operators.DedupCluster — pointer jumping, O(log
+    * diameter) rounds), and members inherit their rep's component via
+    * one narrow membership join. rep = min(group) makes the component
+    * minimum the min doc_id of the full doc-grain graph, so labels
+    * match clustering the expanded pair set EXACTLY (spec-pinned);
+    * docs with no tokens have no signature and stay singletons, same
+    * as the pair form which never emits them. */
+  def clusters(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", b: Int = 4,
+               maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < b,
+      s"pigeonhole needs maxHamming($maxHamming) < bands($b) for recall 1")
+    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
+    val groups = sig.groupBy("simhash").agg(min("doc_id").as("rep"))
+    val repPairs = signaturePairs(sig, b, maxHamming)
+      .join(groups.select(col("simhash").as("sig_a"), col("rep").as("doc_a")),
+            Seq("sig_a"))
+      .join(groups.select(col("simhash").as("sig_b"), col("rep").as("doc_b")),
+            Seq("sig_b"))
+      .select("doc_a", "doc_b")
+    val repClusters = graft.operators.DedupCluster.clusters(
+        groups.select(col("rep").as("doc_id")), repPairs)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("rep_cluster"))
+    val member = sig
+      .join(groups, Seq("simhash"))
+      .join(repClusters, Seq("rep"))
+      .select(col("doc_id"), col("rep_cluster").as("cluster_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(member, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper",
+        (col("doc_id") === col("cluster_id")).cast("long"))
   }
 }

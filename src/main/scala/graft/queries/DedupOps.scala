@@ -224,6 +224,21 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- Decision-grain SimHash dedup: (doc_id, cluster_id, is_keeper)
+    // via connected components over the hamming near-dup graph, computed
+    // entirely at signature/rep grain (operators.SimHash.clusters — the
+    // q_dedup_cluster shape). The pair form's OUTPUT is quadratic in the
+    // duplication factor (1.009B rows at the 100× replica probe, and
+    // streaming them WAS that tier's cost); real pipelines consume the
+    // DECISION, which is corpus-sized — this is the surface they run.
+    // Test-oracled like q_dedup_simhash (xxhash64 has no DuckDB twin):
+    // a ScalaTest pins it label-for-label ≡ DedupCluster over the
+    // expanded q_dedup_simhash pair set.
+    "q_dedup_simhash_cluster" -> ((s, d) => {
+      graft.operators.SimHash.clusters(Tables.documents(s, d))
+        .orderBy("doc_id")
+    }),
+
     // ---- Embedding-cosine near-dup over the documents' vectors: the
     // dedup framing of similarity (keeper = smaller id). EXACT output via
     // the centroid-cell candidate join (operators.VectorSimJoin) — a

@@ -89,6 +89,32 @@ class LlmOpsSpec extends SparkSpec {
       s"identical token sets missing at hamming 0: ${sameSetPairs -- zeroPairs}")
   }
 
+  test("q_dedup_simhash_cluster ≡ clustering the expanded pair set, label for label") {
+    // the decision-grain surface must assign EXACTLY the labels that
+    // connected components over the materialized q_dedup_simhash pairs
+    // would — at both fixture tiers (sf0.01 has inter-signature
+    // hamming-1..3 edges, not just identical-signature cliques, so the
+    // rep-graph reduction is exercised, not vacuous)
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, sf)
+      val pairLabels = graft.operators.DedupCluster.clusters(
+          docs.select("doc_id"),
+          SparkEntry.queries("q_dedup_simhash")(spark, sf)
+            .select("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val decision = SparkEntry.queries("q_dedup_simhash_cluster")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(decision.length === pairLabels.size,
+        s"decision grain lost/duplicated docs at $sf")
+      for ((id, cl, keep) <- decision) {
+        assert(cl === pairLabels(id), s"doc $id: $cl != ${pairLabels(id)} at $sf")
+        assert(keep === (if (id == cl) 1L else 0L))
+      }
+      // non-vacuous: some multi-doc cluster exists
+      assert(decision.exists { case (id, cl, _) => id != cl }, s"no dups at $sf")
+    }
+  }
+
   test("q_knn_lsh: bucket-pruned ANN returns true cosines and prunes work") {
     val lsh = SparkEntry.queries("q_knn_lsh")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
