@@ -181,7 +181,165 @@ case class PqEncodeCodes(child: Expression, flatCb: Array[Double],
     copy(child = newChild)
 }
 
+/** Per-subvector nearest-codeword pick as a PURE MAP — the
+  * subspace-grain sibling of [[PqEncodeCodes]] for frames already at
+  * (vec_id, sub, sv) grain: ProductQuantizer's Lloyd rounds and encode
+  * ran a row_number window over N·m·kCodes join rows per call; here the
+  * model-sized codebook bakes in and one eval does the kCodes-way
+  * argmin for its row's sub in a primitive loop. Same semantics as
+  * ProductQuantizer.encode's (d2 asc, code_id asc) window: d² =
+  * (sv·sv − 2·(sv·cv)) + cv·cv with left-to-right sums, strict
+  * improvement over ascending code ids, Lloyd-emptied codes carry +∞
+  * norms so they can never win. Returns the 1-based code id. */
+case class PqNearestCode(left: Expression, right: Expression,
+                         flatCb: Array[Double], present: Array[Boolean],
+                         kCodes: Int, w: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  private val cbNorm2: Array[Double] = {
+    val out = new Array[Double](present.length)
+    var sc = 0
+    while (sc < present.length) {
+      if (present(sc)) {
+        var s = 0.0
+        var i = 0
+        val off = sc * w
+        while (i < w) { s += flatCb(off + i) * flatCb(off + i); i += 1 }
+        out(sc) = s
+      } else out(sc) = Double.PositiveInfinity
+      sc += 1
+    }
+    out
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_code"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sub = a.asInstanceOf[Int]
+    val sv = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(sv.length, w)
+    var svv = 0.0
+    var i = 0
+    while (i < n) { svv += sv(i) * sv(i); i += 1 }
+    var bestD = Double.PositiveInfinity
+    var bestK = 0
+    var k = 0
+    while (k < kCodes) {
+      val cOff = (sub * kCodes + k) * w
+      var svc = 0.0
+      i = 0
+      while (i < n) { svc += sv(i) * flatCb(cOff + i); i += 1 }
+      val d = svv - 2.0 * svc + cbNorm2(sub * kCodes + k)
+      if (d < bestD) { bestD = d; bestK = k }
+      k += 1
+    }
+    bestK + 1
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Single nearest-cell pick as a PURE MAP — the one-cell specialization
+  * of [[IvfCellProbes]] shared by every argmax-cosine / argmin-angle
+  * assignment site (VectorSimJoin.assignments, IvfKMeans' Lloyd rounds
+  * and assignClusters, SemDedup, AnnIndex.assign): the N·k crossJoin
+  * rows those sites pushed through a window sort or a min_by aggregate
+  * become one primitive scan per vector.
+  *
+  * `emitTheta = false`: score = sim = dot/(nrm·cnrm), pick by
+  * (sim desc, cent_id asc) — the row_number tie order, exactly.
+  * `emitTheta = true`: score = acos(clamp(sim)) with Spark's
+  * least/greatest NaN semantics (a NaN sim clamps to 1.0 → theta 0),
+  * pick by theta strictly ascending — ≡ min_by(cent_id, theta) with
+  * the tie broken to the lowest cent_id (min_by's tie pick is
+  * partition-order-dependent; exact-operator outputs are provably
+  * invariant to the assignment, so the deterministic tie is safe and
+  * strictly better). Returns struct(cell: long, score: double). */
+case class NearestCellScore(left: Expression, right: Expression,
+                            centIds: Array[Long], centVecs: Array[Double],
+                            centNrms: Array[Double], emitTheta: Boolean)
+  extends BinaryExpression with CodegenFallback {
+
+  private val nCells = centIds.length
+  private val dim = if (nCells == 0) 0 else centVecs.length / nCells
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData].toDoubleArray()
+    val nrm = b.asInstanceOf[Double]
+    val n = math.min(v.length, dim)
+    var bestScore = if (emitTheta) Double.PositiveInfinity
+                    else Double.NegativeInfinity
+    var bestIdx = -1
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { s += v(i) * centVecs(off + i); i += 1 }
+      val sim = s / (nrm * centNrms(c))
+      val score =
+        if (emitTheta) {
+          // Catalyst's least(1, greatest(-1, sim)): NaN is the LARGEST
+          // double in Spark's ordering, so a NaN sim clamps to 1.0
+          val clamped =
+            if (sim.isNaN) 1.0 else math.min(1.0, math.max(-1.0, sim))
+          java.lang.Math.acos(clamped)
+        } else sim
+      val better =
+        if (emitTheta) score < bestScore else score > bestScore
+      if (better || bestIdx < 0) { bestScore = score; bestIdx = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](centIds(bestIdx), bestScore))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object IvfProbe {
+
+  /** Flatten model rows (id, cv, cnrm) — id Int or Long — into the
+    * literal arrays the expressions ship, sorted by id so ascending-id
+    * scans reproduce the (score, cent_id asc) tie order. */
+  private def flatten(cents: Array[org.apache.spark.sql.Row])
+      : (Array[Long], Array[Double], Array[Double]) = {
+    val sorted = cents.map { r =>
+      val id = r.get(0) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case x => sys.error(s"unsupported cent id type: $x")
+      }
+      (id, r.getSeq[Double](1).toArray, r.getDouble(2))
+    }.sortBy(_._1)
+    val dim = if (sorted.isEmpty) 0 else sorted.head._2.length
+    val flat = new Array[Double](sorted.length * dim)
+    sorted.zipWithIndex.foreach { case ((_, cv, _), i) =>
+      System.arraycopy(cv, 0, flat, i * dim, dim) }
+    (sorted.map(_._1), flat, sorted.map(_._3))
+  }
+
+  /** struct(cell: long, score) — nearest cell of `v` (see
+    * [[NearestCellScore]]); `cents` rows are (id, cv, cnrm) via
+    * util.Local.modelRows. */
+  def nearestCell(v: Column, nrm: Column,
+                  cents: Array[org.apache.spark.sql.Row],
+                  emitTheta: Boolean): Column = {
+    val (ids, flat, nrms) = flatten(cents)
+    ColumnBridge.column(NearestCellScore(
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm),
+      ids, flat, nrms, emitTheta))
+  }
   /** Top-`nprobe` probed cells of `v` as (cell, primary, other_cell, rv)
     * structs; `cents` rows are (cent_id: Int, cv: Seq[Double],
     * cnrm: Double) pulled via util.Local.modelRows. */
@@ -198,6 +356,30 @@ object IvfProbe {
     ColumnBridge.column(IvfCellProbes(
       ColumnBridge.expression(v), ColumnBridge.expression(nrm),
       sorted.map(_._1), flat, sorted.map(_._3), nprobe))
+  }
+
+  /** 1-based nearest-codeword id for a (sub, sv) row — the
+    * subspace-grain encode (see [[PqNearestCode]]); `cb` rows are
+    * (sub: Int, code_id: Int, cv: Seq[Double]) via util.Local.modelRows,
+    * shape inferred from the rows. */
+  def pqNearestCode(sub: Column, sv: Column,
+                    cb: Array[org.apache.spark.sql.Row]): Column = {
+    require(cb.nonEmpty, "empty codebook")
+    val m = cb.map(_.getInt(0)).max + 1
+    val kCodes = cb.map(_.getInt(1)).max
+    val w = cb.head.getSeq[Double](2).size
+    val flat = new Array[Double](m * kCodes * w)
+    val present = new Array[Boolean](m * kCodes)
+    cb.foreach { r =>
+      val s = r.getInt(0)
+      val code = r.getInt(1) - 1
+      System.arraycopy(r.getSeq[Double](2).toArray, 0, flat,
+        (s * kCodes + code) * w, w)
+      present(s * kCodes + code) = true
+    }
+    ColumnBridge.column(PqNearestCode(
+      ColumnBridge.expression(sub), ColumnBridge.expression(sv),
+      flat, present, kCodes, w))
   }
 
   /** m-code PQ encoding of a residual; `cb` rows are (sub: Int,

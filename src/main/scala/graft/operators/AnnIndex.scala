@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorExprs
@@ -66,17 +65,18 @@ object AnnIndex {
     * append() so an appended vector lands exactly where a rebuilt index
     * would put it. */
   private def assign(emb0: DataFrame, cents: DataFrame): DataFrame = {
+    // pure-map top-1 probe (functions.IvfCellProbes at nprobe = 1): the
+    // crossJoin + window this replaces sorted N·k rows per call; cell
+    // pick and residual are bit-identical, so stored artifacts and
+    // appends stay byte-compatible with indexes built by the old form
     val emb = emb0.select(col("vec_id"), col("v"),
       VectorExprs.norm(col("v")).as("nrm"))
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val rows = graft.util.Local
+      .modelRows(cents.select("cent_id", "cv", "cnrm"))
+    val probes = graft.functions.IvfProbe
+      .cellProbes(col("v"), col("nrm"), rows, nprobe = 1)
+    emb.select(col("vec_id"), explode(probes).as("p"))
+      .select(col("vec_id"), col("p.cell").as("cell"), col("p.rv").as("rv"))
   }
 
   /** Pack each vector's m subspace codes into one array row ordered by

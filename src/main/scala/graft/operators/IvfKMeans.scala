@@ -15,7 +15,8 @@ import graft.functions.VectorExprs
   *    a deterministic uniform sample, no RNG object, identical on every
   *    run and every JVM;
   *  - Lloyd rounds: assign every vector to its max-cosine centroid
-  *    (broadcast cross join + window top-1 — centroids are tiny), then
+  *    (a pure-map expression scan — centroids are tiny and bake in as
+  *    a literal, functions.NearestCellScore), then
   *    recompute each centroid as the component-wise MEAN of its members.
   *    Sums go through DECIMAL(30,12) so they are exact and partition-
   *    order-independent (graft.util.Det rationale): bit-identical
@@ -38,14 +39,19 @@ object IvfKMeans {
       .withColumn("cent_id", row_number().over(Window.orderBy("h")))
       .select(col("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id").asc)
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("sim",
-          VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("cent_id"), col("v"))
+      // assignment as a PURE MAP (functions.NearestCellScore): the
+      // in-training centroid frame is k rows — pulled to the driver per
+      // round (which also materializes the round incrementally instead
+      // of replaying the whole Lloyd lineage at the end) and scanned in
+      // a primitive loop per vector, (sim desc, cent_id asc) tie order
+      // preserved bit-for-bit. The crossJoin + row_number form pushed
+      // N·k rows through a per-vector window SORT every round.
+      val rows = graft.util.Local
+        .modelRows(cents.select("cent_id", "cv", "cnrm"))
+      val nc = graft.functions.IvfProbe
+        .nearestCell(col("v"), col("nrm"), rows, emitTheta = false)
+      val assigned = emb.select(nc.as("nc"), col("v"))
+        .select(col("nc.cell").cast("int").as("cent_id"), col("v"))
       val comps = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
@@ -74,14 +80,15 @@ object IvfKMeans {
     * hold because all three share this code path, so a tie-break or
     * rounding change cannot drift one surface away from the others. */
   def assignClusters(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").cast("long").as("cluster"),
-        round(col("sim"), 6).as("cohesion"))
+    // same pure-map assignment as the Lloyd rounds (cohesion keeps the
+    // Catalyst 6-dp HALF_UP round on the emitted sim — N rows now, so
+    // the per-row BigDecimal is noise)
+    val rows = graft.util.Local
+      .modelRows(cents.select("cent_id", "cv", "cnrm"))
+    val nc = graft.functions.IvfProbe
+      .nearestCell(col("v"), col("nrm"), rows, emitTheta = false)
+    emb.select(col("vec_id"), nc.as("nc"))
+      .select(col("vec_id"), col("nc.cell").as("cluster"),
+        round(col("nc.score"), 6).as("cohesion"))
   }
 }

@@ -19,8 +19,9 @@ import graft.functions.VectorExprs
   * Everything is Catalyst-native and deterministic:
   *  - subspace rows via ONE posexplode of sliced arrays;
   *  - seeding by smallest xxhash64(vec_id, seed) per subspace (no RNG);
-  *  - Lloyd assignment = broadcast join + window top-1 (ties to the
-  *    lowest code id — total order), centroid update = component-wise
+  *  - Lloyd assignment = a pure-map argmin expression over the baked-in
+  *    codebook literal (ties to the lowest code id — total order;
+  *    functions.PqNearestCode), centroid update = component-wise
   *    decimal-exact mean (partition-order-independent, bit-identical
   *    run to run);
   *  - ADC sums go through DECIMAL(28,12), so the m-term additions are
@@ -59,13 +60,16 @@ object ProductQuantizer {
       .filter(col("rn") <= k)
       .select(col("sub"), col("rn").as("code_id"), col("sv").as("cv"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("d2").asc, col("code_id").asc)
-      val assigned = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", dist2(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("sub"), col("code_id"), col("sv"))
+      // per-subvector argmin as a PURE MAP (functions.PqNearestCode):
+      // the in-training codebook is m·k rows — pulled to the driver per
+      // round and scanned in a primitive loop per row, (d2 asc, code_id
+      // asc) tie order preserved bit-for-bit. The join + row_number
+      // form pushed N·m·kCodes rows through a window sort every round.
+      val rows = graft.util.Local.modelRows(cb.select("sub", "code_id", "cv"))
+      val assigned = subs.select(col("sub"),
+          graft.functions.IvfProbe.pqNearestCode(col("sub"), col("sv"), rows)
+            .as("code_id"),
+          col("sv"))
       cb = assigned
         .select(col("sub"), col("code_id"),
                 posexplode(col("sv")).as(Seq("pos", "x")))
@@ -83,15 +87,14 @@ object ProductQuantizer {
     graft.util.Local.model(cb)
   }
 
-  /** (vec_id, sub, code_id) — each subvector's nearest codeword. */
+  /** (vec_id, sub, code_id) — each subvector's nearest codeword, as a
+    * pure map (functions.PqNearestCode — same (d2 asc, code_id asc)
+    * pick as the join + window form it replaces, bit for bit). */
   def encode(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2").asc, col("code_id").asc)
-    subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", dist2(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("vec_id", "sub", "code_id")
+    val rows = graft.util.Local.modelRows(cb.select("sub", "code_id", "cv"))
+    subs.select(col("vec_id"), col("sub"),
+      graft.functions.IvfProbe.pqNearestCode(col("sub"), col("sv"), rows)
+        .as("code_id"))
   }
 
   /** ADC top-`n`: query subvectors → k×m distance table → each encoded
@@ -126,16 +129,16 @@ object ProductQuantizer {
   def ivfpqTopK(emb: DataFrame, cents: DataFrame, m: Int, dim: Int,
                 kCodes: Int, nprobe: Int, queryId: Long,
                 n: Int): DataFrame = {
-    // cell assignment: max-cosine (≡ min-L2 for unit vectors) coarse cell
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    // cell assignment: max-cosine (≡ min-L2 for unit vectors) coarse
+    // cell, as a pure-map top-1 probe (functions.IvfCellProbes) — the
+    // crossJoin + window form sorted N·k rows per call
+    val assigned = emb
+      .select(col("vec_id"),
+        explode(graft.functions.IvfProbe.cellProbes(
+          col("v"), col("nrm"),
+          graft.util.Local.modelRows(cents.select("cent_id", "cv", "cnrm")),
+          nprobe = 1)).as("p"))
+      .select(col("vec_id"), col("p.cell").as("cell"), col("p.rv").as("rv"))
       .localCheckpoint(true)
     // residual subvectors; PQ codebooks from a deterministic quarter-sample
     val subs = subvectors(assigned.select(col("vec_id"), col("rv").as("v")),

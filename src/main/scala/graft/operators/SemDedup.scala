@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs
 
@@ -36,15 +35,16 @@ object SemDedup {
     * against the `cents(cent_id, cv, cnrm)` model frame:
     * (vec_id, cell, cent_sim, is_dropped 0/1). */
   def decisions(emb: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
-    val aw = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        VectorExprs.dot(col("v"), col("cv")) / col("cnrm"))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"),
-        col("sim").as("cent_sim"))
+    // pure-map assignment (functions.NearestCellScore). emb is already
+    // L2-normalized, so the original sim was dot/cnrm — passing nrm = 1
+    // yields dot/(1.0·cnrm), bit-identical in IEEE arithmetic.
+    val rows = graft.util.Local
+      .modelRows(cents.select("cent_id", "cv", "cnrm"))
+    val nc = graft.functions.IvfProbe
+      .nearestCell(col("v"), lit(1.0), rows, emitTheta = false)
+    val assigned = emb.select(col("vec_id"), nc.as("nc"), col("v"))
+      .select(col("vec_id"), col("nc.cell").cast("int").as("cell"),
+        col("v"), col("nc.score").as("cent_sim"))
       .localCheckpoint(true) // two consumers: pair join sides + final join
     val u = assigned.select(col("cell"), col("vec_id").as("u_id"),
       col("v").as("u_v"), col("cent_sim").as("u_cs"))

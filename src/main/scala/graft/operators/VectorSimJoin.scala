@@ -103,18 +103,26 @@ object VectorSimJoin {
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("blk"))
   }
 
-  /** (id, v, nrm, cell, theta): nearest-centroid assignment. The
-    * crossJoin is a k-row broadcast and the min_by groupBy
-    * partial-aggregates map-side, so the shuffle carries N rows, not
-    * N·k. */
-  private[graft] def assignments(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("theta",
-        ang(VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
-      .groupBy("id")
-      .agg(min_by(col("cent_id"), col("theta")).as("cell"),
-           min(col("theta")).as("theta"),
-           first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+  /** (id, cell, theta, v, nrm): nearest-centroid assignment as a PURE
+    * MAP (functions.NearestCellScore) — the model-sized centroid table
+    * bakes into the expression and one eval scans all cells in a
+    * primitive loop. The crossJoin + min_by form this replaces pushed
+    * N·k rows (89M at the 100× tier) through the aggregate operator's
+    * row machinery just to keep one per vector; now row volume stays N
+    * with zero exchange. Output-identical: exact-operator results are
+    * provably invariant to the assignment, and the emitted theta is the
+    * angle to the PICKED cell either way (min_by's tie pick was
+    * partition-order-dependent; the scan's lowest-cent_id tie is
+    * deterministic). */
+  private[graft] def assignments(e: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = graft.util.Local
+      .modelRows(cents.select("cent_id", "cv", "cn"))
+    val nc = graft.functions.IvfProbe
+      .nearestCell(col("v"), col("nrm"), rows, emitTheta = true)
+    e.select(col("id"), nc.as("nc"), col("v"), col("nrm"))
+      .select(col("id"), col("nc.cell").as("cell"),
+        col("nc.score").as("theta"), col("v"), col("nrm"))
+  }
 
   /** Surviving ordered cell pairs (cell_a, cell_b) under the angular
     * bound — ≤ k² rows, both orientations plus the diagonal (the

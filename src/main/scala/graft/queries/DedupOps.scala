@@ -151,8 +151,15 @@ object DedupOps {
             (col("nrm") * col("cnrm")))
         .withColumn("rk", row_number().over(w))
     }
-    val assigned = cellOf(emb, "vec_id").filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    // corpus side: pure-map top-1 (functions.NearestCellScore — same
+    // tie order as the window form); the windowed cellOf stays for the
+    // one-row query probe, where k rows is nothing
+    val nc = graft.functions.IvfProbe.nearestCell(col("v"), col("nrm"),
+      graft.util.Local.modelRows(cents.select("cent_id", "cv", "cnrm")),
+      emitTheta = false)
+    val assigned = emb
+      .select(col("vec_id"), col("v"), col("nrm"),
+        nc.getField("cell").cast("int").as("cell"))
     val qCells = cellOf(emb.filter(col("vec_id") === 0), "vec_id")
       .filter(col("rk") <= nprobe)
       .select(col("cent_id").as("cell"))
