@@ -37,6 +37,8 @@ case class IvfCellProbes(left: Expression, right: Expression,
 
   private val nCells = centIds.length
   private val dim = if (nCells == 0) 0 else centVecs.length / nCells
+  require(nCells > 0, "graft_ivf_probes: empty centroid table — the " +
+    "replaced crossJoin form yielded empty output; train cells first")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -50,6 +52,10 @@ case class IvfCellProbes(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData].toDoubleArray()
     val nrm = b.asInstanceOf[Double]
+    // the rv loop below reads v(0..dim); fail the invariant loudly
+    // instead of AIOOBE (the replaced zip_with form silently truncated)
+    require(v.length == dim,
+      s"graft_ivf_probes: vector dim ${v.length} != centroid dim $dim")
     val n = math.min(v.length, dim)
     val topSim = new Array[Double](nprobe)
     val topPos = new Array[Int](nprobe)
@@ -250,7 +256,10 @@ case class PqNearestCode(left: Expression, right: Expression,
   * become one primitive scan per vector.
   *
   * `emitTheta = false`: score = sim = dot/(nrm·cnrm), pick by
-  * (sim desc, cent_id asc) — the row_number tie order, exactly.
+  * (sim desc, cent_id asc) — the row_number tie order, exactly,
+  * INCLUDING Spark's NaN-largest descending order: a NaN sim (zero-norm
+  * vector or centroid → 0/0) wins over every finite sim, as the
+  * replaced orderBy(sim.desc) window ranked it.
   * `emitTheta = true`: score = acos(clamp(sim)) with Spark's
   * least/greatest NaN semantics (a NaN sim clamps to 1.0 → theta 0),
   * pick by theta strictly ascending — ≡ min_by(cent_id, theta) with
@@ -265,6 +274,8 @@ case class NearestCellScore(left: Expression, right: Expression,
 
   private val nCells = centIds.length
   private val dim = if (nCells == 0) 0 else centVecs.length / nCells
+  require(nCells > 0, "graft_nearest_cell: empty centroid table — the " +
+    "replaced crossJoin form yielded empty output; train cells first")
 
   override def dataType: DataType = StructType(Seq(
     StructField("cell", LongType, nullable = false),
@@ -294,8 +305,14 @@ case class NearestCellScore(left: Expression, right: Expression,
             if (sim.isNaN) 1.0 else math.min(1.0, math.max(-1.0, sim))
           java.lang.Math.acos(clamped)
         } else sim
+      // sim mode mirrors the replaced orderBy(sim.desc): Spark ranks
+      // NaN as the LARGEST double, so a NaN sim (zero-norm vector or
+      // centroid) wins over any finite sim — first NaN keeps the
+      // lowest cent_id, matching row_number's tie order
       val better =
-        if (emitTheta) score < bestScore else score > bestScore
+        if (emitTheta) score < bestScore
+        else (score.isNaN && !bestScore.isNaN) ||
+             (!bestScore.isNaN && score > bestScore)
       if (better || bestIdx < 0) { bestScore = score; bestIdx = c }
       c += 1
     }

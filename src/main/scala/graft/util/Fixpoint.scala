@@ -16,8 +16,17 @@ import org.apache.spark.sql.DataFrame
   * `checkpoint()` — each round's state writes through to the checkpoint
   * filesystem (HDFS/S3), so a lost executor re-reads instead of killing
   * a multi-hour 1000-executor fixpoint. One conf, no signature changes:
-  * exactly how a deployment flips the durability dial per job. */
+  * exactly how a deployment flips the durability dial per job.
+  *
+  * Disk-usage caveat (reliable mode): each round writes a FULL copy of
+  * the state and Spark only deletes superseded checkpoints when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * false), so a long fixpoint accumulates O(rounds) copies in the dir.
+  * Enable that cleaner conf for long runs, or point the dir at storage
+  * with a TTL policy. */
 object Fixpoint {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Session conf key: when set (non-empty), fixpoint rounds use
     * reliable `checkpoint()` against this directory. */
@@ -32,8 +41,20 @@ object Fixpoint {
         val sc = s.sparkContext
         // setCheckpointDir appends a per-context UUID subdir, so "is it
         // already set to OUR dir" is not string-comparable — set it only
-        // when unset and leave an explicit caller-set dir alone.
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // when unset and leave an explicit caller-set dir alone. But a
+        // RE-configured ConfKey mid-session cannot take effect (the
+        // context dir wins), so warn instead of silently writing to the
+        // first directory; the substring check is a heuristic over the
+        // fully-qualified context URI.
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(cur) if !cur.contains(dir.stripSuffix("/")) =>
+            log.warn(
+              s"$ConfKey=$dir differs from the context's checkpoint dir " +
+              s"$cur already in effect; reliable checkpoints keep writing " +
+              "to the latter (setCheckpointDir is once-per-context)")
+          case _ => ()
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

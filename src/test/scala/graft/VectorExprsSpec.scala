@@ -92,4 +92,53 @@ class VectorExprsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(got === want)
   }
+
+  // --- IvfProbe edge semantics (round-13 ADVICE): the pure-map cell
+  // expressions must either mirror the replaced window forms exactly or
+  // fail loudly — never silently diverge or AIOOBE.
+
+  private val cents2 = Array(
+    org.apache.spark.sql.Row(1, Seq(1.0, 0.0), 1.0),
+    org.apache.spark.sql.Row(2, Seq(0.0, 1.0), 1.0))
+  private val centsL = Array(
+    org.apache.spark.sql.Row(1L, Seq(1.0, 0.0), 1.0),
+    org.apache.spark.sql.Row(2L, Seq(0.0, 1.0), 1.0))
+
+  test("nearest_cell sim mode ranks a NaN sim first, like orderBy(desc)") {
+    // zero-norm vector → sim = 0/0 = NaN for every cell; Spark's desc
+    // ordering puts NaN FIRST, so the pick must be the lowest cent_id
+    // with a NaN score — not the last finite cell
+    val df = Seq((1L, Seq(0.0, 0.0), 0.0), (2L, Seq(3.0, 4.0), 5.0))
+      .toDF("id", "v", "nrm")
+    val got = df.select(col("id"),
+        graft.functions.IvfProbe.nearestCell(
+          col("v"), col("nrm"), centsL, emitTheta = false).as("nc"))
+      .select(col("id"), col("nc.cell"), col("nc.score"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 === 1L && got(1L)._2.isNaN)
+    assert(got(2L) === ((2L, 4.0 / 5.0)))
+  }
+
+  test("ivf probes fail loudly on vector/centroid dim mismatch") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0), 1.0)).toDF("id", "v", "nrm")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.IvfProbe.cellProbes(
+        col("v"), col("nrm"), cents2, nprobe = 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("centroid dim")))
+  }
+
+  test("ivf expressions reject an empty centroid table at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.IvfProbe.cellProbes(
+        col("v"), col("nrm"), Array.empty, nprobe = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.IvfProbe.nearestCell(
+        col("v"), col("nrm"), Array.empty, emitTheta = true)
+    }
+  }
 }
