@@ -249,6 +249,31 @@ object CorpusOps {
     // against the raw table); the LAYOUT win — box rows clustered into
     // few files/row-groups instead of smeared over all of them — is
     // asserted in CorpusOpsSpec against an orderkey-sorted twin.
+    // ---- deterministic global corpus shuffle — training-order
+    // randomization as pure arithmetic, the step between "cleaned
+    // corpus" and "training shards". Each doc's shuffle key is
+    // md5('shuf:<id>:<seed>') — reproducible on every engine and every
+    // rerun (no RNG state, the q_sample_* discipline); the first two
+    // hex chars form the SHARD (256 ways), and the position within a
+    // shard is a row_number over the key. The two-level shape is the
+    // 100-TB story: a corpus-GLOBAL row_number would serialize into one
+    // window partition, while 256 (or 4096 — one more hex char) shard
+    // windows sort independently, one per writer task, and the
+    // concatenation of shards in label order IS the shuffled order
+    // because the shard label is itself a key prefix.
+    "q_shuffle_global" -> ((s, d) => {
+      val key = md5(concat_ws(":",
+        lit("shuf"), col("doc_id").cast("string"), lit("42")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("skey"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), key.as("skey"))
+        .withColumn("shard", substring(col("skey"), 1, 2))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     "q_sink_zorder" -> ((s, d) => {
       val tmp = Scans.scratch("zorder", s, d)
       val li = Tables.lineitem(s, d)
@@ -373,6 +398,15 @@ object CorpusOps {
            CAST(SUM(ABS(q)) AS BIGINT) AS l1_q,
            ROUND(MAX(ABS(v - q * maxabs / 127.0)), 6) AS max_err
          FROM x GROUP BY 1 ORDER BY vec_id""",
+    "q_shuffle_global" ->
+      """WITH t AS (SELECT doc_id,
+             md5(concat_ws(':', 'shuf', CAST(doc_id AS VARCHAR), '42'))
+               AS skey
+           FROM documents)
+         SELECT doc_id, substring(skey, 1, 2) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY substring(skey, 1, 2)
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM t ORDER BY shard, pos""",
     "q_sink_zorder" ->
       """SELECT COUNT(*) AS n_rows,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))

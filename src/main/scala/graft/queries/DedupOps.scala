@@ -494,6 +494,30 @@ object DedupOps {
         .orderBy(col("vec_id"), col("cos_sim").desc, col("nbr_id"))
     }),
 
+    // ---- Mutual-kNN graph: keep edge (a, b) iff b ∈ knn(a) AND
+    // a ∈ knn(b) — the standard symmetrization that turns a directed
+    // top-k list into the undirected graph that graph-based clustering
+    // and semantic-dedup methods consume (mutual edges are the strong
+    // ties; one-directional neighbors of a hub are noise). The kNN list
+    // is computed ONCE (the q_knn_join block machinery) and
+    // checkpointed — it is k·N rows, corpus-sized, so the
+    // symmetrization is a narrow self-equi-join on (vec_a, vec_b), no
+    // vector is re-scored. SQL-oracled off the brute-force ranked CTE.
+    "q_knn_graph" -> ((s, d) => {
+      graft.util.Confs.ensureObjectHashHeadroom(s)
+      val knn = graft.operators.VectorSimJoin
+        .knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+        .localCheckpoint(true) // k·N rows; consumed by both join sides
+      val fwd = knn.select(col("vec_id").as("vec_a"),
+        col("nbr_id").as("vec_b"), col("cos_sim"))
+      val bwd = knn.select(col("vec_id").as("vec_b"),
+        col("nbr_id").as("vec_a"))
+      fwd.join(bwd, Seq("vec_a", "vec_b"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // ---- Approximate ALL-PAIRS kNN join (IVF cells + PQ symmetric
     // distance — SDC): the sub-quadratic sibling of q_knn_join. Vectors
     // are PQ-encoded once; a pair is scored by m array LOOKUPS into the
@@ -714,6 +738,23 @@ object DedupOps {
            FROM pairs)
          SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3
          ORDER BY vec_id, cos_sim DESC, nbr_id""",
+    "q_knn_graph" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+           FROM pairs),
+         knn AS (SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3)
+         SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cos_sim
+         FROM knn a JOIN knn b
+           ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+         WHERE a.vec_id < a.nbr_id
+         ORDER BY vec_a, vec_b""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -55,6 +55,24 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- soft dedup — duplication-aware DOWN-WEIGHTING instead of
+    // dropping (the SoftDeDup framing: common-crawl duplicates carry
+    // signal about document importance, so a training pipeline may keep
+    // every copy and scale its loss weight by the inverse of its exact
+    // multiplicity rather than discard n−1 of them). One shuffle on the
+    // content hash (a window count — no second join back); the weight is
+    // emitted in integer PARTS-PER-MILLION so the artifact hash-compares
+    // across engines (round first, THEN cast: DuckDB's double→BIGINT
+    // cast rounds while Spark's truncates — the round makes both exact).
+    "q_dedup_soft" -> ((s, d) => {
+      val w = Window.partitionBy(sha2(col("text"), 256))
+      Tables.documents(s, d)
+        .select(col("doc_id"), count(lit(1)).over(w).as("n_copies"))
+        .withColumn("weight_ppm",
+          round(lit(1000000.0) / col("n_copies")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic stratified sampling: per-lang keep rates (per
     // mille) applied via pure id arithmetic — the same row is sampled on
     // every run, every engine, every rerun of a failed 100-TB stage.
@@ -508,6 +526,14 @@ object PipelineOps {
           SELECT src AS doc_id, MIN(dst) AS cluster_id,
                  CAST(src = MIN(dst) AS BIGINT) AS is_keeper
           FROM reach GROUP BY src ORDER BY doc_id""",
+    "q_dedup_soft" ->
+      """SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY sha256(text)) AS BIGINT)
+             AS n_copies,
+           CAST(ROUND(1000000.0 /
+             COUNT(*) OVER (PARTITION BY sha256(text))) AS BIGINT)
+             AS weight_ppm
+         FROM documents ORDER BY doc_id""",
     "q_source_caps" ->
       """SELECT source, doc_id, n_chars, src_rank FROM (
            SELECT source, doc_id, n_chars,

@@ -179,4 +179,74 @@ class CorpusOpsSpec extends SparkSpec {
     assert(zxs.zip(zxs.tail).forall { case (a, b) => a < b })
     assert(zys.zip(zys.tail).forall { case (a, b) => a < b })
   }
+
+  test("global shuffle is a permutation: every doc once, dense shard positions") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = run("q_shuffle_global").cache()
+    try {
+      // bijection over doc_ids
+      assert(out.count() === docs.count())
+      assert(out.select("doc_id").distinct().count() === docs.count())
+      // positions within a shard are dense 1..n (a gap would mean a
+      // writer task skipped an offset)
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+             min(col("pos")).as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(bad.count() === 0)
+      // deterministic: a second run is row-identical
+      val again = run("q_shuffle_global")
+      assert(out.exceptAll(again).count() === 0)
+      assert(again.exceptAll(out).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("soft-dedup weights: keepers of singletons get full ppm, copies split it") {
+    val out = SparkEntry.queries("q_dedup_soft")(spark, sf0001).cache()
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      assert(out.count() === docs.count())       // no doc dropped
+      // every doc in an n-copy group carries round(1e6/n)
+      val bad = out.filter(
+        col("weight_ppm") =!=
+          round(lit(1000000.0) / col("n_copies")).cast("long"))
+      assert(bad.count() === 0)
+      // the corpus' total weight ≈ 1e6 × distinct contents (each group
+      // contributes n·round(1e6/n) ≈ 1e6, off by at most n/2 rounding)
+      val distinctTexts = docs.select(sha2(col("text"), 256)).distinct().count()
+      val total = out.agg(sum("weight_ppm")).first().getLong(0)
+      assert(math.abs(total - 1000000L * distinctTexts) <=
+        out.count() / 2 + 1)
+    } finally out.unpersist()
+  }
+
+  test("mutual-kNN graph edges are symmetric-membership pairs of the kNN list") {
+    val knn = SparkEntry.queries("q_knn_join")(spark, sf0001)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b")).cache()
+    val graph = SparkEntry.queries("q_knn_graph")(spark, sf0001).cache()
+    try {
+      // every edge appears in BOTH directions of the kNN list
+      val missingFwd = graph.join(knn,
+        graph("vec_a") === knn("a") && graph("vec_b") === knn("b"),
+        "left_anti")
+      val missingBwd = graph.join(knn,
+        graph("vec_b") === knn("a") && graph("vec_a") === knn("b"),
+        "left_anti")
+      assert(missingFwd.count() === 0)
+      assert(missingBwd.count() === 0)
+      // and every mutual pair of the list IS an edge (completeness).
+      // Collect the k·N-row list driver-side and intersect as sets: a
+      // DataFrame self-join here silently resolved both sides to the
+      // SAME attributes (trivially-true condition, 1500/1500 matched) —
+      // the classic self-join ambiguity trap, avoided by leaving Spark
+      // entirely for the assertion.
+      val edges = knn.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mutualCnt = edges.count { case (a, b) => a < b && edges((b, a)) }
+      assert(mutualCnt === graph.count())
+      // edges are canonically ordered, no duplicates
+      assert(graph.filter(col("vec_a") >= col("vec_b")).count() === 0)
+      assert(graph.select("vec_a", "vec_b").distinct().count() ===
+        graph.count())
+    } finally { knn.unpersist(); graph.unpersist() }
+  }
 }
