@@ -34,6 +34,22 @@ object BenchStream {
   private case class KeyResult(wallSec: Double, microBatches: Long,
                                inputRows: Long, outputRows: Long)
 
+  /** Run `body` with the RocksDB + changelog-checkpointing state store
+    * confs set, restoring the previous values after. */
+  private def onRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val confs = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      ("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled") -> "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // State partitions are a FIXED cost per micro-batch: every one of a
@@ -96,19 +112,21 @@ object BenchStream {
       // (per-batch deltas, state off-heap, no full snapshots). Running it
       // against the identical corpus makes backend cost a measured DELTA
       // vs the HDFS-backed default above, not a correctness-only claim.
-      "s_state_rocksdb" -> {
-        val confs = Map(
-          "spark.sql.streaming.stateStore.providerClass" ->
-            ("org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider"),
-          ("spark.sql.streaming.stateStore.rocksdb." +
-            "changelogCheckpointing.enabled") -> "true")
-        val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-        confs.foreach { case (k, v) => spark.conf.set(k, v) }
-        try drive(m => Streams.statefulCounter(m.toDS()).toDF(), "update")
-        finally prev.foreach { case (k, vOpt) =>
-          vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-      })
+      "s_state_rocksdb" ->
+        onRocksDb(spark)(
+          drive(m => Streams.statefulCounter(m.toDS()).toDF(), "update")),
+      // the stream-stream JOIN on RocksDB+changelog — the heaviest state
+      // shape (4 stores per partition, both sides buffered to the
+      // watermark) on the backend a 100-TB deployment runs; paired with
+      // the HDFS-backed flagship row above, join-state backend cost is a
+      // measured delta too, not just the counter's
+      "s_join_rocksdb" ->
+        onRocksDb(spark)(drive(m => {
+          val src = m.toDF()
+          Streams.viewPurchaseJoin(
+            src.filter(col("event_type") === "view"),
+            src.filter(col("event_type") === "purchase"))
+        }, "append")))
 
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, r) =>

@@ -18,6 +18,9 @@ case class UserCount(user_id: Long, n_events: Long, sum_value: Double,
   * analog) — emitted when the watermark passes last activity + gap. */
 case class ClosedSession(user_id: Long, n_events: Long, last_ts_us: Long)
 
+/** A doc's copy ordinal at stream-arrival time — [[Streams.softDedup]]. */
+case class DocCopy(doc_id: Long, content_hash: String, copy_no: Long)
+
 /** Stream row enriched against the table side of a KStream⋈KTable join —
   * null/-1 sentinel-free: `matched` = false means no table row yet. */
 case class EnrichedEv(event_id: Long, user_id: Long, value: Double,
@@ -407,6 +410,33 @@ object Streams {
           }
         },
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Soft dedup at the STREAM edge (the incremental q_dedup_soft): a
+    * running per-content-hash multiplicity via flatMapGroupsWithState.
+    * Each arriving doc is emitted immediately with its copy ORDINAL
+    * (1 = first sighting); the final ordinal per hash equals the batch
+    * key's n_copies, so a downstream weighter can re-weight at rest
+    * (1/n) or act online (drop copies past a cap, the 100-TB ingest
+    * policy). State is ONE long per distinct content hash — the
+    * smallest exact-multiplicity footprint; partitioned by the hash, so
+    * 1000 executors count disjoint key ranges with no coordination. */
+  def softDedup(docs: DataFrame): Dataset[DocCopy] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"),
+        sha2(col("text"), 256).as("content_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DocCopy](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          // doc_id order within a batch so replays are deterministic
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _) =>
+            n += 1; DocCopy(id, h, n) }
+          state.update(n)
+          out.iterator
+      }
   }
 
   /** KS Processor-API analog (state store + per-record process): running

@@ -433,6 +433,34 @@ class StreamingSpec extends SparkSpec {
       === sortedRows(expected.select("user_id", "n_events", "sum_value", "last_ts_us")))
   }
 
+  test("s_dedup_soft: copy ordinals accumulate across batches; final = batch n_copies") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.softDedup(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_soft").outputMode("append")
+      .start()
+    // "aa" arrives 3× across two batches, "bb" 2× in one, "cc" once
+    val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"))
+    val b2 = Seq((5L, "aa"), (6L, "bb"))
+    try Seq(b1, b2).foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("t_soft")
+      .select("doc_id", "copy_no").as[(Long, Long)].collect().toMap
+    // ordinals follow arrival (doc_id order within a batch)
+    assert(got === Map(1L -> 1L, 3L -> 2L, 5L -> 3L,   // aa
+                       2L -> 1L, 6L -> 2L,              // bb
+                       4L -> 1L))                       // cc
+    // final ordinal per hash ≡ the batch twin's n_copies on the same docs
+    val batchDocs = (b1 ++ b2).toDF("doc_id", "text")
+    val batchCopies = batchDocs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    val streamFinal = spark.table("t_soft")
+      .groupBy("content_hash").agg(max("copy_no").as("n_copies"))
+    assert(sortedRows(streamFinal.select("content_hash", "n_copies"))
+      === sortedRows(batchCopies.select("content_hash", "n_copies")))
+  }
+
   test("s_stateful_counter: transformWithState matches flatMapGroupsWithState") {
     // transformWithState needs the RocksDB state store (multiple column
     // families); the default HDFS-backed provider rejects it
