@@ -50,7 +50,14 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+                 catch { case t: Throwable =>
+                   // a red key must say WHY on stderr: the 100×-tier
+                   // min-of-3 run failed 14 keys with swallowed
+                   // exceptions and left nothing to diagnose
+                   Console.err.println(s"[bench] $name failed: " +
+                     s"${t.getClass.getName}: ${String.valueOf(t.getMessage).take(300)}")
+                   false
+                 }
         // Stop the clock HERE: the cleanup below (unpersist + System.gc)
         // is inter-key housekeeping, not operator cost. Timing it charged
         // a full-GC pause to every key — on a loaded machine that was a

@@ -277,6 +277,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_dedup_soft is one shuffle on the content hash (window, no join-back)") {
+    val p = plan("q_dedup_soft")
+    // the naive form groupBy(hash).count + join-back would show a join
+    // and TWO hash exchanges; the window form has neither
+    assert(!p.contains("Join"), s"join-back crept in:\n${p.take(1500)}")
+    assert(p.contains("Window"), "window count missing")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected <=1 hash exchange, got $shuffles")
+  }
+
+  test("q_shuffle_global sorts per shard window, never a global-partition window") {
+    val p = plan("q_shuffle_global")
+    // a corpus-global row_number would compile to a SinglePartition
+    // exchange feeding the window — the serialization this key exists
+    // to avoid
+    assert(p.contains("Window"), "window missing")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global window partition:\n${p.take(2000)}")
+  }
+
+  test("q_knn_graph symmetrizes the checkpointed kNN list without re-scoring") {
+    // the kNN list is computed once and localCheckpoint'd; the executed
+    // graph plan must join two scans of that checkpoint — any BlockTopK
+    // / cell-join machinery appearing here would mean the corpus is
+    // being re-scored per side
+    val p = executedFinal("q_knn_graph")
+    assert(!p.contains("graft_block"), s"re-scoring in graph plan:\n${p.take(2000)}")
+    assert(p.contains("Join"), "symmetrization join missing")
+  }
+
   test("whole-stage codegen covers the hot path of the flagship") {
     // AQE finalizes the plan only on execution; codegen'd operators carry
     // the "*(n)" prefix in the executed plan string.
