@@ -205,6 +205,44 @@ object DedupOps {
     (root, emb, qv)
   }
 
+  /** Mutual-kNN edges (vec_a < vec_b, cos_sim) shared by q_knn_graph
+    * and q_knn_graph_cluster — the exact top-3 list computed once and
+    * checkpointed, then symmetrized with a narrow self-equi-join. */
+  private def mutualKnnGraph(s: org.apache.spark.sql.SparkSession,
+                             d: String): DataFrame = {
+    graft.util.Confs.ensureObjectHashHeadroom(s)
+    val knn = graft.operators.VectorSimJoin
+      .knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+      .localCheckpoint(true) // k·N rows; consumed by both join sides
+    val fwd = knn.select(col("vec_id").as("vec_a"),
+      col("nbr_id").as("vec_b"), col("cos_sim"))
+    val bwd = knn.select(col("vec_id").as("vec_b"),
+      col("nbr_id").as("vec_a"))
+    fwd.join(bwd, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** The mutual-kNN edge set as DuckDB SQL (brute-force ranked CTE),
+    * shared by the q_knn_graph and q_knn_graph_cluster oracles. */
+  private val mutualKnnCtes: String =
+    """pairs AS (
+         SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+             AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT *, ROW_NUMBER() OVER
+           (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         FROM pairs),
+       knn AS (SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3),
+       mut AS (
+         SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cos_sim
+         FROM knn a JOIN knn b
+           ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+         WHERE a.vec_id < a.nbr_id)"""
+
   val queries: Map[String, Q] = Map(
     // ---- MinHash + banded LSH near-dup: the scale path of q_dedup_near.
     // Same output contract (pairs with exact J >= 0.8); candidates come
@@ -498,24 +536,32 @@ object DedupOps {
     // a ∈ knn(b) — the standard symmetrization that turns a directed
     // top-k list into the undirected graph that graph-based clustering
     // and semantic-dedup methods consume (mutual edges are the strong
-    // ties; one-directional neighbors of a hub are noise). The kNN list
-    // is computed ONCE (the q_knn_join block machinery) and
-    // checkpointed — it is k·N rows, corpus-sized, so the
-    // symmetrization is a narrow self-equi-join on (vec_a, vec_b), no
-    // vector is re-scored. SQL-oracled off the brute-force ranked CTE.
-    "q_knn_graph" -> ((s, d) => {
-      graft.util.Confs.ensureObjectHashHeadroom(s)
-      val knn = graft.operators.VectorSimJoin
-        .knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
-        .localCheckpoint(true) // k·N rows; consumed by both join sides
-      val fwd = knn.select(col("vec_id").as("vec_a"),
-        col("nbr_id").as("vec_b"), col("cos_sim"))
-      val bwd = knn.select(col("vec_id").as("vec_b"),
-        col("nbr_id").as("vec_a"))
-      fwd.join(bwd, Seq("vec_a", "vec_b"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
+    // ties; one-directional neighbors of a hub are noise). See
+    // mutualKnnGraph: the kNN list is computed ONCE (the q_knn_join
+    // block machinery) and checkpointed — it is k·N rows, corpus-sized,
+    // so the symmetrization is a narrow self-equi-join on
+    // (vec_a, vec_b), no vector is re-scored. SQL-oracled off the
+    // brute-force ranked CTE.
+    "q_knn_graph" -> ((s, d) =>
+      mutualKnnGraph(s, d).orderBy("vec_a", "vec_b")),
+
+    // ---- Mutual-kNN graph → cluster decision: connected components
+    // over the mutual edges (the q_dedup_cluster fixpoint, reused
+    // verbatim) — the embedding-space analog of near-dup clustering and
+    // the grouping step of graph-based semantic dedup/topic binning.
+    // Mutual edges only: hub vertices don't glue unrelated regions into
+    // one giant component the way raw top-k edges do. SQL-oracled: the
+    // same recursive-CC CTE as q_dedup_cluster over the brute-force
+    // mutual edge set.
+    "q_knn_graph_cluster" -> ((s, d) => {
+      val verts = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+      graft.operators.DedupCluster.clusters(verts,
+          mutualKnnGraph(s, d)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .withColumn("is_keeper",
+          (col("vec_id") === col("cluster_id")).cast("long"))
+        .orderBy("vec_id")
     }),
 
     // ---- Approximate ALL-PAIRS kNN join (IVF cells + PQ symmetric
@@ -739,22 +785,22 @@ object DedupOps {
          SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3
          ORDER BY vec_id, cos_sim DESC, nbr_id""",
     "q_knn_graph" ->
-      """WITH pairs AS (
-           SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 4)
-               AS cos_sim
-           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-         ranked AS (
-           SELECT *, ROW_NUMBER() OVER
-             (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
-           FROM pairs),
-         knn AS (SELECT vec_id, nbr_id, cos_sim FROM ranked WHERE rn <= 3)
-         SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.cos_sim
-         FROM knn a JOIN knn b
-           ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
-         WHERE a.vec_id < a.nbr_id
+      s"""WITH $mutualKnnCtes
+         SELECT vec_a, vec_b, cos_sim FROM mut
          ORDER BY vec_a, vec_b""",
+    "q_knn_graph_cluster" ->
+      s"""WITH RECURSIVE $mutualKnnCtes,
+         edges AS (
+           SELECT vec_a AS src, vec_b AS dst FROM mut
+           UNION ALL
+           SELECT vec_b AS src, vec_a AS dst FROM mut),
+         reach AS (
+           SELECT vec_id AS src, vec_id AS dst FROM embeddings
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS vec_id, MIN(dst) AS cluster_id,
+                CAST(src = MIN(dst) AS BIGINT) AS is_keeper
+         FROM reach GROUP BY src ORDER BY vec_id""",
     "q_dedup_embed" ->
       """SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

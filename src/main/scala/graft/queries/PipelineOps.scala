@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -25,34 +26,94 @@ import graft.sources.Tables
   */
 object PipelineOps {
 
+  /** The near-dup dedup DECISION frame (doc_id, cluster_id, is_keeper),
+    * shared by q_dedup_cluster and q_dedup_soft_cluster: cluster_id =
+    * min reachable doc_id through the exact (prefix-filtered) J >= 0.8
+    * pair graph. Runs at CONTENT grain (DedupOps.grainedNearDup):
+    * identical texts form cliques, so the CC fixpoint iterates over the
+    * distinct-text rep graph and members inherit their rep's component
+    * afterwards — rep = min(group), so the component minimum is the min
+    * rep and every label matches the full-grain run exactly. Members of
+    * a zero-shingle group stay singletons (they never enter the pair
+    * graph), matching the full-grain behavior. */
+  private def dedupClusterFrame(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (groups, repPairs, _) = DedupOps.grainedNearDup(docs, 0.8)
+    val repClusters = DedupCluster.clusters(
+        groups.select(col("rep").as("doc_id")),
+        repPairs.select("doc_a", "doc_b"))
+      .withColumnRenamed("doc_id", "rep")
+      .withColumnRenamed("cluster_id", "rep_cluster")
+    groups.select(col("rep"), col("has_sh"),
+        explode(col("members")).as("doc_id"))
+      .join(repClusters, Seq("rep"))
+      .withColumn("cluster_id",
+        when(col("has_sh"), col("rep_cluster")).otherwise(col("doc_id")))
+      .select("doc_id", "cluster_id")
+      .withColumn("is_keeper",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
+  /** The q_dedup_cluster recursive-CC oracle WITHOUT the trailing ORDER
+    * BY, so q_dedup_soft_cluster can wrap it as a CTE. */
+  private val dedupClusterOracleSql: String =
+    s"""WITH RECURSIVE np AS (
+          SELECT doc_a, doc_b FROM (${DedupOps.exactJaccardOracleSql}) t),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM np
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM np),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id,
+               CAST(src = MIN(dst) AS BIGINT) AS is_keeper
+        FROM reach GROUP BY src"""
+
   val queries: Map[String, Q] = Map(
-    // ---- near-dup pairs → dedup decision: cluster_id = min reachable
-    // doc_id through the exact (prefix-filtered) J >= 0.8 pair graph;
-    // the cluster_id row is the keeper, the rest are drops. Runs at
-    // CONTENT grain (DedupOps.grainedNearDup): identical texts form
-    // cliques, so the CC fixpoint iterates over the distinct-text rep
-    // graph and members inherit their rep's component afterwards —
-    // rep = min(group), so the component minimum is the min rep and
-    // every label matches the full-grain run exactly. Members of a
-    // zero-shingle group stay singletons (they never enter the pair
-    // graph), matching the full-grain behavior.
-    "q_dedup_cluster" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val (groups, repPairs, _) = DedupOps.grainedNearDup(docs, 0.8)
-      val repClusters = DedupCluster.clusters(
-          groups.select(col("rep").as("doc_id")),
-          repPairs.select("doc_a", "doc_b"))
-        .withColumnRenamed("doc_id", "rep")
-        .withColumnRenamed("cluster_id", "rep_cluster")
-      groups.select(col("rep"), col("has_sh"),
-          explode(col("members")).as("doc_id"))
-        .join(repClusters, Seq("rep"))
-        .withColumn("cluster_id",
-          when(col("has_sh"), col("rep_cluster")).otherwise(col("doc_id")))
-        .select("doc_id", "cluster_id")
-        .withColumn("is_keeper",
-          (col("doc_id") === col("cluster_id")).cast("long"))
+    // ---- near-dup pairs → dedup decision (see dedupClusterFrame)
+    "q_dedup_cluster" -> ((s, d) =>
+      dedupClusterFrame(s, d).orderBy("doc_id")),
+
+    // ---- near-dup-aware soft weighting — q_dedup_soft's policy applied
+    // at the CLUSTER grain: a doc's weight splits across its whole
+    // near-dup component (exact copies AND J >= 0.8 variants), so a
+    // paraphrase mill's output shares one budget instead of n budgets.
+    // One window count over the decision frame — the cluster fixpoint is
+    // the cost; the weighting adds a corpus-sized window, nothing else.
+    "q_dedup_soft_cluster" -> ((s, d) => {
+      val w = Window.partitionBy(col("cluster_id"))
+      dedupClusterFrame(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("weight_ppm",
+          round(lit(1000000.0) / col("cluster_size")).cast("long"))
+        .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
         .orderBy("doc_id")
+    }),
+
+    // ---- curriculum order — the training-order policy between "scored
+    // corpus" and "shards": fixed-boundary difficulty PHASES (length
+    // proxy; real pipelines band on a quality/perplexity score the same
+    // way) with the q_shuffle_global md5 shuffle WITHIN each phase.
+    // Fixed boundaries keep the banding map-side (a data-dependent
+    // quantile pass would add a full aggregate); windows partition on
+    // (phase, shard) so no partition sees more than a 16th of a phase.
+    "q_mix_curriculum" -> ((s, d) => {
+      val phase = when(col("n_chars") < 200, 0L)
+        .when(col("n_chars") < 400, 1L)
+        .when(col("n_chars") < 800, 2L).otherwise(3L)
+      val key = md5(concat_ws(":",
+        lit("curr"), col("doc_id").cast("string"), lit("7")))
+      val w = Window.partitionBy(col("phase"), col("shard"))
+        .orderBy(col("skey"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), phase.as("phase"), key.as("skey"))
+        .withColumn("shard", substring(col("skey"), 1, 1))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "phase", "shard", "pos")
+        .orderBy("phase", "shard", "pos")
     }),
 
     // ---- soft dedup — duplication-aware DOWN-WEIGHTING instead of
@@ -512,20 +573,28 @@ object PipelineOps {
          SELECT doc_id, lang, dsir_score,
            CAST(dsir_score > 0.0 AS BIGINT) AS selected
          FROM scored ORDER BY doc_id""",
-    "q_dedup_cluster" ->
-      s"""WITH RECURSIVE np AS (
-            SELECT doc_a, doc_b FROM (${DedupOps.exactJaccardOracleSql}) t),
-          edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM np
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM np),
-          reach AS (
-            SELECT doc_id AS src, doc_id AS dst FROM documents
-            UNION
-            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-          SELECT src AS doc_id, MIN(dst) AS cluster_id,
-                 CAST(src = MIN(dst) AS BIGINT) AS is_keeper
-          FROM reach GROUP BY src ORDER BY doc_id""",
+    "q_dedup_cluster" -> s"$dedupClusterOracleSql ORDER BY doc_id",
+    "q_dedup_soft_cluster" ->
+      s"""WITH cl AS ($dedupClusterOracleSql)
+          SELECT doc_id, cluster_id,
+            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+              AS cluster_size,
+            CAST(ROUND(1000000.0 /
+              COUNT(*) OVER (PARTITION BY cluster_id)) AS BIGINT)
+              AS weight_ppm
+          FROM cl ORDER BY doc_id""",
+    "q_mix_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  WHEN n_chars < 800 THEN 2 ELSE 3 END AS phase,
+             md5(concat_ws(':', 'curr', CAST(doc_id AS VARCHAR), '7'))
+               AS skey
+           FROM documents)
+         SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+           substring(skey, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase, substring(skey, 1, 1)
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM t ORDER BY phase, shard, pos""",
     "q_dedup_soft" ->
       """SELECT doc_id,
            CAST(COUNT(*) OVER (PARTITION BY sha256(text)) AS BIGINT)

@@ -220,6 +220,73 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("cluster-grain soft weights never exceed the exact-grain weights") {
+    // a near-dup cluster contains every exact-copy group inside it, so
+    // cluster_size >= n_copies per doc and weight_ppm can only shrink
+    val exact = SparkEntry.queries("q_dedup_soft")(spark, sf0001)
+      .select(col("doc_id"), col("n_copies"), col("weight_ppm").as("w_exact"))
+    val clustered = SparkEntry.queries("q_dedup_soft_cluster")(spark, sf0001)
+    val joined = clustered.join(exact, Seq("doc_id")).cache()
+    try {
+      assert(joined.count() ===
+        Tables.documents(spark, sf0001).count())
+      assert(joined.filter(col("cluster_size") < col("n_copies")).count() === 0)
+      assert(joined.filter(col("weight_ppm") > col("w_exact")).count() === 0)
+      // sizes are consistent with the decision frame itself
+      val fromDecision = SparkEntry.queries("q_dedup_cluster")(spark, sf0001)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      val bad = clustered.select("cluster_id", "cluster_size").distinct()
+        .join(fromDecision, Seq("cluster_id"))
+        .filter(col("cluster_size") =!= col("sz"))
+      assert(bad.count() === 0)
+    } finally joined.unpersist()
+  }
+
+  test("mutual-kNN clusters: edge endpoints co-labeled, non-edge vertices singletons") {
+    val graph = SparkEntry.queries("q_knn_graph")(spark, sf0001)
+      .select("vec_a", "vec_b").cache()
+    val cl = SparkEntry.queries("q_knn_graph_cluster")(spark, sf0001).cache()
+    try {
+      val lab = cl.select(col("vec_id"), col("cluster_id"))
+      // every mutual edge's endpoints share a component label
+      val split = graph
+        .join(lab.withColumnsRenamed(
+          Map("vec_id" -> "vec_a", "cluster_id" -> "ca")), Seq("vec_a"))
+        .join(lab.withColumnsRenamed(
+          Map("vec_id" -> "vec_b", "cluster_id" -> "cb")), Seq("vec_b"))
+        .filter(col("ca") =!= col("cb"))
+      assert(split.count() === 0)
+      // a vertex on no mutual edge is its own singleton cluster
+      val onEdge = graph.select(col("vec_a").as("vec_id"))
+        .unionByName(graph.select(col("vec_b").as("vec_id"))).distinct()
+      val singles = cl.join(onEdge, Seq("vec_id"), "left_anti")
+      assert(singles.filter(col("cluster_id") =!= col("vec_id")).count() === 0)
+      // every embedding labeled exactly once
+      assert(cl.count() ===
+        Tables.embeddings(spark, sf0001).count())
+    } finally { graph.unpersist(); cl.unpersist() }
+  }
+
+  test("curriculum order: permutation, dense in-phase positions, bands respected") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = SparkEntry.queries("q_mix_curriculum")(spark, sf0001).cache()
+    try {
+      assert(out.count() === docs.count())
+      assert(out.select("doc_id").distinct().count() === docs.count())
+      // phase matches the fixed n_chars boundaries
+      val withChars = out.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      val expectPhase = when(col("n_chars") < 200, 0L)
+        .when(col("n_chars") < 400, 1L)
+        .when(col("n_chars") < 800, 2L).otherwise(3L)
+      assert(withChars.filter(col("phase") =!= expectPhase).count() === 0)
+      // dense 1..n positions per (phase, shard)
+      val bad = out.groupBy("phase", "shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(bad.count() === 0)
+    } finally out.unpersist()
+  }
+
   test("mutual-kNN graph edges are symmetric-membership pairs of the kNN list") {
     val knn = SparkEntry.queries("q_knn_join")(spark, sf0001)
       .select(col("vec_id").as("a"), col("nbr_id").as("b")).cache()
