@@ -223,6 +223,34 @@ object DedupOps {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** SDC approximate top-3 list off the STORED AnnIndex (built on first
+    * call per (session, sf) — the offline-index-build stand-in), shared
+    * by q_knn_join_ann and q_knn_graph_ann: columns
+    * (vec_id, nbr_id, approx_d2). */
+  private def annKnnList(s: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame = {
+    graft.util.Confs.ensureObjectHashHeadroom(s)
+    import graft.operators.AnnIndex
+    val root = Scans.scratch("annsdc", s, d)
+    lazy val embN = LlmOps.embDouble(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+    if (!AnnIndex.exists(s, root)) {
+      val nCells = math.max(8, math.min(512,
+        math.ceil(math.sqrt(embN.count().toDouble)).toInt))
+      // kCodes=32, not the ADC default 16: BOTH pair sides are
+      // quantized under SDC (≈2× ADC's error), so the codebook is
+      // finer — the SdcKnnJoin Scaladoc's measured recall rationale
+      AnnIndex.build(embN, root, k = nCells, m = 16, dim = 64,
+        kCodes = 32)
+    }
+    graft.operators.SdcKnnJoin.joinWithModels(
+      embN.withColumn("nrm",
+        graft.functions.VectorExprs.norm(col("v"))),
+      AnnIndex.centroids(s, root), AnnIndex.codebooks(s, root),
+      kCodes = 32, k = 3)
+  }
+
   /** The mutual-kNN edge set as DuckDB SQL (brute-force ranked CTE),
     * shared by the q_knn_graph and q_knn_graph_cluster oracles. */
   private val mutualKnnCtes: String =
@@ -584,28 +612,34 @@ object DedupOps {
     // SdcKnnJoinSpec pins recall ≥ 0.8 on a clustered corpus vs
     // computed brute-force truth (through the stored-index path) and
     // bans pair nested loops from the executed plan.
-    "q_knn_join_ann" -> ((s, d) => {
-      graft.util.Confs.ensureObjectHashHeadroom(s)
-      import graft.operators.AnnIndex
-      val root = Scans.scratch("annsdc", s, d)
-      lazy val embN = LlmOps.embDouble(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("v"))
-      if (!AnnIndex.exists(s, root)) {
-        val nCells = math.max(8, math.min(512,
-          math.ceil(math.sqrt(embN.count().toDouble)).toInt))
-        // kCodes=32, not the ADC default 16: BOTH pair sides are
-        // quantized under SDC (≈2× ADC's error), so the codebook is
-        // finer — the SdcKnnJoin Scaladoc's measured recall rationale
-        AnnIndex.build(embN, root, k = nCells, m = 16, dim = 64,
-          kCodes = 32)
-      }
-      graft.operators.SdcKnnJoin.joinWithModels(
-          embN.withColumn("nrm",
-            graft.functions.VectorExprs.norm(col("v"))),
-          AnnIndex.centroids(s, root), AnnIndex.codebooks(s, root),
-          kCodes = 32, k = 3)
-        .orderBy("vec_id", "approx_d2", "nbr_id")
+    "q_knn_join_ann" -> ((s, d) =>
+      annKnnList(s, d).orderBy("vec_id", "approx_d2", "nbr_id")),
+
+    // ---- Mutual-kNN graph at ANN grain: q_knn_graph's symmetrization
+    // applied to the SDC approximate top-3 lists instead of the exact
+    // ones — the SCALE path for graph construction. The exact graph is
+    // bounded below by the exact kNN join it contains (~98 s at the
+    // 100× replica tier); this form rides the stored-index SDC join
+    // (~4.5 s at 100×) and the same narrow (vec_a, vec_b) self-equi-
+    // join, so corpus-scale graph clustering stays index-bound, not
+    // O(N·cell-width·dim)-bound. Approximation semantics: an edge
+    // survives iff each endpoint ranks the other in its APPROX top-3 —
+    // both endpoints quantized (SDC), so the graph is a recall-bounded
+    // subset-ish of the exact mutual graph (a pair can also enter when
+    // quantization promotes it; CorpusOpsSpec measures edge recall ≥
+    // 0.7 against the exact mutual edges on the clustered fixture —
+    // where ANN is meaningful — and pins the mutual/symmetry laws on
+    // the table). Test-oracled — ANN output is not SQL-replicable.
+    "q_knn_graph_ann" -> ((s, d) => {
+      val knn = annKnnList(s, d).localCheckpoint(true)
+      val fwd = knn.select(col("vec_id").as("vec_a"),
+        col("nbr_id").as("vec_b"), col("approx_d2"))
+      val bwd = knn.select(col("vec_id").as("vec_b"),
+        col("nbr_id").as("vec_a"))
+      fwd.join(bwd, Seq("vec_a", "vec_b"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b", "approx_d2")
+        .orderBy("vec_a", "vec_b")
     }),
 
     // ---- Multimodal binary plumbing: an opaque binary column (here the

@@ -68,6 +68,34 @@ object LlmOps {
         .orderBy("content_hash")
     }),
 
+    // ---- Quality-aware canonical selection: where q_dedup_exact's
+    // keeper policy is "min doc_id" (arbitrary-but-deterministic), real
+    // pipelines keep the BEST copy of each duplicated content group —
+    // e.g. the crawl snapshot with the richest extraction. Here the
+    // quality score is the distinct-token count (integer, engine-
+    // portable); keeper = argmax(quality, tie → min doc_id). The argmax
+    // is ONE groupBy with max(struct(quality, -doc_id)) — partial-agg
+    // (map-side combinable) where the equivalent row_number window would
+    // shuffle and SORT every row of the corpus; at 100 TB the struct-max
+    // ships one 16-byte partial per group per map task (SortAggregate —
+    // struct buffers aren't hash-aggregable — but the partial_max
+    // map-side combine is what matters, pinned in PlanShapeSpec).
+    // Keys group on
+    // the RAW text here (dedup policy); normalize first (q_text_norm)
+    // when near-identical whitespace variants should collapse too.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val q = size(array_distinct(split(col("text"), " "))).cast("long")
+      Tables.documents(s, d)
+        .select(sha2(col("text"), 256).as("content_hash"),
+                col("doc_id"), q.as("q"))
+        .groupBy("content_hash")
+        .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("m"),
+             count(lit(1)).as("n_copies"))
+        .select(col("content_hash"), (-col("m.neg_id")).as("keep_id"),
+                col("m.q").as("best_quality"), col("n_copies"))
+        .orderBy("content_hash")
+    }),
+
     "q_dedup_near" -> ((s, d) => {
       // Near-dup pairs at word-3-gram Jaccard >= 0.8 — EXACT output via
       // prefix filtering (operators.PrefixFilter): candidates are pairs
@@ -294,6 +322,21 @@ object LlmOps {
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
          COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q_dedup_keep_best" ->
+      """WITH k AS (
+           SELECT sha256(text) AS content_hash, doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS q
+           FROM documents),
+         r AS (
+           SELECT content_hash, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY q DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n
+           FROM k)
+         SELECT content_hash, doc_id AS keep_id, q AS best_quality,
+                n AS n_copies
+         FROM r WHERE rn = 1 ORDER BY content_hash""",
     "q_dedup_near" -> DedupOps.exactJaccardOracleSql,
     "q_knn_cosine" ->
       """SELECT b.vec_id,

@@ -358,6 +358,45 @@ object PipelineOps {
         .orderBy("source")
     }),
 
+    // ---- token-BUDGET allocation with cap-and-redistribute (the data-
+    // recipe allocator proper): give each language an EQUAL share of a
+    // global token budget (B = 80% of corpus tokens — upsampling tail
+    // languages toward uniform is the mT5 recipe taken to its cap), but
+    // no language can contribute more tokens than it HAS — capped
+    // languages keep their whole corpus and their unused share is
+    // redistributed equally among the uncapped ones (one redistribution
+    // round: the standard practical waterfill truncation; any residual
+    // after round 2 stays unallocated rather than looping). With uniform
+    // per-lang weights every step is INTEGER arithmetic (DIV, least) —
+    // no float quotient anywhere, three engines agree on every boundary
+    // at any corpus size, no overflow below 2^62 tokens. Plan: one
+    // map-side-combinable agg to |langs| rows; the allocator is window
+    // arithmetic on that model-sized frame — the corpus is scanned once.
+    "q_mix_budget" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      val st = Tables.documents(s, d).groupBy("lang")
+        .agg(sum("n_chars").as("avail_tok"))
+      st.withColumn("t", sum("avail_tok").over(wAll))
+        .withColumn("n_langs", count(lit(1)).over(wAll))
+        .withColumn("b", expr("(t * 4) div 5"))
+        .withColumn("alloc_r1",
+          least(col("avail_tok"), expr("b div n_langs")))
+        .withColumn("capped",
+          (col("alloc_r1") === col("avail_tok")).cast("int"))
+        .withColumn("surplus", col("b") - sum("alloc_r1").over(wAll))
+        .withColumn("n_uncapped",
+          sum(lit(1L) - col("capped").cast("long")).over(wAll))
+        .withColumn("alloc_r2",
+          when(col("capped") === 1 || col("n_uncapped") === 0L, lit(0L))
+            .otherwise(least(col("avail_tok") - col("alloc_r1"),
+                             expr("surplus div n_uncapped"))))
+        .withColumn("alloc_tok", col("alloc_r1") + col("alloc_r2"))
+        .select(col("lang"), col("avail_tok"), col("alloc_r1"),
+          col("alloc_r2"), col("alloc_tok"), col("capped"),
+          expr("(1000 * alloc_tok) div avail_tok").as("fill_permille"))
+        .orderBy("lang")
+    }),
+
     // ---- the WHOLE pipeline as ONE declared plan: normalize → exact
     // dedup on normalized content (keeper = min id) → quality gate →
     // deterministic 50% sample → per-lang corpus stats. Every stage is
@@ -727,6 +766,36 @@ object PipelineOps {
          SELECT source, n_docs, n_tok, w_milli, epochs_milli,
            CAST((epochs_milli * n_tok) // 1000 AS BIGINT) AS sampled_tok
          FROM e ORDER BY source""",
+    "q_mix_budget" ->
+      """WITH st AS (
+           SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS avail_tok
+           FROM documents GROUP BY 1),
+         w1 AS (
+           SELECT lang, avail_tok, SUM(avail_tok) OVER () AS t,
+                  COUNT(*) OVER () AS n_langs
+           FROM st),
+         w2 AS (SELECT *, (t * 4) // 5 AS b FROM w1),
+         w3 AS (
+           SELECT *, LEAST(avail_tok, b // n_langs) AS alloc_r1 FROM w2),
+         w4 AS (
+           SELECT *, CAST(alloc_r1 = avail_tok AS INT) AS capped,
+                  b - SUM(alloc_r1) OVER () AS surplus
+           FROM w3),
+         w5 AS (
+           SELECT *, SUM(CASE WHEN capped = 1 THEN 0 ELSE 1 END) OVER ()
+                       AS n_uncapped
+           FROM w4),
+         w6 AS (
+           SELECT *, CASE WHEN capped = 1 OR n_uncapped = 0 THEN 0
+             ELSE LEAST(avail_tok - alloc_r1, surplus // n_uncapped) END
+             AS alloc_r2
+           FROM w5)
+         SELECT lang, avail_tok, CAST(alloc_r1 AS BIGINT) AS alloc_r1,
+           CAST(alloc_r2 AS BIGINT) AS alloc_r2,
+           CAST(alloc_r1 + alloc_r2 AS BIGINT) AS alloc_tok, capped,
+           CAST((1000 * (alloc_r1 + alloc_r2)) // avail_tok AS BIGINT)
+             AS fill_permille
+         FROM w6 ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          w AS (

@@ -25,6 +25,26 @@ object TextOps {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** The cascade's per-doc DECISION: first failing rule index (1..5 in
+    * the fixed count → meanlen → stopwords → singles → distinct order),
+    * 0 = passes all. Pure stateless expression over `text` — shared by
+    * q_quality_cascade's funnel and the s_quality_cascade streaming
+    * twin (same bits per doc in both execution modes). */
+  private[graft] def cascadeFirstFail: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val charsEx = length(col("text")).cast("long") - nTok + lit(1L)
+    val nStop = size(filter(toks, t => t.isin("a", "the"))).cast("long")
+    val nSingle = size(filter(toks, t => length(t) === 1)).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    when(!(nTok >= 15L && nTok <= 90L), 1L)
+      .when(!(charsEx >= nTok * 3L && charsEx <= nTok * 7L), 2L)
+      .when(!(nStop >= 2L), 3L)
+      .when(!(nSingle * 5L <= nTok), 4L)
+      .when(!(nDistinct * 10L > nTok * 3L), 5L)
+      .otherwise(0L)
+  }
+
   val queries: Map[String, Q] = Map(
     // Language-ID heuristic: score = |distinct tokens ∩ markers(lang)|,
     // predicted = argmax with deterministic de<en<es<fr<zh tie-break.
@@ -140,6 +160,49 @@ object TextOps {
           (col("r_count") + col("r_meanlen") + col("r_stopwords") +
             col("r_singles") + col("r_distinct") === 5).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // Filter-cascade ATTRITION funnel: where q_quality_gopher emits the
+    // per-doc rule bits, this is the report a pipeline owner reads —
+    // rules applied in a FIXED order (count → meanlen → stopwords →
+    // singles → distinct, the cheap-to-expensive discipline of a real
+    // cascade), each doc attributed to its FIRST failing rule, then per
+    // stage: docs reaching it, dropped at it, surviving it. One map-only
+    // corpus pass folds to a ≤6-row first_fail histogram (map-side
+    // combinable); the funnel itself is window arithmetic on a 5-row
+    // literal frame — at 100 TB the corpus is touched exactly once and
+    // everything downstream is model-sized. Same integer-only rule
+    // arithmetic as the gopher gate, so three engines agree on every
+    // boundary document.
+    "q_quality_cascade" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.documents(s, d)
+        .select(cascadeFirstFail.as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n"))
+      val stages = Seq(
+          (0L, "pass"), (1L, "count"), (2L, "meanlen"),
+          (3L, "stopwords"), (4L, "singles"), (5L, "distinct"))
+        .toDF("stage", "rule")
+      // 6-row frame: SinglePartition windows here are model-sized by
+      // construction, not a corpus serialization point
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      val wBefore = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      stages.join(counts, Seq("stage"), "left")
+        .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+        .withColumn("t", sum("n_dropped").over(wAll))
+        // the stage-0 (pass) row carries survivors, not a rule drop — it
+        // must not enter the cumulative-drops-before-this-stage sum
+        .withColumn("nd_rule",
+          when(col("stage") >= 1L, col("n_dropped")).otherwise(lit(0L)))
+        .withColumn("n_reached",
+          col("t") - coalesce(sum("nd_rule").over(wBefore), lit(0L)))
+        .filter(col("stage") >= 1L)
+        .select(col("stage"), col("rule"), col("n_reached"),
+          col("n_dropped"),
+          (col("n_reached") - col("n_dropped")).as("n_survived"))
+        .orderBy("stage")
     }),
 
     // Document fingerprinting: order-sensitive rolling hash over the token
@@ -373,6 +436,50 @@ object TextOps {
                 AND n_stop >= 2 AND n_single * 5 <= n_tok
                 AND n_distinct * 10 > n_tok * 3 AS INT) AS keep
          FROM k ORDER BY doc_id""",
+    "q_quality_cascade" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         k AS (
+           SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) - CAST(len(l) AS BIGINT) + 1
+               AS chars_ex,
+             CAST(len(list_filter(l, x -> x IN ('a', 'the'))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_filter(l, x -> length(x) = 1)) AS BIGINT)
+               AS n_single,
+             CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct
+           FROM t),
+         f AS (
+           SELECT CASE
+             WHEN NOT (n_tok >= 15 AND n_tok <= 90) THEN 1
+             WHEN NOT (chars_ex >= n_tok * 3 AND chars_ex <= n_tok * 7)
+               THEN 2
+             WHEN NOT (n_stop >= 2) THEN 3
+             WHEN NOT (n_single * 5 <= n_tok) THEN 4
+             WHEN NOT (n_distinct * 10 > n_tok * 3) THEN 5
+             ELSE 0 END AS stage
+           FROM k),
+         c AS (SELECT stage, COUNT(*) AS n FROM f GROUP BY 1),
+         s AS (SELECT * FROM (VALUES
+             (0, 'pass'), (1, 'count'), (2, 'meanlen'), (3, 'stopwords'),
+             (4, 'singles'), (5, 'distinct')) v(stage, rule)),
+         j AS (
+           SELECT s.stage, s.rule, COALESCE(c.n, 0) AS n_dropped
+           FROM s LEFT JOIN c ON c.stage = s.stage),
+         w AS (
+           SELECT stage, rule, n_dropped,
+             SUM(n_dropped) OVER () AS t,
+             COALESCE(SUM(CASE WHEN stage >= 1 THEN n_dropped ELSE 0 END)
+               OVER (ORDER BY stage
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+           FROM j)
+         SELECT CAST(stage AS BIGINT) AS stage, rule,
+           CAST(t - cum AS BIGINT) AS n_reached,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(t - cum - n_dropped AS BIGINT) AS n_survived
+         FROM w WHERE stage >= 1 ORDER BY stage""",
     "q_text_classify_nb" -> nbOracleSql,
     "q_text_quality" ->
       """SELECT doc_id,

@@ -439,6 +439,18 @@ object Streams {
       }
   }
 
+  /** s_quality_cascade — the filter cascade's per-doc DECISION grain at
+    * the stream edge: each arriving doc is attributed to its first
+    * failing rule (TextOps.cascadeFirstFail — the exact expression the
+    * batch funnel aggregates) the moment it arrives. Stateless map — no
+    * state store, no watermark, survives any reshard — so the streaming
+    * gate and the batch report can never disagree on a document
+    * (StreamingSpec pins stream decisions ≡ batch attribution and the
+    * funnel law n_reached − n_dropped = n_survived over them). */
+  def qualityCascade(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.queries.TextOps.cascadeFirstFail.as("first_fail"))
+
   /** KS Processor-API analog (state store + per-record process): running
     * per-user count/sum/last-seen via flatMapGroupsWithState. */
   def statefulCounter(events: Dataset[Ev]): Dataset[UserCount] = {

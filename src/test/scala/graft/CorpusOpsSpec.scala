@@ -316,4 +316,164 @@ class CorpusOpsSpec extends SparkSpec {
         graph.count())
     } finally { knn.unpersist(); graph.unpersist() }
   }
+
+  test("quality cascade funnel: conservation, ordering, and gopher agreement") {
+    val docs = Tables.documents(spark, sf0001)
+    val funnel = SparkEntry.queries("q_quality_cascade")(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val total = docs.count()
+    // stage 1 sees the whole corpus; each stage's survivors feed the next
+    assert(funnel(1L)._1 === total)
+    for (i <- 1L to 4L)
+      assert(funnel(i)._3 === funnel(i + 1)._1,
+        s"survivors of stage $i != reached of stage ${i + 1}")
+    for (i <- 1L to 5L) {
+      val (reached, dropped, survived) = funnel(i)
+      assert(reached - dropped === survived)
+      assert(dropped >= 0 && survived >= 0)
+    }
+    // the last stage's survivors are exactly the gopher gate's keeps,
+    // and each stage's drop count matches first-fail attribution over
+    // the gopher rule bits (same rules, same order)
+    val gopher = SparkEntry.queries("q_quality_gopher")(spark, sf0001)
+      .collect()
+    assert(funnel(5L)._3 ===
+      gopher.count(r => r.getAs[Int]("keep") === 1).toLong)
+    val firstFail = gopher.map { r =>
+      val bits = Seq("r_count", "r_meanlen", "r_stopwords", "r_singles",
+        "r_distinct").map(c => r.getAs[Int](c))
+      bits.indexWhere(_ === 0) + 1 // 0 (all pass) → 0; else 1..5
+    }
+    for (i <- 1 to 5)
+      assert(funnel(i.toLong)._2 === firstFail.count(_ === i).toLong,
+        s"stage $i drop count != gopher first-fail attribution")
+  }
+
+  test("q_dedup_keep_best: keeper is the max-quality (tie: min id) group member") {
+    val docs = Tables.documents(spark, sf0001)
+    val best = SparkEntry.queries("q_dedup_keep_best")(spark, sf0001)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // same group set, same multiplicities as the min-id policy key
+    assert(best.keySet === exact.keySet)
+    for ((h, (_, _, n)) <- best) assert(n === exact(h))
+    // replay the policy driver-side from the raw docs
+    val perDoc = docs.select(sha2(col("text"), 256),
+        col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byHash = perDoc.groupBy(_._1)
+    for ((h, rows) <- byHash) {
+      val maxQ = rows.map(_._3).max
+      val want = rows.filter(_._3 === maxQ).map(_._2).min
+      assert(best(h)._1 === want, s"wrong keeper for $h")
+      assert(best(h)._2 === maxQ)
+    }
+  }
+
+  test("q_mix_budget: caps respected, budget conserved, equal uncapped shares") {
+    val out = SparkEntry.queries("q_mix_budget")(spark, sf0001).collect()
+    val totalAvail = out.map(_.getAs[Long]("avail_tok")).sum
+    val b = totalAvail * 4 / 5
+    val nLangs = out.length.toLong
+    // round 1 is the uniform share clipped at availability
+    for (r <- out)
+      assert(r.getAs[Long]("alloc_r1") ===
+        math.min(r.getAs[Long]("avail_tok"), b / nLangs))
+    val surplus = b - out.map(_.getAs[Long]("alloc_r1")).sum
+    val nUncapped = out.count(_.getAs[Int]("capped") === 0).toLong
+    for (r <- out) {
+      val avail = r.getAs[Long]("avail_tok")
+      val a1 = r.getAs[Long]("alloc_r1"); val a2 = r.getAs[Long]("alloc_r2")
+      val aTot = r.getAs[Long]("alloc_tok")
+      assert(aTot === a1 + a2)
+      assert(aTot <= avail, "allocated more than the source has")
+      if (r.getAs[Int]("capped") === 1) assert(a2 === 0L)
+      else assert(a2 === math.min(avail - a1,
+        if (nUncapped > 0) surplus / nUncapped else 0L))
+      assert(r.getAs[Long]("fill_permille") === 1000L * aTot / avail)
+    }
+    // never over budget; the fixture must actually exercise BOTH paths
+    assert(out.map(_.getAs[Long]("alloc_tok")).sum <= b)
+    assert(out.exists(_.getAs[Int]("capped") === 1),
+      "fixture exercises no capped source — cap path untested")
+    assert(nUncapped > 0, "fixture exercises no redistribution")
+  }
+
+  test("q_knn_graph_ann: edges ground in the ANN list (sf0.001 laws)") {
+    val knn = SparkEntry.queries("q_knn_join_ann")(spark, sf0001)
+      .select("vec_id", "nbr_id").cache()
+    val graph = SparkEntry.queries("q_knn_graph_ann")(spark, sf0001).cache()
+    try {
+      // same mutual-membership construction as the exact graph: set
+      // algebra driver-side (the self-join ambiguity lesson)
+      val edges = knn.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mutual = edges.filter { case (a, b) => a < b && edges((b, a)) }
+      val got = graph.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === mutual, "ANN graph != mutual pairs of the ANN list")
+      assert(graph.filter(col("vec_a") >= col("vec_b")).count() === 0)
+    } finally { knn.unpersist(); graph.unpersist() }
+  }
+
+  test("ANN mutual-graph edge recall >= 0.7 vs exact graph on clustered data") {
+    // Recall is measured where ANN is MEANINGFUL — the SdcKnnJoinSpec
+    // clustered fixture (20 centers × 25 members). The sf0.001
+    // embeddings are i.i.d. random (within-label ≈ cross-label cosine,
+    // verified at fixture-build time), where every quantized ranking of
+    // near-identical distances is a coin flip and recall measures the
+    // DATA, not the operator. Same operator path as the declared key:
+    // SdcKnnJoin top-3 list → mutual symmetrization.
+    import graft.operators.{IvfKMeans, SdcKnnJoin}
+    graft.util.Confs.ensureObjectHashHeadroom(spark)
+    import spark.implicits._
+    val dim = 64
+    val pts = for (j <- 0 until 20; i <- 0 until 25) yield {
+      val id = (j * 25 + i).toLong
+      val v = Array.tabulate(dim) { dd =>
+        val center = ((j * 37 + dd * 17) % 101 - 50) / 50.0
+        val noise = ((id * 7919 + dd * 104729) % 997 - 498) / 4000.0
+        center + noise
+      }
+      (id, v)
+    }
+    val raw = pts.toDF("vec_id", "v")
+    val nrmC = graft.functions.VectorExprs.norm(col("v"))
+    val e = raw.select(col("vec_id"),
+        transform(col("v"), x => x / nrmC).as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      .localCheckpoint(true)
+    val cents = IvfKMeans.centroids(
+      e.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+      k = 8, iters = 2)
+    val approx = SdcKnnJoin.join(e, cents, k = 3)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotMutual = approx.filter { case (a, b) => a < b && approx((b, a)) }
+    // exact mutual graph driver-side from the raw vectors
+    val vs = pts.toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val top3 = vs.map { case (id, v) =>
+      id -> vs.filter(_._1 != id)
+        .map { case (oid, ov) => (cos(v, ov), oid) }
+        .sortBy { case (s, oid) => (-s, oid) }.take(3).map(_._2).toSet
+    }.toMap
+    val exactMutual = (for {
+      (a, na) <- top3.toSeq; b <- na
+      if a < b && top3(b)(a)
+    } yield (a, b)).toSet
+    assert(exactMutual.nonEmpty, "degenerate fixture: no mutual edges")
+    val recall = exactMutual.count(gotMutual).toDouble / exactMutual.size
+    info(f"ANN mutual-edge recall = $recall%.3f " +
+      s"(${gotMutual.size} approx vs ${exactMutual.size} exact edges)")
+    assert(recall >= 0.7, s"ANN mutual-edge recall $recall < 0.7")
+  }
 }

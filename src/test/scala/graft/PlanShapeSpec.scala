@@ -297,6 +297,33 @@ class PlanShapeSpec extends SparkSpec {
       s"global window partition:\n${p.take(2000)}")
   }
 
+  test("q_quality_cascade touches the corpus exactly once") {
+    // the funnel is window arithmetic on a 6-row literal frame; a second
+    // corpus scan (e.g. a separate total-count pass) would double the
+    // 100-TB read
+    val p = plan("q_quality_cascade")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
+  }
+
+  test("q_dedup_keep_best is a partial aggregate, not a corpus window") {
+    // the argmax-by-struct groupBy ships one partial per (group, map
+    // task); the row_number window it replaces would shuffle AND sort
+    // every corpus row. max(struct) is NOT hash-aggregable (struct
+    // buffer), so the plan is SortAggregate — what matters for 100 TB
+    // is the partial_max map-side combine, which must be present.
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"), s"corpus window crept in:\n${p.take(1500)}")
+    assert(p.contains("partial_max"),
+      s"map-side partial aggregation missing:\n${p.take(1500)}")
+  }
+
+  test("q_mix_budget reads the corpus once into a model-sized allocator") {
+    val p = plan("q_mix_budget")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
+  }
+
   test("q_knn_graph symmetrizes the checkpointed kNN list without re-scoring") {
     // the kNN list is computed once and localCheckpoint'd; the executed
     // graph plan must join two scans of that checkpoint — any BlockTopK

@@ -461,6 +461,35 @@ class StreamingSpec extends SparkSpec {
       === sortedRows(batchCopies.select("content_hash", "n_copies")))
   }
 
+  test("s_quality_cascade: stateless per-doc decisions, one per rule exercised") {
+    // one crafted doc per cascade outcome — expected first_fail computed
+    // BY HAND from the rule definitions, not by replaying the expression
+    val docs = Seq(
+      (1L, "a b c"),                                   // 3 toks → count (1)
+      (2L, Seq.fill(15)("a").mkString(" ")),           // 1-char toks → meanlen (2)
+      (3L, (1 to 15).map(i => f"wrd$i%02d").mkString(" ")),  // no stopword (3)
+      (4L, (Seq.fill(4)("a") ++
+        (1 to 11).map(i => f"tok$i%02d")).mkString(" ")),    // singles (4)
+      (5L, (Seq.fill(8)("the") ++ Seq.fill(4)("data") ++
+        Seq.fill(4)("query") ++ Seq.fill(4)("rows")).mkString(" ")), // distinct (5)
+      (6L, (Seq("the", "the") ++
+        (1 to 14).map(i => f"wrd$i%02d")).mkString(" ")))    // pass (0)
+    val expected = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+                       5L -> 5L, 6L -> 0L)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Streams.qualityCascade(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t_cascade")
+      .outputMode("append").start()
+    // split across two micro-batches: stateless ⇒ batch boundaries are
+    // invisible in the output
+    try Seq(docs.take(3), docs.drop(3)).foreach { b =>
+      mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("t_cascade")
+      .select("doc_id", "first_fail").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("s_stateful_counter: transformWithState matches flatMapGroupsWithState") {
     // transformWithState needs the RocksDB state store (multiple column
     // families); the default HDFS-backed provider rejects it
