@@ -37,6 +37,25 @@ object MinHashLSH {
               col("band.band_hash").as("band_hash"))
   }
 
+  /** Asymmetric (cross-corpus) candidate pairs: every (doc_a ∈ A,
+    * doc_b ∈ B) sharing at least one band bucket — the contamination /
+    * screening shape, where A is a training corpus and B a bench suite.
+    * No `doc_a < doc_b` filter (the sides are disjoint id sets and the
+    * pair is DIRECTED corpus→bench); the bench side's band table is
+    * suite-sized, so at 100 TB the equi-join broadcasts it and the
+    * corpus is never shuffled. Same recall math as [[candidatePairs]].
+    */
+  def candidatePairsAcross(shA: DataFrame, shB: DataFrame, k: Int = 16,
+                           b: Int = 8, r: Int = 2): DataFrame = {
+    require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
+    val ba = bands(signatures(shA, k), b, r)
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val bb = bands(signatures(shB, k), b, r)
+      .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    ba.join(bb, Seq("band_idx", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing at least one band
     * bucket. The equi-join on (band_idx, band_hash) is the whole trick:
     * similarity search as a shuffle join. */

@@ -690,6 +690,25 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // ---- C4-style cross-doc BOILERPLATE coverage: word 5-grams that
+    // appear in ≥2 DISTINCT documents (nav bars, license headers, cookie
+    // banners — the text every crawl repeats) and, per doc, how much of
+    // it is covered by such grams (union of the flagged 5-token windows,
+    // not a window count — overlapping windows must not double-count).
+    // The report drives the C4 family of cleanup rules ("drop lines seen
+    // elsewhere in the corpus"). Plan: one gram explode (checkpointed —
+    // the frame feeds BOTH the distinct-doc count and the coverage
+    // join), one groupBy on the gram to find common ones, a narrow
+    // join-back (AQE broadcasts the flagged-gram set when small, shuffles
+    // when a 100-TB corpus makes it large), and a distinct-position
+    // count — everything equi-join/agg, no pair products anywhere
+    // (PlanShapeSpec pins no nested loop).
+    "q_dedup_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = gramRows(docs).localCheckpoint(true)
+      boilerplateCoverage(docs, g, commonGrams(g, minDocs = 2))
+    }),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -706,6 +725,50 @@ object DedupOps {
         .orderBy("doc_id")
     })
   )
+
+  /** Word-5-gram rows (doc_id, n_tok, pos, gram), pos 1-based — the
+    * boilerplate-detection grain, shared by the batch key and the
+    * streaming scorer. Docs under 5 tokens emit nothing (they cannot
+    * contain a 5-gram; guarded BEFORE `sequence` — Spark's sequence(1, n)
+    * with n < 1 runs descending rather than empty). */
+  private[graft] def gramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        col("toks"),
+        explode(expr("sequence(1, size(toks) - 4)")).as("pos"))
+      .select(col("doc_id"), col("n_tok"), col("pos"),
+        concat_ws(" ", expr("slice(toks, pos, 5)")).as("gram"))
+
+  /** Grams appearing in at least `minDocs` DISTINCT documents — the
+    * boilerplate blocklist (the at-rest artifact a streaming gate
+    * scores against). Distinct-first, then a plain count: avoids the
+    * count-distinct expand over the full gram frame. */
+  private[graft] def commonGrams(g: DataFrame, minDocs: Int): DataFrame =
+    g.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+
+  /** Per-doc boilerplate coverage given a gram frame and a blocklist:
+    * (doc_id, n_tok, n_boiler_tok, boiler_permille), every doc present
+    * (clean docs report 0). Coverage = |union of flagged [pos, pos+4]
+    * windows| via explode + distinct — exact even when windows overlap. */
+  private[graft] def boilerplateCoverage(docs: DataFrame, g: DataFrame,
+                                         block: DataFrame): DataFrame = {
+    val flagged = g.join(block, Seq("gram")).select("doc_id", "pos")
+    val cov = flagged
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler_tok"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("n_boiler_tok", coalesce(col("n_boiler_tok"), lit(0L)))
+      .withColumn("boiler_permille",
+        expr("(1000 * n_boiler_tok) div n_tok"))
+      .orderBy("doc_id")
+  }
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs — shared by q_dedup_near AND
     * q_dedup_minhash (whose LSH candidates + exact verify produce the
@@ -752,6 +815,30 @@ object DedupOps {
                 // COUNT(*) AS BIGINT) AS dup_permille
          FROM wins JOIN occ USING (w)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_boilerplate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             list_aggregate(l[i:i+4], 'string_agg', ' ') AS gram
+           FROM t, unnest(generate_series(1, len(l) - 4)) AS u(i)
+           WHERE len(l) >= 5),
+         c AS (
+           SELECT gram FROM (
+             SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+           WHERE nd >= 2),
+         f AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+         cov AS (
+           SELECT doc_id, COUNT(DISTINCT pos + o) AS nb
+           FROM f, unnest(generate_series(0, 4)) AS v(o) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+           CAST(COALESCE(cov.nb, 0) AS BIGINT) AS n_boiler_tok,
+           CAST((1000 * COALESCE(cov.nb, 0))
+                // len(string_split(d.text, ' ')) AS BIGINT)
+             AS boiler_permille
+         FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // the incremental form: exhaustive batch×corpus exact Jaccard — the
     // same shingle/Jaccard definition as exactJaccardOracleSql with the
     // pair universe restricted to the batch/corpus split

@@ -222,6 +222,33 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- FUZZY decontamination: where q_decontaminate flags exact
+    // shingle overlap, this finds corpus docs that are NEAR-DUPLICATES
+    // (word-3-gram Jaccard ≥ 0.8) of a bench doc — the paraphrased /
+    // lightly-edited contamination exact n-gram screens miss. Candidates
+    // come from the asymmetric MinHash band join (corpus bands ⋈
+    // bench bands — the bench side is suite-sized, so at 100 TB it
+    // broadcasts and the corpus never shuffles for candidates), then
+    // EXACT Jaccard verification on the candidate pairs only, so the
+    // output equals the exhaustive cross-Jaccard oracle. Per corpus doc:
+    // its best-matching bench doc (max jaccard, tie → min bench id) and
+    // how many bench docs it collides with.
+    "q_decontam_near" -> ((s, d) => {
+      val sh = LlmOps.shingles(Tables.documents(s, d))
+      val isBench = pmod(col("doc_id"), lit(50L)) === 7L
+      val cands = graft.operators.MinHashLSH.candidatePairsAcross(
+        sh.filter(!isBench), sh.filter(isBench), k = 16, b = 8, r = 2)
+      DedupOps.jaccardPairs(sh, Some(cands))
+        .filter(col("jaccard_raw") >= 0.8)
+        .select(col("doc_a").as("doc_id"), col("doc_b"), col("jaccard"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bench_hits"),
+             max(struct(col("jaccard"), (-col("doc_b")).as("nb"))).as("m"))
+        .select(col("doc_id"), (-col("m.nb")).as("best_bench_id"),
+                col("m.jaccard").as("best_jaccard"), col("n_bench_hits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dictionary scrubbing — the PII-masking shape (regex → replace
     // + audit count) over a term dictionary; real pipelines swap the
     // pattern for email/phone/ssn regexes, the plumbing is identical:
@@ -533,6 +560,38 @@ object PipelineOps {
 
   val oracle: Map[String, String] = Map(
     "q_decontam_index" -> decontamOracleSql,
+    "q_decontam_near" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+           UNNEST(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS u(s)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id % 50 <> 7 AND b.doc_id % 50 = 7
+           GROUP BY 1, 2),
+         v AS (
+           SELECT doc_a, doc_b,
+             round(CAST(ni AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - ni AS DOUBLE), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           WHERE CAST(ni AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - ni AS DOUBLE) >= 0.8),
+         r AS (
+           SELECT doc_a, doc_b, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY doc_a
+                                ORDER BY jaccard DESC, doc_b ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_a) AS nh
+           FROM v)
+         SELECT doc_a AS doc_id, doc_b AS best_bench_id,
+           jaccard AS best_jaccard, CAST(nh AS BIGINT) AS n_bench_hits
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
     // budget select / shard balance: the oracle runs the NAIVE
     // unpartitioned window (fine on DuckDB's single node); the Spark
     // side computes the identical integers through the histogram

@@ -631,6 +631,32 @@ object Streams {
       .scoreStored(batch.sparkSession, modelRoot, batch)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
 
+  /** s_boilerplate — continuous boilerplate scoring against the STORED
+    * common-gram blocklist (DedupOps.commonGrams written once at rest
+    * from the reference corpus — blocklists change rarely, ingest never
+    * stops): each arriving micro-batch of (doc_id, text) is scored with
+    * the EXACT batch machinery (DedupOps.boilerplateCoverage — gram
+    * explode, blocklist equi-join, window-union coverage), O(batch) per
+    * batch, never O(corpus), committed under `_SUCCESS`-marked version
+    * dirs. Per-doc scores depend only on the doc and the frozen
+    * blocklist ⇒ the union is batching-invariant, replay exactly-once
+    * via foreachBatch batchId (both pinned in StreamingSpec). */
+  def boilerplateBatch(batch: DataFrame, blockRoot: String, outDir: String,
+                       batchId: Long): Unit = {
+    val block = batch.sparkSession.read.parquet(blockRoot)
+    graft.queries.DedupOps.boilerplateCoverage(batch,
+        graft.queries.DedupOps.gramRows(batch), block)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+  }
+
+  /** Union of all boilerplate scores committed by [[boilerplateBatch]]. */
+  def committedBoilerplate(spark: org.apache.spark.sql.SparkSession,
+                           outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed boilerplate versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Union of all predictions committed by [[classifyBatch]] — readers
     * see whole batches only. */
   def committedPredictions(spark: org.apache.spark.sql.SparkSession,

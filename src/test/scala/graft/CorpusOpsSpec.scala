@@ -419,6 +419,62 @@ class CorpusOpsSpec extends SparkSpec {
     } finally { knn.unpersist(); graph.unpersist() }
   }
 
+  test("q_dedup_boilerplate: bounds, integer permille, exact copies fully covered") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = run("q_dedup_boilerplate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // every doc reports (clean docs as 0), coverage bounded by length
+    assert(out.size === docs.count())
+    for ((_, (nTok, nb, pm)) <- out) {
+      assert(nb >= 0 && nb <= nTok)
+      assert(pm === 1000L * nb / nTok)
+    }
+    // crafted corpus (the fixture has no exact full-text copies): a doc
+    // with an exact copy shares EVERY 5-gram with another document, so
+    // the window-union covers it entirely; a doc sharing no 5-gram
+    // stays clean; under 5 tokens no 5-gram can exist at all
+    import graft.queries.DedupOps
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val mini = Seq(
+      (1L, shared), (2L, shared),
+      (3L, (1 to 8).map(i => s"uniq$i").mkString(" ")),
+      (4L, "a b c")).toDF("doc_id", "text")
+    val g = DedupOps.gramRows(mini)
+    val cov = DedupOps.boilerplateCoverage(mini, g,
+        DedupOps.commonGrams(g, minDocs = 2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov(1L) === ((10L, 10L)), "copied doc not fully covered")
+    assert(cov(2L) === ((10L, 10L)))
+    assert(cov(3L)._2 === 0L, "unique doc flagged as boilerplate")
+    assert(cov(4L)._2 === 0L, "sub-5-token doc cannot contain a 5-gram")
+  }
+
+  test("q_decontam_near ≡ the bench-crossing subset of q_dedup_near") {
+    val near = run("q_dedup_near").select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def bench(id: Long) = id % 50 == 7
+    // corpus→bench directed pairs from the symmetric near-dup pair set
+    val crossing = near.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)) }
+      .filter { case (c, bn, _) => !bench(c) && bench(bn) }
+    val want = crossing.groupBy(_._1).map { case (c, hits) =>
+      val best = hits.map { case (_, bn, j) => (j, bn) }
+        .sortBy { case (j, bn) => (-j, bn) }.head
+      c -> (best._2, best._1, hits.length.toLong)
+    }
+    val got = run("q_decontam_near").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got === want,
+      "fuzzy decontamination diverges from the near-dup pair set's bench crossings")
+    for ((id, (bid, j, nh)) <- got) {
+      assert(!bench(id) && bench(bid))
+      assert(j >= 0.799999 && nh >= 1L)
+    }
+  }
+
   test("ANN mutual-graph edge recall >= 0.7 vs exact graph on clustered data") {
     // Recall is measured where ANN is MEANINGFUL — the SdcKnnJoinSpec
     // clustered fixture (20 centers × 25 members). The sf0.001

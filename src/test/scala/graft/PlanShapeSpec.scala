@@ -324,6 +324,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
   }
 
+  test("q_dedup_boilerplate and q_decontam_near stay equi-join (no pair products)") {
+    // boilerplate: gram groupBy + narrow join-back; decontam: banded
+    // candidates + profile verify — an all-pairs nested loop in either
+    // would be quadratic in the corpus at 100 TB
+    for (k <- Seq("q_dedup_boilerplate", "q_decontam_near")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$k compiled to a pair product:\n${p.take(2000)}")
+    }
+  }
+
   test("q_knn_graph symmetrizes the checkpointed kNN list without re-scoring") {
     // the kNN list is computed once and localCheckpoint'd; the executed
     // graph plan must join two scans of that checkpoint — any BlockTopK

@@ -490,6 +490,44 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("s_boilerplate: streamed scores ≡ batch twin vs stored blocklist, replay-idempotent") {
+    // continuous boilerplate scoring against the frozen common-gram
+    // blocklist: per-doc scores depend only on the doc + the blocklist,
+    // so the union is batching-invariant and replay changes nothing.
+    import graft.queries.DedupOps
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val block = s"$tmp/graft_boiler_block"
+    val out = s"$tmp/graft_boiler_out"
+    for (p <- Seq(block, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    DedupOps.commonGrams(DedupOps.gramRows(docs), minDocs = 2)
+      .write.parquet(block)
+    val want = DedupOps.boilerplateCoverage(docs, DedupOps.gramRows(docs),
+        spark.read.parquet(block))
+      .collect().map(_.toString).sorted.toSeq
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.boilerplateBatch(b, block, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedBoilerplate(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed boilerplate union diverges from the batch twin")
+    Streams.boilerplateBatch(groups.last.toDF("doc_id", "text"), block, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the scores")
+  }
+
   test("s_stateful_counter: transformWithState matches flatMapGroupsWithState") {
     // transformWithState needs the RocksDB state store (multiple column
     // families); the default HDFS-backed provider rejects it
