@@ -280,6 +280,58 @@ object LlmOps {
         .orderBy("label", "dim")
     }),
 
+    // ---- embedding-space OUTLIER screening — the data-quality gate on
+    // the vector side (mislabeled / corrupted / off-distribution
+    // vectors): per-label centroids, per-vector squared distance to its
+    // label centroid, outlier = d² past ¾ of the way from the label's
+    // MEAN d² to its MAX d² (adaptive tail rule: mean-multiple and
+    // z-score thresholds are useless on near-unit-norm vectors, whose
+    // d² concentrates within ~10% of its mean — measured on the
+    // fixture, max/mean = 1.10; this rule flags the extreme tail of
+    // whatever spread exists, ~5% here, and by construction flags the
+    // max itself whenever there is any spread and never a spreadless
+    // label). All
+    // arithmetic EXACT INT64: vectors quantize to milli units SHIFTED
+    // +10000 (shift cancels in every difference but keeps both engines'
+    // integer division on POSITIVE operands — Spark `div` truncates
+    // toward zero while DuckDB `//` floors, so a negative dividend
+    // would diverge); d² ≤ 64·(2·10⁴)² ≈ 2.6e10 per vector, so sums
+    // stay under 2^63 past a billion vectors. Plan: dim-grain explode →
+    // map-side-combinable centroid agg to |labels|×64 rows, collected
+    // to model-sized centroid ARRAYS that broadcast onto a pure-map
+    // zip_with/aggregate distance pass (no second explode); the narrow
+    // (vec_id, label, d2) frame is checkpointed once and re-read for
+    // the model-sized threshold join.
+    "q_embed_outliers" -> ((s, d) => {
+      val qv = transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(1000.0), 0).cast("long") + lit(10000L))
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+                qv.as("q"))
+      val cents = base
+        .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("mean_q", expr("sv div n"))
+        .groupBy("label")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, mean_q)))," +
+            " x -> x.mean_q) as cent"))
+      val d2 = base.join(broadcast(cents), Seq("label"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b))," +
+            " 0L, (acc, x) -> acc + x)"))
+        .select("vec_id", "label", "d2")
+        .localCheckpoint(true)
+      val thr = d2.groupBy("label")
+        .agg(expr("sum(d2) div count(1) as m"), max("d2").as("mx"))
+      d2.join(broadcast(thr), Seq("label"))
+        .select(col("vec_id"), col("label"), col("d2"),
+          (col("d2") > expr("m + (3 * (mx - m)) div 4")).cast("int")
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     "q_text_lang" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang")
@@ -379,6 +431,31 @@ object LlmOps {
            FROM scored)
          SELECT doc_id, term, tfidf FROM ranked WHERE rn = 1
          ORDER BY doc_id""",
+    "q_embed_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label, t.dim,
+             CAST(round(CAST(embedding[t.dim] AS DOUBLE) * 1000.0)
+               AS BIGINT) + 10000 AS v
+           FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS t(dim)),
+         c AS (
+           SELECT label, dim,
+             CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_q
+           FROM e GROUP BY 1, 2),
+         d AS (
+           SELECT e.vec_id, e.label,
+             CAST(SUM((e.v - c.mean_q) * (e.v - c.mean_q)) AS BIGINT)
+               AS d2
+           FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+           GROUP BY 1, 2),
+         t AS (
+           SELECT label, CAST(SUM(d2) AS BIGINT) // COUNT(*) AS m,
+                  MAX(d2) AS mx
+           FROM d GROUP BY 1)
+         SELECT d.vec_id, d.label, d.d2,
+           CAST(d.d2 > t.m + (3 * (t.mx - t.m)) // 4 AS INT)
+             AS is_outlier
+         FROM d JOIN t USING (label) ORDER BY vec_id""",
     "q_events_session" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
           MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,

@@ -424,6 +424,37 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- ANNEALING schedule — the midtraining recipe step: mixture
+    // weights interpolate linearly from the NATURAL (proportional)
+    // distribution at phase 0 to UNIFORM at the final phase (the
+    // "anneal toward balanced/high-quality data late in training"
+    // practice), over 4 fixed phases under a 50% token budget split
+    // equally across phases. Everything is integer ppm arithmetic
+    // (DIV) — no float quotient, engines agree on every boundary;
+    // overflow-safe below ~4.6e12 corpus tokens (B_p·w_ppm < 2^63).
+    // Plan: ONE map-side-combinable agg to |sources| rows; the schedule
+    // is a broadcast of a 4-row phase frame over that model-sized
+    // result — the corpus is scanned once.
+    "q_mix_anneal" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()
+      val st = Tables.documents(s, d).groupBy("source")
+        .agg(sum("n_chars").as("n_tok"))
+        .withColumn("t", sum("n_tok").over(wAll))
+        .withColumn("n_src", count(lit(1)).over(wAll))
+        .withColumn("w_nat_ppm", expr("(1000000 * n_tok) div t"))
+        .withColumn("w_uni_ppm", expr("1000000 div n_src"))
+      val phases = (0L to 3L).toDF("phase")
+      st.crossJoin(broadcast(phases))
+        .withColumn("w_ppm",
+          expr("((3 - phase) * w_nat_ppm + phase * w_uni_ppm) div 3"))
+        .withColumn("alloc_tok",
+          expr("(((t div 2) div 4) * w_ppm) div 1000000"))
+        .select("phase", "source", "w_nat_ppm", "w_uni_ppm", "w_ppm",
+                "alloc_tok")
+        .orderBy("phase", "source")
+    }),
+
     // ---- the WHOLE pipeline as ONE declared plan: normalize → exact
     // dedup on normalized content (keeper = min id) → quality gate →
     // deterministic 50% sample → per-lang corpus stats. Every stage is
@@ -855,6 +886,32 @@ object PipelineOps {
            CAST((1000 * (alloc_r1 + alloc_r2)) // avail_tok AS BIGINT)
              AS fill_permille
          FROM w6 ORDER BY lang""",
+    "q_mix_anneal" ->
+      """WITH st AS (
+           SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n_tok, SUM(n_tok) OVER () AS t,
+                  COUNT(*) OVER () AS n_src
+           FROM st),
+         b AS (
+           SELECT source, t,
+             (1000000 * n_tok) // t AS w_nat_ppm,
+             1000000 // n_src AS w_uni_ppm
+           FROM w),
+         p AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(phase)),
+         x AS (
+           SELECT p.phase, b.source, b.w_nat_ppm, b.w_uni_ppm, b.t,
+             ((3 - p.phase) * b.w_nat_ppm + p.phase * b.w_uni_ppm) // 3
+               AS w_ppm
+           FROM b CROSS JOIN p)
+         SELECT CAST(phase AS BIGINT) AS phase, source,
+           CAST(w_nat_ppm AS BIGINT) AS w_nat_ppm,
+           CAST(w_uni_ppm AS BIGINT) AS w_uni_ppm,
+           CAST(w_ppm AS BIGINT) AS w_ppm,
+           CAST((((t // 2) // 4) * w_ppm) // 1000000 AS BIGINT)
+             AS alloc_tok
+         FROM x ORDER BY phase, source""",
     "q_mix_temperature" ->
       """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          w AS (

@@ -475,6 +475,65 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_anneal: endpoints exact, interpolation monotone, budget respected") {
+    val out = run("q_mix_anneal").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sources = out.keys.map(_._2).toSet.toSeq.sorted
+    for (src <- sources) {
+      val (nat, uni, w0, _) = out((0L, src))
+      // phase 0 is exactly natural, phase 3 exactly uniform (the div-3
+      // interpolation is exact at the endpoints: (3·w) div 3 = w)
+      assert(w0 === nat)
+      assert(out((3L, src))._3 === uni)
+      // interpolation is monotone between the endpoints
+      val ws = (0L to 3L).map(p => out((p, src))._3)
+      if (nat <= uni) assert(ws === ws.sorted)
+      else assert(ws === ws.sorted.reverse)
+      assert(uni === out((1L, src))._2)
+    }
+    // per phase: allocations never exceed the phase budget
+    val totalTok = Tables.documents(spark, sf0001)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val phaseBudget = totalTok / 2 / 4
+    for (p <- 0L to 3L) {
+      val alloc = sources.map(src => out((p, src))._4).sum
+      assert(alloc <= phaseBudget, s"phase $p over budget")
+    }
+  }
+
+  test("q_embed_outliers: exact integer replay from the raw vectors") {
+    val got = run("q_embed_outliers").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    val raw = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray.map(x =>
+          math.round(x.toDouble * 1000.0) + 10000L)))
+    val byLabel = raw.groupBy(_._2)
+    val cents = byLabel.map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim) { k =>
+        vs.map(_._3(k)).sum / vs.length } // all values positive: / == div
+    }
+    val d2s = raw.map { case (id, l, v) =>
+      val c = cents(l)
+      (id, l, v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val thr = d2s.groupBy(_._2).map { case (l, xs) =>
+      val m = xs.map(_._3).sum / xs.length
+      val mx = xs.map(_._3).max
+      l -> (m + 3L * (mx - m) / 4L) }
+    for ((id, l, d2) <- d2s) {
+      assert(got(id) === ((l, d2, if (d2 > thr(l)) 1 else 0)),
+        s"outlier replay mismatch for vec $id")
+    }
+    assert(got.values.exists(_._3 == 1), "fixture exercises no outlier")
+    assert(got.values.exists(_._3 == 0), "fixture flags everything")
+  }
+
   test("ANN mutual-graph edge recall >= 0.7 vs exact graph on clustered data") {
     // Recall is measured where ANN is MEANINGFUL — the SdcKnnJoinSpec
     // clustered fixture (20 centers × 25 members). The sf0.001

@@ -336,6 +336,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_mix_anneal reads the corpus once; q_embed_outliers joins broadcast") {
+    val p1 = plan("q_mix_anneal")
+    val scans = "FileScan parquet".r.findAllIn(p1).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p1.take(2000)}")
+    // outliers: the centroid/threshold sides are model-sized and must
+    // broadcast; a shuffle join on 10 label keys would be skew city
+    val p2 = plan("q_embed_outliers")
+    assert(p2.contains("BroadcastHashJoin"), s"no broadcast join:\n${p2.take(2000)}")
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("CartesianProduct"),
+      s"corpus-shuffling join on label keys:\n${p2.take(2000)}")
+  }
+
   test("q_knn_graph symmetrizes the checkpointed kNN list without re-scoring") {
     // the kNN list is computed once and localCheckpoint'd; the executed
     // graph plan must join two scans of that checkpoint — any BlockTopK
