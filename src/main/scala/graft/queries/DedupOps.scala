@@ -709,6 +709,24 @@ object DedupOps {
       boilerplateCoverage(docs, g, commonGrams(g, minDocs = 2))
     }),
 
+    // ---- the blocklist AT REST (cluster_assign discipline): the
+    // common-gram artifact is built ONCE per (session, sf) and every
+    // later call — and any real deployment, where the blocklist is an
+    // offline byproduct of the last corpus sweep — reads it back and
+    // runs ONLY the coverage pass (gram explode + blocklist equi-join +
+    // window union; no distinct-doc count over the corpus). Blocklist
+    // from the same corpus ⇒ stored answer ≡ the in-flight key
+    // bit-for-bit ⇒ SHARES its oracle. Also the artifact the
+    // s_boilerplate stream scores against.
+    "q_boilerplate_at_rest" -> ((s, d) => {
+      val root = Scans.scratch("boilerblock", s, d)
+      val docs = Tables.documents(s, d)
+      if (!blocklistExists(s, root))
+        commonGrams(gramRows(docs), minDocs = 2)
+          .write.mode("overwrite").parquet(root)
+      boilerplateCoverage(docs, gramRows(docs), s.read.parquet(root))
+    }),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -750,6 +768,12 @@ object DedupOps {
       .filter(col("nd") >= minDocs)
       .select("gram")
 
+  private[graft] def blocklistExists(s: org.apache.spark.sql.SparkSession,
+                                     root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Per-doc boilerplate coverage given a gram frame and a blocklist:
     * (doc_id, n_tok, n_boiler_tok, boiler_permille), every doc present
     * (clean docs report 0). Coverage = |union of flagged [pos, pos+4]
@@ -769,6 +793,35 @@ object DedupOps {
         expr("(1000 * n_boiler_tok) div n_tok"))
       .orderBy("doc_id")
   }
+
+  /** The boilerplate-coverage oracle — ONE copy shared by
+    * q_dedup_boilerplate and q_boilerplate_at_rest (the stored blocklist
+    * is built from the same corpus, so the at-rest answer is the
+    * in-flight answer bit-for-bit). */
+  private val boilerplateOracleSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       g AS (
+         SELECT doc_id, i AS pos,
+           list_aggregate(l[i:i+4], 'string_agg', ' ') AS gram
+         FROM t, unnest(generate_series(1, len(l) - 4)) AS u(i)
+         WHERE len(l) >= 5),
+       c AS (
+         SELECT gram FROM (
+           SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+         WHERE nd >= 2),
+       f AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+       cov AS (
+         SELECT doc_id, COUNT(DISTINCT pos + o) AS nb
+         FROM f, unnest(generate_series(0, 4)) AS v(o) GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         CAST(COALESCE(cov.nb, 0) AS BIGINT) AS n_boiler_tok,
+         CAST((1000 * COALESCE(cov.nb, 0))
+              // len(string_split(d.text, ' ')) AS BIGINT)
+           AS boiler_permille
+       FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs — shared by q_dedup_near AND
     * q_dedup_minhash (whose LSH candidates + exact verify produce the
@@ -815,30 +868,9 @@ object DedupOps {
                 // COUNT(*) AS BIGINT) AS dup_permille
          FROM wins JOIN occ USING (w)
          GROUP BY doc_id ORDER BY doc_id""",
-    "q_dedup_boilerplate" ->
-      """WITH t AS (
-           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-         g AS (
-           SELECT doc_id, i AS pos,
-             list_aggregate(l[i:i+4], 'string_agg', ' ') AS gram
-           FROM t, unnest(generate_series(1, len(l) - 4)) AS u(i)
-           WHERE len(l) >= 5),
-         c AS (
-           SELECT gram FROM (
-             SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
-           WHERE nd >= 2),
-         f AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN c USING (gram)),
-         cov AS (
-           SELECT doc_id, COUNT(DISTINCT pos + o) AS nb
-           FROM f, unnest(generate_series(0, 4)) AS v(o) GROUP BY 1)
-         SELECT d.doc_id,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
-           CAST(COALESCE(cov.nb, 0) AS BIGINT) AS n_boiler_tok,
-           CAST((1000 * COALESCE(cov.nb, 0))
-                // len(string_split(d.text, ' ')) AS BIGINT)
-             AS boiler_permille
-         FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
-         ORDER BY d.doc_id""",
+    "q_dedup_boilerplate" -> boilerplateOracleSql,
+    // blocklist built from the same corpus ⇒ stored ≡ in-flight
+    "q_boilerplate_at_rest" -> boilerplateOracleSql,
     // the incremental form: exhaustive batch×corpus exact Jaccard — the
     // same shingle/Jaccard definition as exactJaccardOracleSql with the
     // pair universe restricted to the batch/corpus split

@@ -48,6 +48,76 @@ object LlmOps {
     graft.Graft.shingleRows(docs, "doc_id", "text", n = 3)
       .localCheckpoint(true)
 
+  /** Outlier-screening machinery shared by q_embed_outliers, the stored
+    * model (storeOutlierModel), and the s_embed_outliers stream — one
+    * copy of the quantization/distance/threshold arithmetic so the
+    * at-rest and in-flight answers are bit-identical by construction. */
+  private[graft] def outlierBase(emb: DataFrame): DataFrame = {
+    val qv = transform(col("embedding").cast("array<double>"),
+      x => round(x * lit(1000.0), 0).cast("long") + lit(10000L))
+    emb.select(col("vec_id"), col("label").cast("long").as("label"),
+               qv.as("q"))
+  }
+
+  /** Per-label centroid ARRAYS (label, cent: array<long>) — model-sized. */
+  private[graft] def outlierCents(base: DataFrame): DataFrame =
+    base.select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("mean_q", expr("sv div n"))
+      .groupBy("label")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, mean_q)))," +
+          " x -> x.mean_q) as cent"))
+
+  /** (vec_id, label, d2) — exact INT64 squared distance to the label
+    * centroid, a pure map over the broadcast centroid arrays. */
+  private[graft] def outlierD2(base: DataFrame, cents: DataFrame): DataFrame =
+    base.join(broadcast(cents), Seq("label"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)"))
+      .select("vec_id", "label", "d2")
+
+  /** Per-label (m = mean d², mx = max d²) — the adaptive-tail threshold
+    * inputs. */
+  private[graft] def outlierThr(d2: DataFrame): DataFrame =
+    d2.groupBy("label")
+      .agg(expr("sum(d2) div count(1) as m"), max("d2").as("mx"))
+
+  /** Persist the outlier model (centroid arrays + thresholds) computed
+    * from a reference corpus: centroids first, thresholds LAST — a
+    * reader gating on the threshold dir's _SUCCESS never sees a torn
+    * model (the RetrievalOps postings-first discipline). */
+  private[graft] def storeOutlierModel(emb: DataFrame, root: String): Unit = {
+    val base = outlierBase(emb)
+    val cents = outlierCents(base)
+    cents.write.mode("overwrite").parquet(s"$root/cents")
+    outlierThr(outlierD2(base, cents))
+      .write.mode("overwrite").parquet(s"$root/thr")
+  }
+
+  private[graft] def outlierModelExists(s: org.apache.spark.sql.SparkSession,
+                                        root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/thr/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Score a batch of (vec_id, label, embedding) rows against the STORED
+    * model: two broadcast joins + a pure-map fold — O(batch), never
+    * O(corpus). */
+  private[graft] def scoreStoredOutliers(s: org.apache.spark.sql.SparkSession,
+                                         root: String,
+                                         batch: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$root/cents")
+    val thr = s.read.parquet(s"$root/thr")
+    outlierD2(outlierBase(batch), cents)
+      .join(broadcast(thr), Seq("label"))
+      .select(col("vec_id"), col("label"), col("d2"),
+        (col("d2") > expr("m + (3 * (mx - m)) div 4")).cast("int")
+          .as("is_outlier"))
+  }
+
   /** Embeddings with the vector cast float→double once (exact) and the L2
     * norm precomputed per row — norms are O(n) once, not O(n²) per pair.
     * Dot/norm use the codegen DotProduct expression
@@ -303,28 +373,9 @@ object LlmOps {
     // (vec_id, label, d2) frame is checkpointed once and re-read for
     // the model-sized threshold join.
     "q_embed_outliers" -> ((s, d) => {
-      val qv = transform(col("embedding").cast("array<double>"),
-        x => round(x * lit(1000.0), 0).cast("long") + lit(10000L))
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-                qv.as("q"))
-      val cents = base
-        .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .withColumn("mean_q", expr("sv div n"))
-        .groupBy("label")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, mean_q)))," +
-            " x -> x.mean_q) as cent"))
-      val d2 = base.join(broadcast(cents), Seq("label"))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b))," +
-            " 0L, (acc, x) -> acc + x)"))
-        .select("vec_id", "label", "d2")
-        .localCheckpoint(true)
-      val thr = d2.groupBy("label")
-        .agg(expr("sum(d2) div count(1) as m"), max("d2").as("mx"))
+      val base = outlierBase(Tables.embeddings(s, d))
+      val d2 = outlierD2(base, outlierCents(base)).localCheckpoint(true)
+      val thr = outlierThr(d2)
       d2.join(broadcast(thr), Seq("label"))
         .select(col("vec_id"), col("label"), col("d2"),
           (col("d2") > expr("m + (3 * (mx - m)) div 4")).cast("int")

@@ -649,6 +649,29 @@ object Streams {
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
   }
 
+  /** s_embed_outliers — continuous embedding-quality screening against
+    * the STORED outlier model (per-label centroid arrays + adaptive-tail
+    * thresholds, LlmOps.storeOutlierModel — models retrain rarely,
+    * vectors arrive constantly): each micro-batch of (vec_id, label,
+    * embedding) scores via two broadcast joins + a pure-map zip_with
+    * fold — O(batch) per batch, never O(corpus) — committed under
+    * `_SUCCESS`-marked version dirs. Frozen model ⇒ per-vector scores
+    * are batching-invariant; replay exactly-once via foreachBatch
+    * batchId (both pinned in StreamingSpec). */
+  def outlierBatch(batch: DataFrame, modelRoot: String, outDir: String,
+                   batchId: Long): Unit =
+    graft.queries.LlmOps
+      .scoreStoredOutliers(batch.sparkSession, modelRoot, batch)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+
+  /** Union of all outlier scores committed by [[outlierBatch]]. */
+  def committedOutliers(spark: org.apache.spark.sql.SparkSession,
+                        outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed outlier versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Union of all boilerplate scores committed by [[boilerplateBatch]]. */
   def committedBoilerplate(spark: org.apache.spark.sql.SparkSession,
                            outDir: String): DataFrame = {

@@ -451,6 +451,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cov(4L)._2 === 0L, "sub-5-token doc cannot contain a 5-gram")
   }
 
+  test("q_boilerplate_at_rest ≡ q_dedup_boilerplate bit-for-bit") {
+    // the stored blocklist is built from the same corpus, so the
+    // at-rest pass must reproduce the in-flight key exactly — and a
+    // SECOND call (artifact now warm) must too
+    val inflight = run("q_dedup_boilerplate").collect()
+      .map(_.toString).toSeq
+    assert(run("q_boilerplate_at_rest").collect().map(_.toString).toSeq
+      === inflight)
+    assert(run("q_boilerplate_at_rest").collect().map(_.toString).toSeq
+      === inflight, "warm-artifact call diverged")
+  }
+
   test("q_decontam_near ≡ the bench-crossing subset of q_dedup_near") {
     val near = run("q_dedup_near").select("doc_a", "doc_b", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -528,6 +528,47 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the scores")
   }
 
+  test("s_embed_outliers: streamed scores ≡ batch twin vs stored model, replay-idempotent") {
+    import graft.queries.LlmOps
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val model = s"$tmp/graft_outlier_model"
+    val out = s"$tmp/graft_outlier_out"
+    for (p <- Seq(model, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding")
+    LlmOps.storeOutlierModel(emb, model)
+    val want = LlmOps.scoreStoredOutliers(spark, model, emb)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = emb.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Float](2))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, Int, Seq[Float])](spark)
+    val q = mem.toDF().toDF("vec_id", "label", "embedding").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.outlierBatch(b, model, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedOutliers(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed outlier union diverges from the batch twin")
+    Streams.outlierBatch(groups.last.toDF("vec_id", "label", "embedding"),
+      model, out, (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the scores")
+    // the stored-model batch twin itself matches the declared key's
+    // decisions (frozen thresholds ≡ in-flight thresholds: same corpus)
+    val declared = graft.SparkEntry.queries("q_embed_outliers")(spark, sf0001)
+      .select("vec_id", "label", "d2", "is_outlier")
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.sorted === declared,
+      "stored-model scoring diverges from the in-flight key")
+  }
+
   test("s_stateful_counter: transformWithState matches flatMapGroupsWithState") {
     // transformWithState needs the RocksDB state store (multiple column
     // families); the default HDFS-backed provider rejects it
