@@ -126,7 +126,34 @@ object BenchStream {
           Streams.viewPurchaseJoin(
             src.filter(col("event_type") === "view"),
             src.filter(col("event_type") === "purchase"))
-        }, "append")))
+        }, "append")),
+      // the LLM-side stateful key: running per-content multiplicity
+      // (softDedup — one long of state per distinct content, sha2 keys)
+      // over a 4×-duplicated document corpus, the ingest-dedup shape of
+      // a crawl pipeline. Output rows ≡ input rows (every doc emits its
+      // ordinal) — an exact invariant like the join's pair count.
+      "s_dedup_soft" -> {
+        val nDocs = 100000
+        val docCorpus: Vector[(Long, String)] = (0 until nDocs).iterator
+          .map { k =>
+            val base = k % 25000 // 4 exact copies of each distinct text
+            (k.toLong,
+              s"crawl snapshot body $base with stable filler tokens " +
+                s"for realistic width ${base % 97}")
+          }.toVector
+        val docBatches = docCorpus.grouped(
+          math.max(1, docCorpus.size / nBatches)).toSeq
+        val mem = MemoryStream[(Long, String)](spark)
+        val t0 = System.nanoTime()
+        val q = Streams.softDedup(mem.toDF().toDF("doc_id", "text")).toDF()
+          .writeStream.format("noop").outputMode("append").start()
+        try docBatches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val out = q.recentProgress.iterator
+          .map(p => p.sink.numOutputRows).filter(_ > 0).sum
+        KeyResult(wall, q.lastProgress.batchId + 1, nDocs.toLong, out)
+      })
 
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val qs = results.map { case (k, r) =>
