@@ -664,6 +664,31 @@ object Streams {
       .scoreStoredOutliers(batch.sparkSession, modelRoot, batch)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
 
+  /** s_decontam_near — continuous FUZZY contamination screening against
+    * the STORED bench index (PipelineOps.storeDecontamNearIndex: band
+    * table + shingle profiles — bench suites change rarely, corpora
+    * arrive forever): each micro-batch of (doc_id, text) shingles
+    * itself, finds candidates via its bands against the broadcast
+    * stored band table, exact-Jaccard-verifies against the broadcast
+    * stored profiles, and commits its per-doc best matches under a
+    * `_SUCCESS`-marked version dir. A doc's hits depend only on the doc
+    * and the frozen index, so the union is batching-invariant and ≡ the
+    * declared q_decontam_near on the same docs (pinned); replay
+    * exactly-once via foreachBatch batchId. */
+  def decontamBatch(batch: DataFrame, indexRoot: String, outDir: String,
+                    batchId: Long): Unit =
+    graft.queries.PipelineOps
+      .scoreStoredDecontam(batch.sparkSession, indexRoot, batch)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+
+  /** Union of all contamination hits committed by [[decontamBatch]]. */
+  def committedContaminations(spark: org.apache.spark.sql.SparkSession,
+                              outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed contamination versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Union of all outlier scores committed by [[outlierBatch]]. */
   def committedOutliers(spark: org.apache.spark.sql.SparkSession,
                         outDir: String): DataFrame = {

@@ -528,6 +528,42 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the scores")
   }
 
+  test("s_decontam_near: streamed hits ≡ the declared key vs stored bench index") {
+    import graft.queries.PipelineOps
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val index = s"$tmp/graft_decontam_near_idx"
+    val out = s"$tmp/graft_decontam_near_out"
+    for (p <- Seq(index, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val isBench = col("doc_id") % 50 === 7
+    PipelineOps.storeDecontamNearIndex(docs.filter(isBench), index)
+    // the declared in-flight key IS the truth for the streamed union —
+    // same corpus split, same arithmetic
+    val want = graft.SparkEntry.queries("q_decontam_near")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = docs.filter(!isBench).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.decontamBatch(b, index, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedContaminations(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed contamination union diverges from the declared key")
+    Streams.decontamBatch(groups.last.toDF("doc_id", "text"), index, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the hits")
+  }
+
   test("s_embed_outliers: streamed scores ≡ batch twin vs stored model, replay-idempotent") {
     import graft.queries.LlmOps
     import graft.sources.Tables
