@@ -623,6 +623,48 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- PERPLEXITY-style quality selection (the CCNet recipe): rank
+    // documents by average per-token log-likelihood under their own
+    // language's unigram model (the NbClassifier grid — fluent text
+    // scores high, gibberish low), keep the most fluent under a 60%
+    // token budget. Quality in exact INT64: fq = 40e6 + floor(avg
+    // per-token llk·1e6) — the +40e6·n_tok shift keeps the dividend
+    // positive (Spark `div` truncates, DuckDB `//` floors; per-token
+    // llk ≥ −40e6 for any corpus below e^40 tokens), bucketed ÷1000 so
+    // the RankedSelection key histogram is bounded by score RESOLUTION
+    // (≤ 40k buckets), never corpus size. Plan: ONE doc_id shuffle for
+    // the scoring sum (anchor-union, grid broadcast — the NbClassifier
+    // discipline), then the no-global-window histogram rank.
+    "q_select_perplexity" -> ((s, d) => {
+      import graft.operators.{InvertedIndex, NbClassifier, RankedSelection}
+      val docs = Tables.documents(s, d)
+      val classes = NbClassifier.classesOf(docs)
+      val (grid, _) = NbClassifier.train(docs, classes)
+      val ownLlk = classes.tail.foldLeft(
+          when(col("lang") === classes.head, col(s"llk_${classes.head}"))) {
+        (acc, c) => acc.when(col("lang") === c, col(s"llk_$c")) }
+      val tokRows = docs.select(col("doc_id"), col("lang"),
+          explode(InvertedIndex.tokens(col("text"))).as("term"))
+        .join(broadcast(grid), Seq("term"))
+        .select(col("doc_id"), ownLlk.as("llk"),
+                lit(null).cast("long").as("n_tok"))
+      val anchors = docs.select(col("doc_id"),
+        lit(null).cast("long").as("llk"),
+        size(InvertedIndex.tokens(col("text"))).cast("long").as("n_tok"))
+      val base = tokRows.unionByName(anchors)
+        .groupBy("doc_id")
+        .agg(sum("llk").as("ssum"), max("n_tok").as("n_tok"))
+        .withColumn("q_bucket", expr(
+          "((coalesce(ssum, 0) + 40000000 * n_tok)" +
+            " div greatest(n_tok, 1)) div 1000"))
+        .select("doc_id", "q_bucket", "n_tok")
+      RankedSelection.budgetSelect(s, base, "doc_id", "q_bucket", "n_tok",
+          0.6)
+        .select(col("doc_id"), col("n_tok"), col("q_bucket"), col("rank"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- balanced shard assignment (tokenizer/training-file sharding:
     // K output files with near-equal token totals): boustrophedon over
     // the (n_tok desc, doc_id) order — rank via the same histogram
@@ -697,6 +739,53 @@ object PipelineOps {
     // unpartitioned window (fine on DuckDB's single node); the Spark
     // side computes the identical integers through the histogram
     // decomposition — the equality IS the interesting assertion.
+    "q_select_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, u.term FROM documents,
+           UNNEST(list_filter(string_split(text, ' '), x -> length(x) > 0))
+             AS u(term)),
+         cnt AS (SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT lang, COUNT(*) AS t FROM toks GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+         grid AS (
+           SELECT tm.term, l.lang,
+             CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                           / CAST(t.t + v.v AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS llk
+           FROM (SELECT DISTINCT term FROM toks) tm
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+           JOIN tot t ON t.lang = l.lang
+           CROSS JOIN v
+           LEFT JOIN cnt c ON c.term = tm.term AND c.lang = l.lang),
+         own AS (
+           SELECT tk.doc_id, CAST(SUM(g.llk) AS BIGINT) AS ssum
+           FROM toks tk
+           JOIN grid g ON g.term = tk.term AND g.lang = tk.lang
+           GROUP BY 1),
+         q AS (
+           SELECT d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tok,
+             COALESCE(o.ssum, 0) AS ssum
+           FROM documents d LEFT JOIN own o ON o.doc_id = d.doc_id),
+         b AS (
+           SELECT doc_id, n_tok,
+             ((ssum + 40000000 * n_tok) // GREATEST(n_tok, 1)) // 1000
+               AS q_bucket
+           FROM q),
+         r AS (
+           SELECT doc_id, n_tok, q_bucket,
+             CAST(ROW_NUMBER() OVER (ORDER BY q_bucket DESC, doc_id)
+               AS BIGINT) AS rank,
+             CAST(SUM(n_tok) OVER (ORDER BY q_bucket DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM b)
+         SELECT doc_id, n_tok, CAST(q_bucket AS BIGINT) AS q_bucket,
+           rank, cum_tokens
+         FROM r
+         WHERE cum_tokens <= CAST(floor(0.6 *
+           (SELECT CAST(SUM(n_tok) AS DOUBLE) FROM b)) AS BIGINT)
+         ORDER BY doc_id""",
     "q_select_budget" ->
       """WITH t AS (SELECT doc_id, n_chars,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -451,6 +451,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cov(4L)._2 === 0L, "sub-5-token doc cannot contain a 5-gram")
   }
 
+  test("q_select_perplexity: dense ranks, increasing cum, budget bound, non-trivial") {
+    import org.apache.spark.sql.functions.sum
+    val out = run("q_select_perplexity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val total = Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val budget = math.floor(0.6 * total.toDouble).toLong
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._4) === (1L to out.length.toLong),
+      "ranks not dense from 1")
+    // cum_tokens is the running sum of n_tok in rank order, within budget
+    var cum = 0L
+    for ((_, nTok, _, _, cumGot) <- byRank) {
+      cum += nTok
+      assert(cumGot === cum)
+    }
+    assert(cum <= budget)
+    // priority order is (quality bucket DESC, doc_id ASC)
+    for (w <- byRank.sliding(2); if w.length == 2)
+      assert(w(0)._3 > w(1)._3 ||
+        (w(0)._3 === w(1)._3 && w(0)._1 < w(1)._1),
+        "rank order violates (q_bucket DESC, doc_id ASC)")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.nonEmpty && out.length < nDocs,
+      "selection is trivial (kept nothing or everything)")
+  }
+
   test("q_boilerplate_at_rest ≡ q_dedup_boilerplate bit-for-bit") {
     // the stored blocklist is built from the same corpus, so the
     // at-rest pass must reproduce the in-flight key exactly — and a
