@@ -125,6 +125,15 @@ object NbClassifier {
       .orderBy("doc_id")
   }
 
+  /** The stored llk grid alone (for consumers that need per-term
+    * scores without the prior row — e.g. perplexity-style fluency
+    * ranking). Classes derive from the llk_ columns as in
+    * [[scoreStored]]. */
+  def storedGrid(s: SparkSession, root: String): DataFrame = {
+    require(exists(s, root), s"no NB model under $root")
+    s.read.parquet(gridDir(root))
+  }
+
   /** Score purely from the stored artifacts — classes derive from the
     * grid's own llk_* schema, so caller and artifact cannot disagree. */
   def scoreStored(s: SparkSession, root: String, docs: DataFrame)
