@@ -251,6 +251,23 @@ object DedupOps {
       kCodes = 32, k = 3)
   }
 
+  /** Mutual edges of the ANN top-3 lists (vec_a < vec_b, approx_d2) —
+    * q_knn_graph's symmetrization applied to annKnnList, shared by
+    * q_knn_graph_ann and q_knn_graph_cluster_ann. The list is
+    * checkpointed once (k·N rows) and symmetrized with the same narrow
+    * (vec_a, vec_b) self-equi-join as the exact graph — no re-scoring. */
+  private def annMutualEdges(s: org.apache.spark.sql.SparkSession,
+                             d: String): DataFrame = {
+    val knn = annKnnList(s, d).localCheckpoint(true)
+    val fwd = knn.select(col("vec_id").as("vec_a"),
+      col("nbr_id").as("vec_b"), col("approx_d2"))
+    val bwd = knn.select(col("vec_id").as("vec_b"),
+      col("nbr_id").as("vec_a"))
+    fwd.join(bwd, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "approx_d2")
+  }
+
   /** The mutual-kNN edge set as DuckDB SQL (brute-force ranked CTE),
     * shared by the q_knn_graph and q_knn_graph_cluster oracles. */
   private val mutualKnnCtes: String =
@@ -630,16 +647,34 @@ object DedupOps {
     // 0.7 against the exact mutual edges on the clustered fixture —
     // where ANN is meaningful — and pins the mutual/symmetry laws on
     // the table). Test-oracled — ANN output is not SQL-replicable.
-    "q_knn_graph_ann" -> ((s, d) => {
-      val knn = annKnnList(s, d).localCheckpoint(true)
-      val fwd = knn.select(col("vec_id").as("vec_a"),
-        col("nbr_id").as("vec_b"), col("approx_d2"))
-      val bwd = knn.select(col("vec_id").as("vec_b"),
-        col("nbr_id").as("vec_a"))
-      fwd.join(bwd, Seq("vec_a", "vec_b"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b", "approx_d2")
-        .orderBy("vec_a", "vec_b")
+    "q_knn_graph_ann" -> ((s, d) =>
+      annMutualEdges(s, d).orderBy("vec_a", "vec_b")),
+
+    // ---- Mutual-kNN graph → cluster decision at ANN grain: the scale
+    // twin of q_knn_graph_cluster. Same DedupCluster fixpoint, but over
+    // the STORED-index SDC mutual edges (annMutualEdges) instead of the
+    // exact kNN graph — so corpus-scale semantic grouping stays
+    // index-bound: the exact form's input alone costs ~100 s at the
+    // 100× replica tier (BENCH_100x q_knn_graph) while the ANN graph
+    // builds in ~5 s there, and the fixpoint cost is identical (it sees
+    // only edges, ~k·N rows either way). Approximation semantics are
+    // inherited from the edge set (recall-bounded vs the exact mutual
+    // graph); the clustering itself is exact CC over those edges —
+    // confluent min-label, deterministic. Test-oracled like its input:
+    // CorpusOpsSpec replays the labels driver-side (union-find over the
+    // q_knn_graph_ann edge set: co-labeled iff connected, cluster_id =
+    // component min, non-edge vertices singleton) and measures
+    // co-membership recall vs the exact clustering on the clustered
+    // fixture, where ANN is meaningful.
+    "q_knn_graph_cluster_ann" -> ((s, d) => {
+      val verts = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+      graft.operators.DedupCluster.clusters(verts,
+          annMutualEdges(s, d)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .withColumn("is_keeper",
+          (col("vec_id") === col("cluster_id")).cast("long"))
+        .orderBy("vec_id")
     }),
 
     // ---- Multimodal binary plumbing: an opaque binary column (here the

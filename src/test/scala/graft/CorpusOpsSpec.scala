@@ -632,4 +632,116 @@ class CorpusOpsSpec extends SparkSpec {
       s"(${gotMutual.size} approx vs ${exactMutual.size} exact edges)")
     assert(recall >= 0.7, s"ANN mutual-edge recall $recall < 0.7")
   }
+
+  test("q_knn_graph_cluster_ann: labels ≡ union-find over the ANN graph (sf0.001)") {
+    // the key's labels must be EXACT connected components of its own
+    // edge set (the approximation lives in the edges, not the CC) —
+    // replay driver-side with union-find over q_knn_graph_ann's edges
+    val edges = run("q_knn_graph_ann").select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id canonical label per component
+    val expect = allIds.groupBy(find).toSeq.flatMap { case (_, members) =>
+      val lbl = members.min; members.toSeq.map(_ -> lbl)
+    }
+    val got = run("q_knn_graph_cluster_ann").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === allIds.length, "not every vector labeled")
+    for ((id, lbl) <- expect) {
+      assert(got(id)._1 === lbl, s"vec $id: label ${got(id)._1} != CC $lbl")
+      assert(got(id)._2 === (if (id == lbl) 1L else 0L), s"is_keeper wrong for $id")
+    }
+    // the fixture must exercise BOTH paths: some real cluster, some singleton
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(touched.nonEmpty, "ANN graph has no edges — degenerate fixture")
+    assert(allIds.exists(!touched(_)), "no singleton exercised")
+  }
+
+  test("ANN graph clustering co-membership recall >= 0.65 on clustered data") {
+    // same fixture + ANN path as the edge-recall test above; here the
+    // DECISION is measured — pairs the exact mutual-graph CC puts in one
+    // cluster should mostly stay co-clustered under the ANN edge set
+    import graft.operators.{DedupCluster, IvfKMeans, SdcKnnJoin}
+    graft.util.Confs.ensureObjectHashHeadroom(spark)
+    import spark.implicits._
+    val dim = 64
+    val pts = for (j <- 0 until 20; i <- 0 until 25) yield {
+      val id = (j * 25 + i).toLong
+      val v = Array.tabulate(dim) { dd =>
+        val center = ((j * 37 + dd * 17) % 101 - 50) / 50.0
+        val noise = ((id * 7919 + dd * 104729) % 997 - 498) / 4000.0
+        center + noise
+      }
+      (id, v)
+    }
+    val raw = pts.toDF("vec_id", "v")
+    val nrmC = graft.functions.VectorExprs.norm(col("v"))
+    val e = raw.select(col("vec_id"),
+        transform(col("v"), x => x / nrmC).as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      .localCheckpoint(true)
+    val cents = IvfKMeans.centroids(
+      e.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(2L)) === 0L),
+      k = 8, iters = 2)
+    val approx = SdcKnnJoin.join(e, cents, k = 3)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annEdges = approx.filter { case (a, b) => a < b && approx((b, a)) }
+      .toSeq.toDF("doc_a", "doc_b")
+    val verts = pts.map(_._1).toDF("doc_id")
+    val gotLbl = DedupCluster.clusters(verts, annEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact mutual graph + CC driver-side from the raw vectors
+    val vs = pts.toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val top3 = vs.map { case (id, v) =>
+      id -> vs.filter(_._1 != id)
+        .map { case (oid, ov) => (cos(v, ov), oid) }
+        .sortBy { case (sc, oid) => (-sc, oid) }.take(3).map(_._2).toSet
+    }.toMap
+    val parent = scala.collection.mutable.Map(vs.map(p => p._1 -> p._1): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for {
+      (a, na) <- top3.toSeq; b <- na
+      if a < b && top3(b)(a)
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exactPairs = (for {
+      pair <- vs.map(_._1).combinations(2)
+      a = pair(0); b = pair(1)
+      if find(a) == find(b)
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(exactPairs.nonEmpty, "degenerate fixture: exact CC all singletons")
+    val kept = exactPairs.count { case (a, b) => gotLbl(a) == gotLbl(b) }
+    val recall = kept.toDouble / exactPairs.size
+    info(f"co-membership recall = $recall%.3f ($kept/${exactPairs.size} pairs)")
+    // threshold is BELOW the 0.7 edge-recall pin by design: co-membership
+    // degrades quadratically in missed edges (one dropped bridge edge
+    // splits a component and loses |A|·|B| pairs at once), so edge
+    // recall r composes to pair recall somewhat under r. Measured 0.680
+    // on this deterministic fixture; 0.65 pins the decision quality
+    // without asserting more than the edge guarantee implies.
+    assert(recall >= 0.65, s"co-membership recall $recall < 0.65")
+  }
 }
