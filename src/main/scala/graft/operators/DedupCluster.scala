@@ -77,7 +77,10 @@ object DedupCluster {
       df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    // an EMPTY pair graph (no near-dups at all — small corpora, strict
+    // thresholds) has no vertices to propagate over: sum() is NULL and
+    // the fixpoint is trivially converged at "everything a singleton"
+    var converged = prevSum == null
     var i = 0
     while (!converged && i < maxIters) {
       // (a) labels flowing one hop along edges, folded with current labels

@@ -153,9 +153,22 @@ object SimHash {
   def clusters(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", b: Int = 4,
                maxHamming: Int = 3): DataFrame = {
+    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
+    clustersFromSignatures(docs.select(col(idCol).as("doc_id")), sig,
+      b, maxHamming)
+  }
+
+  /** The signature-grain CC decision for ANY 64-bit hamming-space
+    * signature frame (doc_id, simhash) — the [[clusters]] body factored
+    * out so other perceptual signatures (e.g. the PHash image dHash)
+    * reuse the banded-candidate + rep-fixpoint machinery unchanged.
+    * `docIds` is the full corpus id frame; ids absent from `sig` stay
+    * singletons (the no-token / no-payload case). `sig` should already
+    * be materialized if its plan is expensive. */
+  def clustersFromSignatures(docIds: DataFrame, sig: DataFrame,
+                             b: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < b,
       s"pigeonhole needs maxHamming($maxHamming) < bands($b) for recall 1")
-    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
     val groups = sig.groupBy("simhash").agg(min("doc_id").as("rep"))
     val repPairs = signaturePairs(sig, b, maxHamming)
       .join(groups.select(col("simhash").as("sig_a"), col("rep").as("doc_a")),
@@ -170,7 +183,7 @@ object SimHash {
       .join(groups, Seq("simhash"))
       .join(repClusters, Seq("rep"))
       .select(col("doc_id"), col("rep_cluster").as("cluster_id"))
-    docs.select(col(idCol).as("doc_id"))
+    docIds
       .join(member, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -762,6 +762,20 @@ object DedupOps {
       boilerplateCoverage(docs, gramRows(docs), s.read.parquet(root))
     }),
 
+    // ---- Perceptual-hash dedup — binary CONTENT drives the decision
+    // (operators/PHash): payload bytes → 9×8 block-average pixel grid
+    // (the stub decode seam; a real cluster swaps in libjpeg + true
+    // resize at the same pure-expression slot) → 63-bit dHash →
+    // SimHash's banded-candidate + rep-grain CC machinery at hamming
+    // ≤ 3. The signature is one map-side pass; all pair work runs per
+    // DISTINCT signature, so re-posted identical images cost nothing
+    // extra. SQL-oracled end-to-end: DuckDB computes the identical
+    // pixels/hash from the same bytes (both grids generated from one
+    // geometry constant) and clusters with the recursive-CC CTE.
+    "q_dedup_phash" -> ((s, d) =>
+      graft.operators.PHash.clusters(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -999,6 +1013,30 @@ object DedupOps {
                                             CAST(b.embedding AS DOUBLE[])), 4)
                >= 0.4
          ORDER BY keep_id, dup_id""",
+    "q_dedup_phash" -> {
+      val sig = graft.operators.PHash.oracleSignatureSql()
+      s"""WITH RECURSIVE sig AS ($sig),
+          np AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id
+               AND bit_count(xor(a.phash, b.phash)) <= 3),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM np
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM np),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT r.src AS doc_id, s.phash,
+                 MIN(r.dst) AS cluster_id,
+                 CAST(r.src = MIN(r.dst) AS BIGINT) AS is_keeper
+          FROM reach r JOIN sig s ON s.doc_id = r.src
+          GROUP BY r.src, s.phash
+          ORDER BY doc_id"""
+    },
+
     "q_multimodal_binary" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

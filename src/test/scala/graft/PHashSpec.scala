@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PHash
+
+/** Perceptual-hash dedup laws. The sf fixtures contain no near-dup
+  * "images" (all payloads distinct and random-ish, so dHashes sit at
+  * hamming ~31), which makes the SQL oracle's differential check
+  * cluster-trivial there — these specs craft corpora that exercise the
+  * non-trivial paths: exact payload copies (one signature, intra-group),
+  * perturbed near-dups (hamming 1–3 across signatures), brightness
+  * invariance, and the all-pairs replay of the banded candidate join. */
+class PHashSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  /** A deterministic ~200-char base payload with enough byte variance
+    * that adjacent pixel comparisons are decisive (no ties). */
+  private def baseText(seed: Int): String =
+    (0 until 200).map { i =>
+      ('a' + ((i * 31 + seed * 17 + (i * i) % 23) % 26)).toChar
+    }.mkString
+
+  private def corpus(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("clusters ≡ brute-force union-find over hamming<=3 signature pairs") {
+    // crafted corpus: 0,1 exact copies; 2 a small perturbation of 0
+    // (few pixels touched); 3..6 distinct; 7 short (<72 bytes); 8 a
+    // copy of the short one
+    val t0 = baseText(1)
+    // flip a couple of characters inside ONE pixel block (block ~2-3
+    // chars at n=200): moves at most a few adjacent comparisons
+    val t2 = t0.updated(10, 'z').updated(11, 'z')
+    val docs = corpus(Seq(
+      0L -> t0, 1L -> t0, 2L -> t2,
+      3L -> baseText(2), 4L -> baseText(3), 5L -> baseText(4),
+      6L -> baseText(5), 7L -> "tiny payload", 8L -> "tiny payload"))
+    val sig = PHash.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.size === 9)
+    // brute-force union-find at hamming <= 3
+    val parent = scala.collection.mutable.Map(sig.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    for {
+      a <- sig.keys; b <- sig.keys
+      if a < b &&
+        java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = PHash.clusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((id, h) <- sig) {
+      val comp = sig.keys.filter(k => find(k) == find(id))
+      assert(got(id)._1 === h, s"phash mismatch for $id")
+      assert(got(id)._2 === comp.min, s"cluster label for $id")
+      assert(got(id)._3 === (if (id == comp.min) 1L else 0L))
+    }
+    // the fixture must actually exercise the paths it claims to
+    assert(sig(0L) === sig(1L), "exact copies must share a signature")
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) <= 3 &&
+           sig(0L) != sig(2L),
+      "perturbed doc must be a CROSS-signature near-dup (hamming 1..3)")
+    assert(got(2L)._2 === 0L, "near-dup not clustered with its source")
+    assert(got(3L)._2 === 3L && got(3L)._3 === 1L, "distinct doc not singleton")
+    assert(got(8L)._2 === 7L, "short exact copies not clustered")
+  }
+
+  test("dHash is invariant to uniform brightness shift (the property that makes it perceptual)") {
+    // pixel p = blockAvg(bytes); shifting EVERY byte by +1 shifts every
+    // pixel by +1 (exactly — integer mean of (x_i + 1) = mean(x_i) + 1
+    // when the block divides evenly... and in general because
+    // sum+len div len = sum div len + 1), leaving every < comparison,
+    // hence the hash, unchanged — the analog of an image brightness
+    // bump, which dHash is designed to survive.
+    val t = baseText(9)
+    val shifted = t.map(c => (c + 1).toChar)
+    val docs = corpus(Seq(100L -> t, 101L -> shifted))
+    val sig = PHash.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(100L) === sig(101L),
+      "brightness-shifted payload changed the dHash")
+    assert(sig(100L) !== 0L, "degenerate all-zero hash")
+  }
+
+  test("sf0.001: every doc labeled, hash non-negative (63-bit), keeper law") {
+    val out = SparkEntry.queries("q_dedup_phash")(spark, sf0001).collect()
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(out.length.toLong === n)
+    for (r <- out) {
+      assert(r.getLong(1) >= 0L, "phash used bit 63")
+      assert(r.getLong(2) <= r.getLong(0), "cluster_id must be component min")
+      assert(r.getLong(3) === (if (r.getLong(0) == r.getLong(2)) 1L else 0L))
+    }
+  }
+}
