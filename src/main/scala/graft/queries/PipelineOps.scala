@@ -672,6 +672,66 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram-backoff perplexity selection — the n-gram-LM form of
+    // the CCNet recipe (q_select_perplexity scores under a unigram NB
+    // grid; CCNet's actual filter is an n-gram LM): rank docs by average
+    // per-bigram log-likelihood under an interpolated bigram/unigram
+    // corpus model, p(w2|w1) = 0.7·n2/n1 + 0.3·(cnt(w2)+1)/(T+V) —
+    // MLE bigram backed off to the add-one-smoothed unigram so unseen-
+    // context mass never zeroes the log. Same determinism discipline as
+    // the NB grid: ONE ln per DISTINCT bigram, rounded to integer
+    // micro-nats (both engines compute the identical IEEE expression),
+    // then exact INT64 everywhere — per-doc fq = (ssum + 40e6·n_bg) div
+    // n_bg (the +shift keeps Spark div ≡ DuckDB // on any corpus below
+    // e^40 tokens), bucketed ÷1000 for the RankedSelection histogram.
+    // Plan: counts are map-side-combinable aggs; the model GRID is
+    // distinct-bigram-sized and joins occurrences by (w1, w2) equi-join
+    // (never broadcast — vocabulary² can exceed memory; the stats row
+    // alone broadcasts); ONE doc_id shuffle for scoring (anchor-union);
+    // no global window (histogram rank).
+    "q_select_perplexity_bigram" -> ((s, d) => {
+      import graft.operators.RankedSelection
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      val bg = toks.filter(size(col("l")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val uni = toks.select(explode(col("l")).as("w2"))
+      val cnt = uni.groupBy("w2").agg(count(lit(1)).as("cnt"))
+      val stats = uni.agg(count(lit(1)).as("t"),
+        countDistinct(col("w2")).as("v"))
+      val p = lit(0.7) * (col("n2").cast("double") / col("n1").cast("double")) +
+        lit(0.3) * ((col("cnt") + lit(1)).cast("double") /
+                    (col("t") + col("v")).cast("double"))
+      val grid = c2.join(c1, Seq("w1")).join(cnt, Seq("w2"))
+        .crossJoin(broadcast(stats))
+        .select(col("w1"), col("w2"),
+          round(log(p) * lit(1000000.0)).cast("long").as("llk2"))
+      val scored = bg.join(grid, Seq("w1", "w2"))
+        .select(col("doc_id"), col("llk2").as("llk"),
+          lit(null).cast("long").as("n_tok"))
+      val anchors = docs.select(col("doc_id"),
+        lit(null).cast("long").as("llk"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val base = scored.unionByName(anchors)
+        .groupBy("doc_id")
+        .agg(sum("llk").as("ssum"), max("n_tok").as("n_tok"))
+        .withColumn("n_bg", greatest(col("n_tok") - 1, lit(0L)))
+        .withColumn("q_bucket", expr(
+          "((coalesce(ssum, 0) + 40000000 * n_bg)" +
+            " div greatest(n_bg, 1)) div 1000"))
+        .select("doc_id", "q_bucket", "n_tok")
+      RankedSelection.budgetSelect(s, base, "doc_id", "q_bucket", "n_tok",
+          0.6)
+        .select(col("doc_id"), col("n_tok"), col("q_bucket"), col("rank"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- balanced shard assignment (tokenizer/training-file sharding:
     // K output files with near-equal token totals): boustrophedon over
     // the (n_tok desc, doc_id) order — rank via the same histogram
@@ -779,6 +839,56 @@ object PipelineOps {
            SELECT doc_id, n_tok,
              ((ssum + 40000000 * n_tok) // GREATEST(n_tok, 1)) // 1000
                AS q_bucket
+           FROM q),
+         r AS (
+           SELECT doc_id, n_tok, q_bucket,
+             CAST(ROW_NUMBER() OVER (ORDER BY q_bucket DESC, doc_id)
+               AS BIGINT) AS rank,
+             CAST(SUM(n_tok) OVER (ORDER BY q_bucket DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM b)
+         SELECT doc_id, n_tok, CAST(q_bucket AS BIGINT) AS q_bucket,
+           rank, cum_tokens
+         FROM r
+         WHERE cum_tokens <= CAST(floor(0.6 *
+           (SELECT CAST(SUM(n_tok) AS DOUBLE) FROM b)) AS BIGINT)
+         ORDER BY doc_id""",
+    "q_select_perplexity_bigram" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         bg AS (
+           SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+           FROM (SELECT * FROM tok WHERE len(l) >= 2) t,
+                UNNEST(range(1, len(l))) AS u(i)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+         uni AS (SELECT u.w2 AS w2 FROM tok, UNNEST(l) AS u(w2)),
+         cnt AS (SELECT w2, COUNT(*) AS cnt FROM uni GROUP BY 1),
+         st AS (SELECT COUNT(*) AS t, COUNT(DISTINCT w2) AS v FROM uni),
+         grid AS (
+           SELECT c2.w1, c2.w2,
+             CAST(round(ln(
+               CAST(0.7 AS DOUBLE)
+                 * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE)
+                 * (CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS llk2
+           FROM c2 JOIN c1 ON c2.w1 = c1.w1
+                   JOIN cnt ON c2.w2 = cnt.w2
+                   CROSS JOIN st),
+         own AS (
+           SELECT bg.doc_id, CAST(SUM(g.llk2) AS BIGINT) AS ssum
+           FROM bg JOIN grid g ON g.w1 = bg.w1 AND g.w2 = bg.w2
+           GROUP BY 1),
+         q AS (
+           SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+             COALESCE(o.ssum, 0) AS ssum
+           FROM documents d LEFT JOIN own o ON o.doc_id = d.doc_id),
+         b AS (
+           SELECT doc_id, n_tok,
+             ((ssum + 40000000 * GREATEST(n_tok - 1, 0))
+               // GREATEST(n_tok - 1, 1)) // 1000 AS q_bucket
            FROM q),
          r AS (
            SELECT doc_id, n_tok, q_bucket,
