@@ -65,6 +65,11 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", statePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // output_rows is summed from recentProgress, which retains only
+      // this many entries — keep retention far above any batch count
+      // this bench produces (and assert below) so the sum never
+      // silently undercounts
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -92,47 +97,53 @@ object BenchStream {
       try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
       finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
+      val nb = q.lastProgress.batchId + 1
+      require(nb < 1000,
+        s"$nb micro-batches exceeds progress retention — output_rows would undercount")
       val out = q.recentProgress.iterator
         .map(p => p.sink.numOutputRows).filter(_ > 0).sum
-      KeyResult(wall, q.lastProgress.batchId + 1,
-        corpus.size.toLong + flush.size, out)
+      KeyResult(wall, nb, corpus.size.toLong + flush.size, out)
     }
 
-    val results = Seq(
-      "s_join_stream_stream" -> drive(m => {
+    // entries are THUNKS so the key filter below can skip a key without
+    // paying its setup or run (the Bench.scala SPARK_GRAFT_BENCH_KEYS
+    // pattern — targeted re-measurement writes its own artifact via
+    // SPARK_GRAFT_STREAM_OUT and never clobbers the canonical file)
+    val results: Seq[(String, () => KeyResult)] = Seq(
+      "s_join_stream_stream" -> (() => drive(m => {
         val src = m.toDF()
         Streams.viewPurchaseJoin(
           src.filter(col("event_type") === "view"),
           src.filter(col("event_type") === "purchase"))
-      }, "append"),
-      "s_stateful_counter" -> drive(m =>
-        Streams.statefulCounter(m.toDS()).toDF(), "update"),
+      }, "append")),
+      "s_stateful_counter" -> (() => drive(m =>
+        Streams.statefulCounter(m.toDS()).toDF(), "update")),
       // the SAME stateful counter on the RocksDB provider with CHANGELOG
       // checkpointing — the state backend the 100-TB story depends on
       // (per-batch deltas, state off-heap, no full snapshots). Running it
       // against the identical corpus makes backend cost a measured DELTA
       // vs the HDFS-backed default above, not a correctness-only claim.
-      "s_state_rocksdb" ->
+      "s_state_rocksdb" -> (() =>
         onRocksDb(spark)(
-          drive(m => Streams.statefulCounter(m.toDS()).toDF(), "update")),
+          drive(m => Streams.statefulCounter(m.toDS()).toDF(), "update"))),
       // the stream-stream JOIN on RocksDB+changelog — the heaviest state
       // shape (4 stores per partition, both sides buffered to the
       // watermark) on the backend a 100-TB deployment runs; paired with
       // the HDFS-backed flagship row above, join-state backend cost is a
       // measured delta too, not just the counter's
-      "s_join_rocksdb" ->
+      "s_join_rocksdb" -> (() =>
         onRocksDb(spark)(drive(m => {
           val src = m.toDF()
           Streams.viewPurchaseJoin(
             src.filter(col("event_type") === "view"),
             src.filter(col("event_type") === "purchase"))
-        }, "append")),
+        }, "append"))),
       // the LLM-side stateful key: running per-content multiplicity
       // (softDedup — one long of state per distinct content, sha2 keys)
       // over a 4×-duplicated document corpus, the ingest-dedup shape of
       // a crawl pipeline. Output rows ≡ input rows (every doc emits its
       // ordinal) — an exact invariant like the join's pair count.
-      "s_dedup_soft" -> {
+      "s_dedup_soft" -> (() => {
         val nDocs = 100000
         val docCorpus: Vector[(Long, String)] = (0 until nDocs).iterator
           .map { k =>
@@ -153,15 +164,174 @@ object BenchStream {
         val out = q.recentProgress.iterator
           .map(p => p.sink.numOutputRows).filter(_ > 0).sum
         KeyResult(wall, q.lastProgress.batchId + 1, nDocs.toLong, out)
+      }))
+
+    // ---- the AT-REST INGEST family: foreachBatch streams scoring
+    // against STORED artifacts (model/blocklist/index built once at
+    // setup, outside the timed window — artifacts change rarely, ingest
+    // never stops). The 100-TB streaming claim for these keys is
+    // O(batch) work per micro-batch, never O(corpus); these rows turn
+    // that claim into measured docs/s. Output rows are counted from the
+    // committed parquet itself (foreachBatch sinks report -1 through
+    // progress), so the artifact records what a downstream reader
+    // actually sees.
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    def clean(ps: String*): Unit = ps.foreach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    }
+    def driveForeach[T <: Product](
+        data: Seq[T], cols: Seq[String],
+        fn: (org.apache.spark.sql.DataFrame, Long) => Unit,
+        countOut: () => Long)(
+        implicit ev: org.apache.spark.sql.Encoder[T]): KeyResult = {
+      val bs = data.grouped(math.max(1, data.size / nBatches)).toSeq
+      val mem = MemoryStream[T](spark)
+      val t0 = System.nanoTime()
+      val q = mem.toDF().toDF(cols: _*).writeStream
+        .foreachBatch(fn).start()
+      try bs.foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      KeyResult(wall, q.lastProgress.batchId + 1, data.size.toLong,
+        countOut())
+    }
+
+    // deterministic ingest corpus: 4 exact copies per distinct text
+    // (the s_dedup_soft crawl shape), lang striped for the classifier.
+    // Distinct texts draw 12 tokens from a 60k pseudo-random vocabulary
+    // so UNRELATED docs share ~no shingles (cross-text J ≈ 0, like a
+    // real crawl). The first cut reused the s_dedup_soft filler
+    // sentence, whose distinct texts differ in 2 of 12 tokens — every
+    // cross pair sat at J ≈ 0.4, banding collapsed (P(collide) ≈ 0.75)
+    // and the "dedup" keys spent 40 s/batch exact-verifying ~10M
+    // candidate pairs that no real corpus would produce. A bench corpus
+    // must model the SEPARATION structure, not just the duplication
+    // structure.
+    val nIngest = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "100000").toInt
+    val nDistinct = math.max(1, nIngest / 4)
+    def tok(b: Int, i: Int): String =
+      s"w${(b.toLong * 131 + i * 31 + (b.toLong * i) % 17) % 60013}"
+    def cleanText(b: Int): String =
+      (0 until 12).map(i => tok(b, i)).mkString(" ")
+    val ingestDocs: Vector[(Long, String)] = (0 until nIngest).iterator
+      .map(k => (k.toLong, cleanText(k % nDistinct))).toVector
+    val langDocs: Vector[(Long, String, String)] =
+      ingestDocs.map { case (id, t) => (id, s"l${id % 5}", t) }
+    // boilerplate corpus: same separated texts, plus a SHARED 7-token
+    // boilerplate prefix on every 5th doc — the blocklist is then the
+    // prefix grams (flagged path) while the other docs stay clean, the
+    // realistic mixture (the filler corpus made EVERY gram common)
+    val boilerDocs: Vector[(Long, String)] = ingestDocs.map { case (id, t) =>
+      (id, if (id % 5 == 0) s"terms of service all rights reserved inc $t"
+           else t)
+    }
+    // deterministic 64-dim vectors (the CorpusOpsSpec fixture formula)
+    val nVec = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECS", "100000").toInt
+    val vecs: Vector[(Long, Seq[Double])] = (0 until nVec).iterator.map { k =>
+      (k.toLong, (0 until 64).map { dd =>
+        ((k % 20) * 37 + dd * 17) % 101 / 50.0 - 1.0 +
+          ((k.toLong * 7919 + dd * 104729) % 997 - 498) / 4000.0
       })
+    }.toVector
+    val refDocs = ingestDocs.take(math.max(1, nIngest / 5))
+
+    val ingestResults: Seq[(String, () => KeyResult)] = Seq(
+      "s_classify_nb" -> (() => {
+        val model = s"$tmpDir/graft_bench_nb_model"
+        val out = s"$tmpDir/graft_bench_nb_out"
+        clean(model, out)
+        graft.operators.NbClassifier.store(
+          langDocs.take(refDocs.size).toDF("doc_id", "lang", "text"), model)
+        driveForeach(langDocs, Seq("doc_id", "lang", "text"),
+          (b, id) => Streams.classifyBatch(b, model, out, id),
+          () => Streams.committedPredictions(spark, out).count())
+      }),
+      "s_boilerplate" -> (() => {
+        val block = s"$tmpDir/graft_bench_boiler_block"
+        val out = s"$tmpDir/graft_bench_boiler_out"
+        clean(block, out)
+        graft.queries.DedupOps.commonGrams(
+            graft.queries.DedupOps.gramRows(
+              boilerDocs.take(refDocs.size).toDF("doc_id", "text")),
+            minDocs = 2)
+          .write.mode("overwrite").parquet(block)
+        driveForeach(boilerDocs, Seq("doc_id", "text"),
+          (b, id) => Streams.boilerplateBatch(b, block, out, id),
+          () => Streams.committedBoilerplate(spark, out).count())
+      }),
+      "s_decontam_near" -> (() => {
+        val idx = s"$tmpDir/graft_bench_decontam_idx"
+        val out = s"$tmpDir/graft_bench_decontam_out"
+        clean(idx, out)
+        // suite-sized bench: every 500th corpus doc verbatim, so hits
+        // exist and the exact-Jaccard verify path is exercised
+        graft.queries.PipelineOps.storeDecontamNearIndex(
+          ingestDocs.filter(_._1 % 500 == 0)
+            .map { case (id, t) => (id + 10000000L, t) }
+            .toDF("doc_id", "text"), idx)
+        driveForeach(ingestDocs, Seq("doc_id", "text"),
+          (b, id) => Streams.decontamBatch(b, idx, out, id),
+          () => Streams.committedContaminations(spark, out).count())
+      }),
+      "s_cluster_assign" -> (() => {
+        val cents = s"$tmpDir/graft_bench_cluster_cents"
+        val out = s"$tmpDir/graft_bench_cluster_out"
+        clean(cents, out)
+        graft.operators.IvfKMeans.centroids(
+            vecs.take(20000).toDF("vec_id", "v").withColumn("nrm",
+              graft.functions.VectorExprs.norm(col("v"))),
+            k = 8, iters = 2)
+          .write.mode("overwrite").parquet(cents)
+        driveForeach(vecs, Seq("vec_id", "v"),
+          (b, id) => Streams.clusterAssign(b, cents, out, id),
+          () => Streams.committedAssignments(spark, out).count())
+      }),
+      "s_text_index_ingest" -> (() => {
+        val root = s"$tmpDir/graft_bench_textindex"
+        clean(root)
+        // backfill = the reference slice; the stream appends the rest
+        graft.operators.InvertedIndex.build(
+          refDocs.toDF("doc_id", "text"), root)
+        val rest = ingestDocs.drop(refDocs.size)
+        driveForeach(rest, Seq("doc_id", "text"),
+          (b, id) => Streams.textIndexIngest(b, root, id),
+          () => spark.read.parquet(s"$root/postings").count())
+      }),
+      "s_dedup_index" -> (() => {
+        val root = s"$tmpDir/graft_bench_dedupindex"
+        val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"
+        clean(root, pairs)
+        // empty backfill: this stream IS the corpus from scratch. Capped
+        // below the other keys by default: each batch queries the index
+        // built SO FAR, so total work grows with corpus × batches — the
+        // honest cost structure of continuous dedup, measured as-is.
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_DEDUP_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.DedupIndex.build(
+          graft.Graft.shingleRows(
+            docsN.take(1).toDF("doc_id", "text").filter(lit(false)),
+            "doc_id", "text", n = 3), root)
+        driveForeach(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.dedupIndexIngest(b, root, pairs, id),
+          () => Streams.committedPairs(spark, pairs).count())
+      }))
+
+    val keyFilter = sys.env.get("SPARK_GRAFT_STREAM_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val allResults = (results ++ ingestResults)
+      .filter { case (k, _) => keyFilter.forall(_(k)) }
+      .map { case (k, f) => k -> f() }
+    require(allResults.nonEmpty,
+      s"SPARK_GRAFT_STREAM_KEYS matched no stream bench keys: $keyFilter")
 
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, r) =>
+    val qs = allResults.map { case (k, r) =>
       s""""$k":{"wall_sec":${fmt(r.wallSec)},"micro_batches":${r.microBatches},""" +
         s""""input_rows":${r.inputRows},"rows_per_sec":${fmt(r.inputRows / r.wallSec)},""" +
         s""""output_rows":${r.outputRows}}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.wallSec).sum
+    val total = allResults.map(_._2.wallSec).sum
     val line =
       s"""{"metric":"stream_total","value":${fmt(total)},"unit":"sec","pairs":$nPairs,"queries":$qs}"""
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO",

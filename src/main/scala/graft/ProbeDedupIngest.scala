@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: phase-level timing of ONE dedup-index ingest batch
+  * against a large stored index — used to find where the s_dedup_index
+  * bench's per-batch seconds actually go (guessing twice failed:
+  * neither the triple signature pass nor the small-file open cost moved
+  * the wall). Not part of the declared surface. */
+object ProbeDedupIngest {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.{DedupIndex, MinHashLSH}
+
+    def docAt(k: Int): (Long, String) = {
+      val base = k % 10000
+      (k.toLong, s"crawl snapshot body $base with stable filler tokens " +
+        s"for realistic width ${base % 97}")
+    }
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = s"$tmp/graft_probe_dedupindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // backfill: 39k docs in ONE ingest partition (file layout is not the
+    // suspect per the coalesce test — build it in one shot)
+    val backfill = (0 until 39000).map(docAt).toDF("doc_id", "text")
+    t("backfill build") {
+      DedupIndex.build(graft.Graft.shingleRows(backfill, "doc_id", "text",
+        n = 3), root)
+    }
+
+    val batch = (39000 until 40000).map(docAt).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    for (round <- 1 to 2) {
+      println(s"[probe] ---- round $round")
+      val sh = t("shingle+ckpt") {
+        graft.Graft.shingleRows(batch, "doc_id", "text", n = 3)
+          .localCheckpoint(true)
+      }
+      val bd = t("bands+ckpt") {
+        MinHashLSH.bands(MinHashLSH.signatures(sh, 16), 8, 2)
+          .localCheckpoint(true)
+      }
+      val pf = t("profiles+ckpt") { DedupIndex.profiles(sh).localCheckpoint(true) }
+      t("within pairs") {
+        graft.queries.DedupOps
+          .jaccardPairs(sh, Some(MinHashLSH.candidatePairsFromBands(bd)))
+          .filter(col("jaccard_raw") >= 0.8).count()
+      }
+      val cross = t("queryPrepared plan+exec") {
+        DedupIndex.queryPrepared(spark, root, bd, pf)
+      }
+      t("cross count") { cross.count() }
+      t("append write") { DedupIndex.writePrepared(bd, pf, root, round.toLong) }
+    }
+    spark.stop()
+  }
+}

@@ -66,7 +66,7 @@ object DedupIndex {
 
   /** Per-doc profile rows (doc_id, ss: sorted shingle array, n_sh) from
     * (doc_id, shingle) rows — the exact-verify artifact. */
-  private def profiles(shingleRows: DataFrame): DataFrame =
+  private[graft] def profiles(shingleRows: DataFrame): DataFrame =
     shingleRows.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("ss"),
            count(lit(1)).as("n_sh"))
@@ -96,14 +96,38 @@ object DedupIndex {
   }
 
   private def writeRows(shingleRows: DataFrame, root: String,
-                        ingestId: Long, k: Int, b: Int, r: Int): Unit = {
-    val bd = MinHashLSH.bands(MinHashLSH.signatures(shingleRows, k), b, r)
+                        ingestId: Long, k: Int, b: Int, r: Int): Unit =
+    writePrepared(MinHashLSH.bands(MinHashLSH.signatures(shingleRows, k),
+      b, r), profiles(shingleRows), root, ingestId)
+
+  /** [[append]] from PRECOMPUTED (bands, profiles) frames — the ingest
+    * path computes them once per batch and shares them across the
+    * within-batch pairing, the stored-index query, and this write.
+    *
+    * FILE-COUNT discipline (the small-file problem, measured): every
+    * batch's queryBatch re-scans the whole stored index, and Spark pays
+    * a per-FILE open cost (openCostInBytes bin-packing, footer read,
+    * stream open) — with shuffle-partition-many files per ingest the
+    * 40k-doc stream bench degraded to ~16 s/batch by batch 40, ~7 s of
+    * which was just opening ~700 accumulated small files per scan. So:
+    * the BACKFILL (ingest 0, corpus-sized) keeps the band_idx
+    * repartition for parallel scan bandwidth, while INCREMENTS (batch-
+    * sized by the queryBatch→append contract) each write ONE band file
+    * and ONE profile file, globally sorted on the probe key so row-group
+    * min/max pruning still applies. A long-running deployment
+    * additionally compacts old increments into the backfill partition —
+    * same answer, bounded file count. */
+  private[graft] def writePrepared(bd: DataFrame, pf: DataFrame,
+                                   root: String, ingestId: Long): Unit = {
     // sorted on the probe key: bucket lookups skip row groups via
     // parquet min/max stats instead of scanning every band file
-    bd.repartition(col("band_idx"))
-      .sortWithinPartitions("band_idx", "band_hash")
+    val bands =
+      if (ingestId == 0L) bd.repartition(col("band_idx"))
+      else bd.repartition(1)
+    bands.sortWithinPartitions("band_idx", "band_hash")
       .write.mode("overwrite").parquet(s"${bandsDir(root)}/ingest=$ingestId")
-    profiles(shingleRows).write.mode("overwrite")
+    val profs = if (ingestId == 0L) pf else pf.coalesce(1)
+    profs.write.mode("overwrite")
       .parquet(s"${profilesDir(root)}/ingest=$ingestId")
   }
 
@@ -131,12 +155,27 @@ object DedupIndex {
     //                    of pairs; doc count alone would still OOM the
     //                    driver — the round-10 review catch)
     val batchSh = batchShingles.localCheckpoint(true)
-    val nBatch = batchSh.select("doc_id").distinct().count()
+    queryPrepared(s, root,
+      MinHashLSH.bands(MinHashLSH.signatures(batchSh, k), b, r),
+      profiles(batchSh), threshold, docBroadcastLimit, pairBroadcastLimit)
+  }
+
+  /** [[queryBatch]] from PRECOMPUTED (bands, profiles) frames — pass
+    * checkpointed frames (the ingest path shares one band/profile pass
+    * across three consumers; an unmaterialized plan here would re-run
+    * the signature aggregation for the two size-fact counts). */
+  private[graft] def queryPrepared(s: SparkSession, root: String,
+                                   batchBandsRaw: DataFrame,
+                                   batchProfiles: DataFrame,
+                                   threshold: Double = 0.8,
+                                   docBroadcastLimit: Long = 20000L,
+                                   pairBroadcastLimit: Long = 100000L)
+      : DataFrame = {
+    // profiles are one row per (shingled) doc, so this IS the doc count
+    val nBatch = batchProfiles.count()
     def docSized(df: DataFrame): DataFrame =
       if (nBatch <= docBroadcastLimit) broadcast(df) else df
-    val batchBands =
-      MinHashLSH.bands(MinHashLSH.signatures(batchSh, k), b, r)
-        .withColumnRenamed("doc_id", "batch_doc")
+    val batchBands = batchBandsRaw.withColumnRenamed("doc_id", "batch_doc")
     // candidate generation: batch bands broadcast (increment) or
     // shuffled (backfill), stored bands stream either way
     val cands = s.read.parquet(bandsDir(root))
@@ -150,7 +189,7 @@ object DedupIndex {
     // exact verify: candidates (pair-bounded) against the stored
     // profiles; batch profiles computed in flight
     val verified = cands
-      .join(profiles(batchSh)
+      .join(batchProfiles
               .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
                       col("n_sh").as("n_a")), Seq("batch_doc"))
     s.read.parquet(profilesDir(root))

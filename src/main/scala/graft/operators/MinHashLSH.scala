@@ -62,7 +62,16 @@ object MinHashLSH {
   def candidatePairs(shingleRows: DataFrame, k: Int = 16, b: Int = 8,
                      r: Int = 2): DataFrame = {
     require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
-    val bd = bands(signatures(shingleRows, k), b, r)
+    candidatePairsFromBands(bands(signatures(shingleRows, k), b, r))
+  }
+
+  /** [[candidatePairs]] from a PRECOMPUTED band table — for callers that
+    * already hold (and typically checkpointed) the bands because several
+    * consumers share them (the dedup-index ingest path computes bands
+    * once per batch for within-batch pairing, the stored-index query,
+    * AND the append — re-deriving signatures per consumer tripled the
+    * most expensive stage of the batch). */
+  def candidatePairsFromBands(bd: DataFrame): DataFrame = {
     val left = bd.select(col("doc_id").as("doc_a"), col("band_idx"),
                          col("band_hash"))
     val right = bd.select(col("doc_id").as("doc_b"), col("band_idx"),

@@ -756,10 +756,15 @@ object DedupOps {
     "q_boilerplate_at_rest" -> ((s, d) => {
       val root = Scans.scratch("boilerblock", s, d)
       val docs = Tables.documents(s, d)
-      if (!blocklistExists(s, root))
-        commonGrams(gramRows(docs), minDocs = 2)
-          .write.mode("overwrite").parquet(root)
-      boilerplateCoverage(docs, gramRows(docs), s.read.parquet(root))
+      if (!blocklistExists(s, root)) {
+        // cold path: the gram explode feeds BOTH the blocklist build and
+        // the coverage pass — checkpoint it once (the q_dedup_boilerplate
+        // discipline) instead of exploding the corpus twice
+        val g = gramRows(docs).localCheckpoint(true)
+        commonGrams(g, minDocs = 2).write.mode("overwrite").parquet(root)
+        boilerplateCoverage(docs, g, s.read.parquet(root))
+      } else
+        boilerplateCoverage(docs, gramRows(docs), s.read.parquet(root))
     }),
 
     // ---- Perceptual-hash dedup — binary CONTENT drives the decision

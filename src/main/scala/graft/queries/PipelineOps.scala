@@ -26,16 +26,6 @@ import graft.sources.Tables
   */
 object PipelineOps {
 
-  /** The near-dup dedup DECISION frame (doc_id, cluster_id, is_keeper),
-    * shared by q_dedup_cluster and q_dedup_soft_cluster: cluster_id =
-    * min reachable doc_id through the exact (prefix-filtered) J >= 0.8
-    * pair graph. Runs at CONTENT grain (DedupOps.grainedNearDup):
-    * identical texts form cliques, so the CC fixpoint iterates over the
-    * distinct-text rep graph and members inherit their rep's component
-    * afterwards — rep = min(group), so the component minimum is the min
-    * rep and every label matches the full-grain run exactly. Members of
-    * a zero-shingle group stay singletons (they never enter the pair
-    * graph), matching the full-grain behavior. */
   /** FUZZY-decontamination index AT REST — the stored face of
     * q_decontam_near, shared with the s_decontam_near stream: the bench
     * suite's MinHash BAND table (candidate generation) and exact shingle
@@ -106,6 +96,16 @@ object PipelineOps {
               col("m.jaccard").as("best_jaccard"), col("n_bench_hits"))
   }
 
+  /** The near-dup dedup DECISION frame (doc_id, cluster_id, is_keeper),
+    * shared by q_dedup_cluster and q_dedup_soft_cluster: cluster_id =
+    * min reachable doc_id through the exact (prefix-filtered) J >= 0.8
+    * pair graph. Runs at CONTENT grain (DedupOps.grainedNearDup):
+    * identical texts form cliques, so the CC fixpoint iterates over the
+    * distinct-text rep graph and members inherit their rep's component
+    * afterwards — rep = min(group), so the component minimum is the min
+    * rep and every label matches the full-grain run exactly. Members of
+    * a zero-shingle group stay singletons (they never enter the pair
+    * graph), matching the full-grain behavior. */
   private def dedupClusterFrame(s: org.apache.spark.sql.SparkSession,
                                 d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -299,8 +299,16 @@ object PipelineOps {
     // come from the asymmetric MinHash band join (corpus bands ⋈
     // bench bands — the bench side is suite-sized, so at 100 TB it
     // broadcasts and the corpus never shuffles for candidates), then
-    // EXACT Jaccard verification on the candidate pairs only, so the
-    // output equals the exhaustive cross-Jaccard oracle. Per corpus doc:
+    // EXACT Jaccard verification on the candidate pairs only. Unlike
+    // the PrefixFilter keys, MinHash banding has NO coverage theorem:
+    // a J ≥ 0.8 pair collides in ≥1 of the (k=16, b=8, r=2) bands with
+    // p ≈ 1 − (1 − 0.8²)⁸ ≈ 0.9997 — near-certain but not certain, the
+    // q_dedup_minhash caveat. Misses here are safety-relevant (a missed
+    // band collision silently drops a contamination hit), so a stricter
+    // deployment raises b (more bands of fewer rows) at linear band-row
+    // cost; the SQL-oracle equality below holds on the fixtures and is
+    // re-checked by the driver every round rather than guaranteed by
+    // construction. Per corpus doc:
     // its best-matching bench doc (max jaccard, tie → min bench id) and
     // how many bench docs it collides with.
     "q_decontam_near" -> ((s, d) => {

@@ -542,11 +542,20 @@ object Streams {
       s"no dedup index under $root — build the backfill first (may be empty)")
     val sh = graft.Graft.shingleRows(batch, "doc_id", "text", n = 3)
       .localCheckpoint(true)
+    // ONE band pass + ONE profile pass per batch, shared by all three
+    // consumers (within-batch candidates, the stored-index query, and
+    // the append below). Before this the signature aggregation — the
+    // most expensive per-batch stage — ran three times and the profile
+    // groupBy twice; sharing them cut the s_dedup_index bench batch
+    // cost by the two redundant passes.
+    val bd = MinHashLSH.bands(MinHashLSH.signatures(sh, 16), b = 8, r = 2)
+      .localCheckpoint(true)
+    val pf = DedupIndex.profiles(sh).localCheckpoint(true)
     val within = graft.queries.DedupOps
-      .jaccardPairs(sh, Some(MinHashLSH.candidatePairs(sh)))
+      .jaccardPairs(sh, Some(MinHashLSH.candidatePairsFromBands(bd)))
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val cross = DedupIndex.queryBatch(s, root, sh)
+    val cross = DedupIndex.queryPrepared(s, root, bd, pf)
       // replay guard: a re-delivered batch is already IN the index; its
       // own rows must not match themselves (batch ids are batch-bounded
       // — the broadcast is the same size class as queryBatch's own)
@@ -558,7 +567,7 @@ object Streams {
     within.unionByName(cross)
       .write.mode("overwrite").parquet(versionDir(pairsDir, batchId))
     // ingest ids start at 1: 0 is the backfill's partition
-    DedupIndex.append(sh, root, ingestId = batchId + 1)
+    DedupIndex.writePrepared(bd, pf, root, ingestId = batchId + 1)
   }
 
   /** s_knn_index_ingest — continuous ANN index maintenance, the

@@ -80,7 +80,7 @@ class PlanShapeSpec extends SparkSpec {
     val idCols = "(id_a|id_b|keep_id|dup_id|doc_a|doc_b|vec_a|vec_b|u_id|v_id)#".r
     for (name <- Seq("q_dedup_simhash", "q_dedup_minhash", "q_dedup_near",
                      "q_dedup_embed", "q_sim_join", "q_dedup_containment",
-                     "q_dedup_semantic")) {
+                     "q_dedup_semantic", "q_dedup_phash")) {
       val bad = plan(name).linesIterator
         .filter(_.contains("BroadcastNestedLoopJoin"))
         .filter(l => idCols.findFirstIn(l).isDefined)

@@ -59,7 +59,7 @@ class RankedSelectionSpec extends SparkSpec {
 
   test("no unpartitioned window survives in either plan (the scale contract)") {
     for (key <- Seq("q_select_budget", "q_shard_balance",
-                    "q_select_perplexity")) {
+                    "q_select_perplexity", "q_select_perplexity_bigram")) {
       val plan = SparkEntry.queries(key)(spark, sf0001)
         .queryExecution.executedPlan
       val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
