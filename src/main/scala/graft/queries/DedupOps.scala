@@ -268,6 +268,36 @@ object DedupOps {
       .select("vec_a", "vec_b", "approx_d2")
   }
 
+  /** The exhaustive batch×corpus exact-Jaccard recompute (batch =
+    * doc_id%5==0, stored corpus = the rest) — the same shingle/Jaccard
+    * definition as exactJaccardOracleSql with the pair universe
+    * restricted to the split; shared by q_dedup_index_query and its
+    * compacted twin (compaction preserves answers exactly). */
+  private val dedupIndexQueryOracleSql: String =
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS u(s)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+                COUNT(*) AS n_inter
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         GROUP BY 1, 2)
+       SELECT batch_doc, corpus_doc,
+         round(CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON batch_doc = sa.doc_id
+       JOIN sizes sb ON corpus_doc = sb.doc_id
+       WHERE CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+       ORDER BY batch_doc, corpus_doc"""
+
   /** The mutual-kNN edge set as DuckDB SQL (brute-force ranked CTE),
     * shared by the q_knn_graph and q_knn_graph_cluster oracles. */
   private val mutualKnnCtes: String =
@@ -535,6 +565,36 @@ object DedupOps {
         DedupIndex.build(
           LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
           root)
+      DedupIndex.queryBatch(s, root,
+          LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          threshold = 0.8)
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
+    // ---- Compaction of the dedup index: backfill (60% of the stored
+    // corpus) + two streamed-style increments (20% each) folded into a
+    // single ingest-0 partition set, then the q_dedup_index_query probe
+    // against the compacted artifact. Compaction is a pure physical-
+    // layout change (band/profile rows preserved exactly, high-water
+    // mark refuses re-appends of folded ingests — DedupIndexSpec pins
+    // both), so the oracle is the SAME exact-Jaccard recompute as the
+    // uncompacted key: answer equality across the rewrite IS the
+    // assertion. The maintenance step matters at 100 TB because every
+    // queryBatch re-scans the artifact and probe cost degrades with
+    // accumulated increment FILE count even when row volume is flat
+    // (the measured small-file trap — operators/DedupIndex Scaladoc).
+    "q_dedup_index_compact" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val root = Scans.scratch("dedupindexcpt", s, d)
+      val docs = Tables.documents(s, d)
+      if (!DedupIndex.exists(s, root)) {
+        val m = pmod(col("doc_id"), lit(5L))
+        DedupIndex.build(
+          LlmOps.shingles(docs.filter(m === 1 || m === 2 || m === 3)), root)
+        DedupIndex.append(LlmOps.shingles(docs.filter(m === 4)), root,
+          ingestId = 1)
+        DedupIndex.compact(s, root)
+      }
       DedupIndex.queryBatch(s, root,
           LlmOps.shingles(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
           threshold = 0.8)
@@ -928,30 +988,12 @@ object DedupOps {
     // the incremental form: exhaustive batch×corpus exact Jaccard — the
     // same shingle/Jaccard definition as exactJaccardOracleSql with the
     // pair universe restricted to the batch/corpus split
-    "q_dedup_index_query" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id, u.s AS shingle FROM documents,
-           UNNEST(list_distinct(list_transform(
-             range(1, len(string_split(text, ' ')) - 1),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i+1] || ' ' ||
-                  string_split(text, ' ')[i+2]))) AS u(s)),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
-                  COUNT(*) AS n_inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle
-           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-           GROUP BY 1, 2)
-         SELECT batch_doc, corpus_doc,
-           round(CAST(n_inter AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-         FROM inter
-         JOIN sizes sa ON batch_doc = sa.doc_id
-         JOIN sizes sb ON corpus_doc = sb.doc_id
-         WHERE CAST(n_inter AS DOUBLE)
-                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
-         ORDER BY batch_doc, corpus_doc""",
+    "q_dedup_index_query" -> dedupIndexQueryOracleSql,
+    // compaction is a pure physical-layout rewrite of the same stored
+    // corpus (3/5 backfill + 1/5 increment folded to ingest 0), so the
+    // compacted probe answers the IDENTICAL exact-Jaccard recompute —
+    // oracle equality across the rewrite is the assertion
+    "q_dedup_index_compact" -> dedupIndexQueryOracleSql,
     // the backfill-wave flip of the same oracle: batch = the 80% side,
     // stored corpus = the 20% side
     "q_dedup_index_backfill" ->

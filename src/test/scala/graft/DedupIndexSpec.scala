@@ -184,4 +184,61 @@ class DedupIndexSpec extends SparkSpec {
         s"shuffle branch shows no key exchange at $sf:\n$plan")
     }
   }
+
+  test("compact: answers, band and profile rows preserved; ingests fold to one") {
+    val corpusPred = pmod(col("doc_id"), lit(5)) =!= 0
+    val root = tmpRoot("cpt")
+    DedupIndex.build(
+      shingles(sf001, corpusPred && col("doc_id") < 200), root)
+    DedupIndex.append(
+      shingles(sf001, corpusPred && col("doc_id") >= 200 &&
+        col("doc_id") < 320), root, ingestId = 1)
+    DedupIndex.append(
+      shingles(sf001, corpusPred && col("doc_id") >= 320), root,
+      ingestId = 2)
+    val batch = shingles(sf001, pmod(col("doc_id"), lit(5)) === 0)
+      .localCheckpoint(true)
+    def ask() = DedupIndex.queryBatch(spark, root, batch)
+      .orderBy("batch_doc", "corpus_doc").collect().map(_.toString).toSeq
+    def rows(sub: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$root/$sub")
+        .select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    val (beforeAns, beforeBands, beforeProfs) =
+      (ask(), rows("bands", Seq("doc_id", "band_idx", "band_hash")),
+        rows("profiles", Seq("doc_id", "ss", "n_sh")))
+    DedupIndex.compact(spark, root)
+    assert(ask() === beforeAns, "compaction changed the query answer")
+    assert(rows("bands", Seq("doc_id", "band_idx", "band_hash"))
+      === beforeBands, "compaction changed the band rows")
+    assert(rows("profiles", Seq("doc_id", "ss", "n_sh")) === beforeProfs,
+      "compaction changed the profile rows")
+    def ingests(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$root/$sub")
+      d.listFiles().toSeq.map(_.getName).filter(_.startsWith("ingest="))
+        .sorted
+    }
+    assert(ingests("bands") === Seq("ingest=0") &&
+      ingests("profiles") === Seq("ingest=0"),
+      "compaction left more than the single ingest-0 partition")
+  }
+
+  test("replaying an ingest already folded by compaction is refused (HWM)") {
+    val root = tmpRoot("cpthwm")
+    DedupIndex.build(shingles(sf001, col("doc_id") < 100), root)
+    val inc = shingles(sf001,
+      col("doc_id") >= 100 && col("doc_id") < 150).localCheckpoint(true)
+    DedupIndex.append(inc, root, ingestId = 1)
+    DedupIndex.compact(spark, root)
+    assert(DedupIndex.compactedThrough(spark, root) === 1L)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.append(inc, root, ingestId = 1)
+    }
+    assert(e.getMessage.contains("high-water"),
+      s"wrong refusal message: ${e.getMessage}")
+    // a NEW ingest above the mark is still accepted
+    DedupIndex.append(
+      shingles(sf001, col("doc_id") >= 150 && col("doc_id") < 180), root,
+      ingestId = 2)
+  }
 }

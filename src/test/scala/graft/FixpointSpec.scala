@@ -41,6 +41,28 @@ class FixpointSpec extends SparkSpec {
     } finally spark.conf.unset(graft.util.Fixpoint.ConfKey)
   }
 
+  test("DedupCluster: a 300-deep chain converges under default maxIters") {
+    // THE regression shape: min-label + pointer jumping converged on
+    // every clique-shaped near-dup graph and on pure chains, but
+    // degraded to O(diameter) on sprawling components — the sf0.1 ANN
+    // mutual graph needed 26 of 25 budgeted rounds and failed only at
+    // that one tier. Star contraction (large-star/small-star) is
+    // O(log² n) regardless of shape; a deep chain with shuffled ids is
+    // the depth-adversarial case and must converge comfortably.
+    val n = 300
+    // shuffle ids deterministically so labels do not align with the
+    // chain direction (the alignment is what made pure chains easy for
+    // the old jump)
+    val ids = (0L until n.toLong).map(i => (i * 173L) % n.toLong)
+    val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val allIds = (0L until n.toLong).toDF("doc_id")
+    val out = graft.operators.DedupCluster.clusters(allIds, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    assert(out.values.forall(_ === 0L), "chain not fully contracted to min id")
+  }
+
   test("BpeTrain: reliable-checkpoint training ≡ local training") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
