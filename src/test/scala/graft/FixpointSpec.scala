@@ -63,6 +63,35 @@ class FixpointSpec extends SparkSpec {
     assert(out.values.forall(_ === 0L), "chain not fully contracted to min id")
   }
 
+  test("DedupCluster: pure-distributed path (gate=0) ≡ hybrid local finish") {
+    // chain (depth-adversarial) + clique + singleton, shuffled ids —
+    // the same labels must come out of the driver-side union-find
+    // finish (default gate: these graphs fit from round 0) and the
+    // pure-distributed star fixpoint (gate forced to 0, every round
+    // and the stars-exit predicate exercised distributed).
+    val n = 40
+    val ids = (0L until n.toLong).map(i => (i * 173L) % n.toLong)
+    val pairs = ((0 until n - 1).map(i => (ids(i), ids(i + 1))) ++
+      Seq((50L, 51L), (50L, 52L), (51L, 52L)))
+      .toDF("doc_a", "doc_b")
+    val allIds = ((0L until n.toLong) ++ Seq(50L, 51L, 52L, 60L))
+      .toDF("doc_id")
+    def run(): Map[Long, Long] =
+      graft.operators.DedupCluster.clusters(allIds, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hybrid = run()
+    assert((0L until n.toLong).forall(hybrid(_) === 0L))
+    assert(Seq(50L, 51L, 52L).forall(hybrid(_) === 50L))
+    assert(hybrid(60L) === 60L)
+    spark.conf.set(graft.operators.DedupCluster.LocalThresholdKey, "0")
+    try {
+      val distributed = run()
+      assert(distributed === hybrid,
+        "pure-distributed star fixpoint diverged from the hybrid finish")
+    } finally
+      spark.conf.unset(graft.operators.DedupCluster.LocalThresholdKey)
+  }
+
   test("BpeTrain: reliable-checkpoint training ≡ local training") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
