@@ -44,13 +44,56 @@ object AnnIndex {
   private def centroidsDir(root: String) = s"$root/centroids"
   private def codebooksDir(root: String) = s"$root/codebooks"
   private def codesDir(root: String)     = s"$root/codes"
+  private def hwmPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/compacted_through")
+
+  private def fsOf(s: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** True iff a complete index exists under `root` (codes are written
-    * last, so their _SUCCESS marker implies the whole artifact). */
+    * last, so their _SUCCESS marker implies the whole artifact). Side
+    * effect by design: first repairs any compaction swap a crash tore
+    * mid-rename (util.AtomicSwap.recover), so a torn swap heals on
+    * first touch instead of reading as "no index" and baiting callers
+    * into a wipe-and-rebuild over the orphaned fold. */
   def exists(s: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${codesDir(root)}/_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val fs = fsOf(s, root)
+    graft.util.AtomicSwap.recover(
+      fs, new org.apache.hadoop.fs.Path(root), "compacted_through")
+    fs.exists(new org.apache.hadoop.fs.Path(s"${codesDir(root)}/_SUCCESS"))
   }
+
+  /** Highest ingest batch id folded into batch 0 by [[compact]] (−1
+    * before any compaction). append() refuses ids at or below it: a
+    * foreachBatch re-delivery of an ALREADY-FOLDED batch would
+    * otherwise re-create its partitions next to the compacted copies
+    * and double-count every vector's ADC sum at query time (the
+    * DedupIndex/InvertedIndex high-water-mark rule). */
+  def compactedThrough(s: SparkSession, root: String): Long = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(hwmPath(root))) -1L
+    else {
+      val in = fs.open(hwmPath(root))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Ingest batch ids present under the codes table (directory listing,
+    * not a data scan). append() is a single-table write committed by
+    * the Hadoop job-commit protocol, so a present `batch=` directory is
+    * a committed batch — there is no two-table torn-append window here
+    * (contrast InvertedIndex.committedBatches). */
+  private def batchIds(s: SparkSession, root: String): Seq[Long] =
+    fsOf(s, root).globStatus(
+      new org.apache.hadoop.fs.Path(s"${codesDir(root)}/cell=*/batch=*"))
+      match {
+        case null => Nil
+        case st => st.toSeq
+          .map(_.getPath.getName.stripPrefix("batch=").toLong)
+          .distinct.sorted
+      }
 
   /** The stored coarse-quantizer model — (cent_id, cv, cnrm), k rows. */
   def centroids(s: SparkSession, root: String): DataFrame =
@@ -155,6 +198,11 @@ object AnnIndex {
     require(exists(s, root),
       s"no ANN index under $root — build the backfill first")
     require(batchId > 0L, "batch 0 is the backfill partition")
+    val hwm = compactedThrough(s, root)
+    require(batchId > hwm,
+      s"batch $batchId was already folded by a compaction (high-water " +
+        s"mark $hwm) — re-appending it would store every vector twice " +
+        s"and double-count its ADC sum at query time")
     val cents = s.read.parquet(centroidsDir(root))
     val cb = s.read.parquet(codebooksDir(root))
     val assigned = assign(emb0, cents).localCheckpoint(true)
@@ -166,6 +214,57 @@ object AnnIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "batch")
       .parquet(codesDir(root))
+  }
+
+  /** Fold every ingest `batch=` partition of the codes table into a
+    * single batch-0 partition set — the index-maintenance step a
+    * continuously-ingesting ANN deployment runs periodically, and the
+    * third stored index to get it (operators/DedupIndex.compact and
+    * InvertedIndex.compact are the siblings). s_knn_index_ingest
+    * commits one partition set per micro-batch; every query's probe
+    * scan lists and opens the probed cells' accumulated files, and
+    * Spark pays a per-FILE open cost, so probe latency degrades with
+    * file COUNT at flat row volume — the small-file trap measured on
+    * the dedup index's stream bench (DedupIndex.writePrepared
+    * Scaladoc). Code ROWS are preserved exactly and the ADC sum is an
+    * order-independent decimal aggregate, so every query answers
+    * bit-identically before and after (pinned in AnnIndexSpec) — only
+    * the physical layout changes, and it improves on the build layout:
+    * the fold repartitions ON the cell id, so each cell lands in ONE
+    * file (build's vec_id-hashed shuffle writes up to one file per
+    * shuffle partition per cell), sorted on vec_id for row-group stats.
+    *
+    * Models (centroids, codebooks) copy over byte-for-byte — compaction
+    * retrains nothing, so stored codes stay decodable. Staged write +
+    * two-rename swap (util.AtomicSwap) with the high-water mark written
+    * LAST as the completeness marker: a crash at any point is healed by
+    * the recover call inside exists(). The HWM makes a post-compaction
+    * replay of a folded batch a loud error in [[append]] — streaming
+    * callers skip those batches idempotently instead
+    * ([[graft.streaming.Streams.annIndexIngest]]). */
+  def compact(s: SparkSession, root: String): Unit = {
+    require(exists(s, root), s"no ANN index under $root")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(s, root)
+    val stagingPath = graft.util.AtomicSwap.stagingPath(rootPath)
+    val staging = stagingPath.toString
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    val committed = batchIds(s, root)
+    s.read.parquet(centroidsDir(root))
+      .write.mode("overwrite").parquet(centroidsDir(staging))
+    s.read.parquet(codebooksDir(root))
+      .write.mode("overwrite").parquet(codebooksDir(staging))
+    s.read.parquet(codesDir(root))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .withColumn("batch", lit(0L))
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell", "batch")
+      .parquet(codesDir(staging))
+    val hwm = math.max(committed.max, compactedThrough(s, root))
+    val out = fs.create(hwmPath(staging), true)
+    try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
+    graft.util.AtomicSwap.promote(fs, rootPath)
   }
 
   /** Top-`n` approximate neighbors of `qv` (an L2-normalized query

@@ -95,11 +95,18 @@ object DedupIndex {
   }
 
   /** True iff an index exists under `root` (the backfill's profiles are
-    * written last, so their _SUCCESS marker implies the whole artifact). */
+    * written last, so their _SUCCESS marker implies the whole artifact).
+    * Side effect by design: first repairs any compaction swap a crash
+    * tore mid-rename (util.AtomicSwap.recover — the compacted artifact,
+    * complete but not yet promoted, is moved into place), so a torn
+    * swap heals on first touch instead of reading as "no index" and
+    * baiting callers into a wipe-and-rebuild over the orphaned fold. */
   def exists(s: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"${profilesDir(root)}/ingest=0/_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val fs = fsOf(s, root)
+    graft.util.AtomicSwap.recover(
+      fs, new org.apache.hadoop.fs.Path(root), "compacted_through")
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"${profilesDir(root)}/ingest=0/_SUCCESS"))
   }
 
   /** Per-doc profile rows (doc_id, ss: sorted shingle array, n_sh) from
@@ -262,18 +269,22 @@ object DedupIndex {
     * only the physical layout changes, and the rewrite lands in the
     * backfill layout (band_idx-partitioned, probe-key-sorted).
     *
-    * Staged write + delete + rename (the InvertedIndex discipline): a
-    * crash mid-swap leaves either the old root or a root whose missing
-    * profiles/ingest=0/_SUCCESS reads as exists()==false — never a
-    * half-compacted index that answers wrongly. The high-water mark
-    * travels with the artifact: writePrepared refuses any ingest id a
-    * future re-delivery might duplicate. */
+    * Staged write + two-rename swap (util.AtomicSwap — the shared
+    * compaction discipline): the fold lands completely under
+    * `root.compact` with the high-water mark written LAST (marker =
+    * fold finished), then root steps aside and staging is promoted. A
+    * crash at any point is healed by the recover call inside exists():
+    * either the old root rolls back or the completed fold is promoted —
+    * never a missing artifact, never a half-compacted index that
+    * answers wrongly. The high-water mark travels with the artifact:
+    * writePrepared refuses any ingest id a future re-delivery might
+    * duplicate. */
   def compact(s: SparkSession, root: String): Unit = {
     require(exists(s, root), s"no dedup index under $root")
-    val staging = s"$root.compact"
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(s, root)
+    val stagingPath = graft.util.AtomicSwap.stagingPath(rootPath)
+    val staging = stagingPath.toString
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
     val committed = committedIngests(s, root)
     val inSet = committed.map(java.lang.Long.valueOf)
@@ -288,8 +299,6 @@ object DedupIndex {
     val hwm = math.max(committed.max, compactedThrough(s, root))
     val out = fs.create(hwmPath(staging), true)
     try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(rootPath, true)
-    require(fs.rename(stagingPath, rootPath),
-      s"compaction swap failed: could not rename $staging over $root")
+    graft.util.AtomicSwap.promote(fs, rootPath)
   }
 }

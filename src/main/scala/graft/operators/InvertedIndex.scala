@@ -91,10 +91,16 @@ object InvertedIndex {
   }
 
   /** True iff a complete index exists under `root` (postings are written
-    * last, so their _SUCCESS marker implies the whole artifact). */
+    * last, so their _SUCCESS marker implies the whole artifact). Side
+    * effect by design: first repairs any compaction swap a crash tore
+    * mid-rename (util.AtomicSwap.recover), so a torn swap heals on
+    * first touch instead of reading as "no index" and baiting callers
+    * into a wipe-and-rebuild over the orphaned fold. */
   def exists(s: SparkSession, root: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${postingsDir(root)}/_SUCCESS")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val fs = fsOf(s, root)
+    graft.util.AtomicSwap.recover(
+      fs, new org.apache.hadoop.fs.Path(root), "compacted_through")
+    fs.exists(new org.apache.hadoop.fs.Path(s"${postingsDir(root)}/_SUCCESS"))
   }
 
   /** Tokens of `text` — split on single spaces, empties dropped. ONE
@@ -185,17 +191,19 @@ object InvertedIndex {
     * pruning is perfect. Compaction preserves the postings ROWS exactly
     * and sums the stats rows, so every query answers identically before
     * and after (pinned in RetrievalSpec) — only the physical layout
-    * changes. Staged write + delete + rename: a crash mid-swap leaves
-    * either the old root or a root whose missing postings/_SUCCESS reads
-    * as exists()==false — never a half-compacted index that answers
-    * wrongly (the AnnIndex rebuild discipline; an object-store
-    * deployment would swap a manifest instead of renaming). */
+    * changes. Staged write + two-rename swap (util.AtomicSwap): the fold
+    * lands completely under root.compact with the high-water mark
+    * written LAST, then root steps aside and staging is promoted; a
+    * crash at any point is healed by the recover call inside exists() —
+    * never a missing artifact, never a half-compacted index that
+    * answers wrongly (an object-store deployment would swap a manifest
+    * instead of renaming). */
   def compact(s: SparkSession, root: String): Unit = {
     require(exists(s, root), s"no inverted index under $root")
-    val staging = s"$root.compact"
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(s, root)
+    val stagingPath = graft.util.AtomicSwap.stagingPath(rootPath)
+    val staging = stagingPath.toString
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
     // fold only batches COMMITTED on both sides — a torn append's
     // orphan partition would otherwise be baked into batch 0
@@ -221,9 +229,7 @@ object InvertedIndex {
     val out = fs.create(new org.apache.hadoop.fs.Path(
       s"$staging/compacted_through"), true)
     try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(rootPath, true)
-    require(fs.rename(stagingPath, rootPath),
-      s"compaction swap failed: could not rename $staging over $root")
+    graft.util.AtomicSwap.promote(fs, rootPath)
   }
 
   /** Quantized-BM25 contribution of one (doc, term) posting as an exact

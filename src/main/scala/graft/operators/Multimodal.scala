@@ -11,9 +11,12 @@ case class MultimodalRow(doc_id: Long, payload: Array[Byte], mime: String)
 case class DecodedFeatures(doc_id: Long, n_bytes: Long, head_byte: Int,
                            byte_sum: Long)
 
-/** One sampled "frame" of a payload (video frame-sampling analog). */
+/** One sampled "frame" of a payload (video frame-sampling analog).
+  * `frame` is the frame's raw content — the bytes a real decoder hands
+  * downstream (per-frame hashing, feature extraction); `frame_sum` is
+  * the legacy stub feature kept for the decode-plumbing spec. */
 case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long,
-                        frame_sum: Long)
+                        frame_sum: Long, frame: Array[Byte])
 
 /** Partition-batched decode plumbing for opaque binary columns — the
   * Scala analog of a Pandas-UDF `mapInPandas` decode stage: rows stream
@@ -52,9 +55,13 @@ object Multimodal {
     * fixed-size window of the payload as one "frame" row — a 1→N
     * flatMap inside mapPartitions, so a 100-GB video column fans out to
     * frame rows WITHOUT driver involvement and a real frame decoder
-    * (ffmpeg seek + decode) slots into the same iterator. Frame content
-    * is stubbed as a byte sum (no codecs in this container); the
-    * row-explosion contract is the tested part. */
+    * (ffmpeg seek + decode) slots into the same iterator. Each frame
+    * carries its raw content bytes (the payload window — a real decoder
+    * emits decoded pixels here) for downstream per-frame operators
+    * ([[PHash]] consumes them in q_dedup_frames), plus the stubbed
+    * byte-sum feature. Only FULL windows are emitted (a trailing
+    * partial window is dropped, as a frame decoder drops a truncated
+    * last frame). */
   def sampleFrames(rows: Dataset[MultimodalRow], frameBytes: Int = 16,
                    stride: Int = 4): Dataset[SampledFrame] = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
@@ -67,7 +74,9 @@ object Multimodal {
           var sum = 0L
           var i = off.toInt
           while (i < off + frameBytes) { sum += r.payload(i) & 0xff; i += 1 }
-          SampledFrame(r.doc_id, f, off, sum)
+          SampledFrame(r.doc_id, f, off, sum,
+            java.util.Arrays.copyOfRange(
+              r.payload, off.toInt, off.toInt + frameBytes))
         }
       }
     }

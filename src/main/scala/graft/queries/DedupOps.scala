@@ -513,6 +513,42 @@ object DedupOps {
         .query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
     }),
 
+    // ---- COMPACTION of the ANN index — the maintenance operator that
+    // completes the stored-index family (dedup and inverted indexes got
+    // theirs in round 14): backfill (two thirds of the corpus, which
+    // also trains the models) + one streamed-style ingest batch (the
+    // remaining third, encoded against the STORED models exactly as
+    // s_knn_index_ingest commits micro-batches), folded into a single
+    // batch-0 partition set, then the q_knn_index_query probe against
+    // the compacted artifact. Compaction preserves code ROWS exactly
+    // and the ADC sum is order-independent, so the probe answers
+    // bit-identically before and after (pinned in AnnIndexSpec, with
+    // the file-count fold and the high-water-mark replay refusal) —
+    // only the physical layout changes, and for the better: one file
+    // per cell instead of one per (ingest × shuffle partition). Exists
+    // because every probe lists/opens the probed cells' accumulated
+    // files and per-file open cost degrades probe latency at flat row
+    // volume — the round-14 measured small-file trap, closed here for
+    // the third and last stored index. Test-oracled like every ANN
+    // surface (PQ quantization is not SQL-expressible in DuckDB).
+    "q_knn_index_compact" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val root = Scans.scratch("annindexcpt", s, d)
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+      if (!AnnIndex.exists(s, root)) {
+        val m3 = pmod(col("vec_id"), lit(3))
+        AnnIndex.build(emb.filter(m3 =!= 0), root,
+          k = 8, m = 16, dim = 64, kCodes = 16)
+        AnnIndex.append(emb.filter(m3 === 0), root, batchId = 1)
+        AnnIndex.compact(s, root)
+      }
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v")).first().getSeq[Double](0)
+      AnnIndex.query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
+    }),
+
     // ---- TWO-STAGE retrieval (the production serving shape): the
     // stored IVF+PQ index nominates a 100-candidate pool (nprobe=3,
     // 10× the final k, quantized distances), then the EXACT cosine
@@ -572,8 +608,10 @@ object DedupOps {
     }),
 
     // ---- Compaction of the dedup index: backfill (60% of the stored
-    // corpus) + two streamed-style increments (20% each) folded into a
-    // single ingest-0 partition set, then the q_dedup_index_query probe
+    // corpus) + one streamed-style increment (20%; the remaining 20% is
+    // the probe batch — the two-increment fold is exercised in
+    // DedupIndexSpec) folded into a single ingest-0 partition set, then
+    // the q_dedup_index_query probe
     // against the compacted artifact. Compaction is a pure physical-
     // layout change (band/profile rows preserved exactly, high-water
     // mark refuses re-appends of folded ingests — DedupIndexSpec pins

@@ -566,8 +566,16 @@ object Streams {
               col("jaccard"))
     within.unionByName(cross)
       .write.mode("overwrite").parquet(versionDir(pairsDir, batchId))
-    // ingest ids start at 1: 0 is the backfill's partition
-    DedupIndex.writePrepared(bd, pf, root, ingestId = batchId + 1)
+    // ingest ids start at 1: 0 is the backfill's partition. An
+    // at-least-once RE-DELIVERY of a batch a compaction has since
+    // folded must be SKIPPED, not appended: its documents are already
+    // in the folded ingest-0 partition (so the pair recompute above was
+    // a benign self-overwrite — the anti-join guard holds either way),
+    // and writePrepared's high-water-mark require would otherwise
+    // hard-fail the stream on a replay that used to be idempotent.
+    val ingestId = batchId + 1
+    if (ingestId > DedupIndex.compactedThrough(s, root))
+      DedupIndex.writePrepared(bd, pf, root, ingestId)
   }
 
   /** s_knn_index_ingest — continuous ANN index maintenance, the
@@ -577,9 +585,17 @@ object Streams {
     * and committed under its own immutable `batch=` partition set.
     * foreachBatch's stable batchId + dynamic partition overwrite make
     * replay exactly-once: a re-delivered batch rewrites only itself.
-    * Ingest ids start at 1: 0 is the backfill's partition. */
-  def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit =
-    graft.operators.AnnIndex.append(batch, root, batchId = batchId + 1)
+    * Ingest ids start at 1: 0 is the backfill's partition. A replay of
+    * a batch an [[graft.operators.AnnIndex.compact]] has since folded
+    * is skipped idempotently (its vectors are already in the folded
+    * partition set) instead of tripping append's high-water-mark
+    * require — the dedupIndexIngest discipline. */
+  def annIndexIngest(batch: DataFrame, root: String, batchId: Long): Unit = {
+    import graft.operators.AnnIndex
+    val ingestId = batchId + 1
+    if (ingestId > AnnIndex.compactedThrough(batch.sparkSession, root))
+      AnnIndex.append(batch, root, batchId = ingestId)
+  }
 
   /** s_text_index_ingest — continuous BM25 inverted-index maintenance,
     * the streaming face of [[graft.operators.InvertedIndex.append]]:

@@ -132,6 +132,110 @@ class AnnIndexSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("compact: answers and code rows preserved; batches fold to one file/cell") {
+    val e = clustered(64).cache()
+    val root = tmpRoot("cpt")
+    AnnIndex.build(e.filter(col("vec_id") < 250), root)
+    AnnIndex.append(e.filter(col("vec_id") >= 250 && col("vec_id") < 375),
+      root, batchId = 1)
+    AnnIndex.append(e.filter(col("vec_id") >= 375), root, batchId = 2)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .first().getSeq[Double](0)
+    def ask(): Seq[String] =
+      AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+        excludeId = Some(0L)).collect().map(_.toString).toSeq
+    def codeRows(): Seq[String] =
+      spark.read.parquet(s"$root/codes")
+        .select("vec_id", "cell", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$root/codes"))
+    }
+    val (beforeAns, beforeRows, beforeFiles) = (ask(), codeRows(),
+      parquetFiles().size)
+    AnnIndex.compact(spark, root)
+    assert(ask() === beforeAns, "compaction changed the query answer")
+    assert(codeRows() === beforeRows, "compaction changed the code rows")
+    // physical fold: every cell down to its single batch=0 partition
+    // holding ONE file (the compact repartitions ON the cell id), so
+    // the file count is exactly the number of non-empty cells
+    val batchDirs = new java.io.File(s"$root/codes").listFiles().toSeq
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles().toSeq.map(_.getName)).distinct
+    assert(batchDirs === Seq("batch=0"),
+      s"compaction left non-folded batch partitions: $batchDirs")
+    val after = parquetFiles()
+    assert(after.size < beforeFiles,
+      s"compaction did not reduce the file count ($beforeFiles -> ${after.size})")
+    assert(after.size === after.map(_.getParentFile.getParentFile).distinct.size,
+      "compaction left more than one file in some cell")
+    e.unpersist()
+  }
+
+  test("replaying a batch already folded by compaction is refused (HWM)") {
+    val e = clustered(64).cache()
+    val root = tmpRoot("cpthwm")
+    AnnIndex.build(e.filter(col("vec_id") < 300), root)
+    val b1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    AnnIndex.append(b1, root, batchId = 1)
+    AnnIndex.compact(spark, root)
+    assert(AnnIndex.compactedThrough(spark, root) === 1L)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.append(b1, root, batchId = 1)
+    }
+    assert(err.getMessage.contains("high-water"),
+      s"wrong refusal message: ${err.getMessage}")
+    // the STREAMING face skips the folded replay idempotently instead
+    // of crashing (at-least-once redelivery after a compaction)
+    def codeRows(): Seq[String] =
+      spark.read.parquet(s"$root/codes")
+        .select("vec_id", "cell", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    val before = codeRows()
+    graft.streaming.Streams.annIndexIngest(b1.toDF(), root, batchId = 0)
+    assert(codeRows() === before,
+      "a folded replay through the streaming face changed the store")
+    // a NEW batch above the mark is still accepted (both faces)
+    graft.streaming.Streams.annIndexIngest(
+      e.filter(col("vec_id") >= 400 && col("vec_id") < 450).toDF(),
+      root, batchId = 1)
+    assert(codeRows().size > before.size,
+      "a fresh post-compaction batch was wrongly skipped")
+    e.unpersist()
+  }
+
+  test("a compaction swap torn mid-rename heals on the next exists()") {
+    // simulate the crash window between promote's two renames: the old
+    // root stepped aside, the completed fold (marker present) was never
+    // promoted — exactly the state ADVICE flagged as "NO index at root"
+    val e = clustered(64)
+    val root = tmpRoot("cpttorn") + "/idx"
+    AnnIndex.build(e.filter(col("vec_id") < 300), root)
+    AnnIndex.append(e.filter(col("vec_id") >= 300), root, batchId = 1)
+    AnnIndex.compact(spark, root)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .first().getSeq[Double](0)
+    val beforeAns = AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+      excludeId = Some(0L)).collect().map(_.toString).toSeq
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val staging = graft.util.AtomicSwap.stagingPath(rootP)
+    assert(fs.rename(rootP, staging), "test setup: rename to staging")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root + ".old"))
+    assert(AnnIndex.exists(spark, root),
+      "torn swap read as 'no index' instead of healing")
+    assert(!fs.exists(staging) && !fs.exists(
+      new org.apache.hadoop.fs.Path(root + ".old")),
+      "recovery left swap debris behind")
+    val afterAns = AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+      excludeId = Some(0L)).collect().map(_.toString).toSeq
+    assert(afterAns === beforeAns, "healed index answers differently")
+  }
+
   test("query() never touches the corpus frame (answers purely from storage)") {
     // build from one frame, then query with only (root, qv) — if the
     // query path referenced the corpus, this would be impossible to
