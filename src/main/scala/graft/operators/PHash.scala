@@ -107,6 +107,100 @@ object PHash {
       .select("doc_id", "phash", "cluster_id", "is_keeper")
   }
 
+  /** Per-frame dHash signature SET — (doc_id, fhash) DISTINCT — from
+    * sampled frames: the video-modality analog of [[signatures]]. Each
+    * frame's content bytes are hashed with the SAME 9×8 grid + dHash as
+    * the whole-payload path (a 72-byte frame makes each pixel exactly
+    * one byte, so the generic block-average math reduces to identity —
+    * reused anyway so the two grains cannot drift). DISTINCT because
+    * containment is a SET predicate: a frame repeated within one doc
+    * (a looped intro) is one element of the doc's frame-hash set. Pure
+    * map-side until the distinct's single shuffle. */
+  def frameSignatures(frames: org.apache.spark.sql.Dataset[SampledFrame])
+      : DataFrame =
+    frames.toDF()
+      .select(col("doc_id"), col("frame").cast("string").as("ftext"))
+      .select(col("doc_id"), byteValues("ftext").as("pbytes"))
+      .select(col("doc_id"), pixels("pbytes").as("px"))
+      .select(col("doc_id"), dhash(col("px")).as("fhash"))
+      .distinct()
+
+  /** DIRECTED frame-grain containment pairs — the video-analog of
+    * [[graft.queries.CorpusOps]]'s q_dedup_containment (sub-document →
+    * sub-SEQUENCE duplication): doc_a is reported against doc_b when
+    * ≥ num/den of doc_a's distinct frame hashes also occur in doc_b —
+    * a clip whose sampled frames all appear inside a longer video is a
+    * contained duplicate even though whole-payload hashes differ
+    * completely. Composes [[Multimodal.sampleFrames]] (the 1→N decoder
+    * fan-out; a real deployment swaps ffmpeg seek+decode into that
+    * iterator and per-frame dHash here is unchanged) with the
+    * [[frameSignatures]] set and one equi-join on the frame hash.
+    *
+    * Scale shape: candidates come ONLY from the fhash equi-join — pair
+    * work is Σ df(h)² over distinct frame hashes, never corpus², the
+    * MinHashLSH band-join discipline. A production corpus adds a
+    * document-frequency cap on hot hashes (black frames, credit cards —
+    * the boilerplate population, exactly PrefixFilter's df-ordering
+    * argument); the fixture's max frame-df is 4, so the cap is not
+    * wired here. frame_sum/offset never leave the signature projection,
+    * so the fan-out columns prune at the scan. */
+  def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
+                       stride: Int = 2, num: Int = 4, den: Int = 5)
+      : DataFrame = {
+    val sig = frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(docs), frameBytes, stride))
+      .localCheckpoint(true) // feeds sizes + both join sides
+    val sizes = sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    val shared = sig.as("a")
+      .join(sig.as("b"), col("a.fhash") === col("b.fhash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fr").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fr").as("n_b")),
+        Seq("doc_b"))
+      .filter(col("n_inter") * den >= col("n_a") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The same frame sampling + per-frame dHash + directed containment
+    * as DuckDB SQL (oracle twin of [[frameContainment]], generated from
+    * the same geometry/threshold constants). Mirrors the engine exactly:
+    * full 72-byte windows at offsets f·72 for f ∈ {0, stride, 2·stride…},
+    * DISTINCT (doc, hash), df-join, num/den integer predicate. */
+  def oracleFrameContainmentSql(frameBytes: Int = NPix, stride: Int = 2,
+                                num: Int = 4, den: Int = 5): String = {
+    val sig = oracleSignatureSql("fr", "doc_id", "ftext")
+    s"""WITH fr AS (
+          SELECT doc_id, substr(text, f*$frameBytes + 1, $frameBytes)
+                   AS ftext
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, length(text) // $frameBytes,
+                                    $stride)) AS f
+                FROM documents)),
+        sig AS (SELECT DISTINCT doc_id, phash AS fhash FROM ($sig)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_fr FROM sig GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM sig a JOIN sig b ON a.fhash = b.fhash
+                                 AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, sa.n_fr AS n_a, sb.n_fr AS n_b, n_inter,
+          ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_fr AS DOUBLE), 6)
+            AS containment
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter * $den >= sa.n_fr * $num
+        ORDER BY doc_a, doc_b"""
+  }
+
   /** The same pixel grid + dHash as DuckDB SQL over `$table` (oracle
     * twin of [[signatures]] — generated from the same geometry so the
     * two engines cannot drift). Yields a relation (doc_id, phash). */

@@ -879,6 +879,22 @@ object DedupOps {
       graft.operators.PHash.clusters(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // ---- Per-FRAME perceptual dedup — the video-modality analog
+    // (operators/PHash.frameContainment): Multimodal.sampleFrames fans
+    // each payload into 72-byte frame windows (the decoder seam — a
+    // real deployment swaps ffmpeg seek+decode into that mapPartitions
+    // iterator), each frame gets the same 9×8-grid dHash as
+    // q_dedup_phash, and doc_a is a SUB-SEQUENCE duplicate of doc_b
+    // when ≥ 0.8 of its distinct frame hashes occur in doc_b — the
+    // q_dedup_containment predicate at frame grain, catching the clip-
+    // inside-a-longer-video duplication that whole-payload hashing
+    // cannot (the payloads' dHashes differ completely). Pair work is
+    // per distinct frame hash (equi-join), never corpus². SQL-oracled:
+    // DuckDB samples/hashes the identical frames from the same bytes
+    // (both sides generated from one geometry constant).
+    "q_dedup_frames" -> ((s, d) =>
+      graft.operators.PHash.frameContainment(Tables.documents(s, d))),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -1121,6 +1137,9 @@ object DedupOps {
           GROUP BY r.src, s.phash
           ORDER BY doc_id"""
     },
+
+    "q_dedup_frames" ->
+      graft.operators.PHash.oracleFrameContainmentSql(),
 
     "q_multimodal_binary" ->
       """SELECT doc_id,

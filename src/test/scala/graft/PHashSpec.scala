@@ -90,6 +90,39 @@ class PHashSpec extends SparkSpec {
     assert(sig(100L) !== 0L, "degenerate all-zero hash")
   }
 
+  test("frame containment: clip-inside-video detected, directed, set-graded") {
+    // the video-analog shape: doc 1 is a CLIP — a 72-byte-aligned
+    // sub-sequence of the longer doc 0 — so its whole-payload dHash
+    // differs completely from doc 0's, yet every one of its sampled
+    // frames occurs in doc 0. doc 2 holds the same bytes as the clip
+    // but shuffled across frame boundaries (no shared frames). doc 3
+    // is the clip LOOPED twice: set semantics must grade it identically
+    // to the single clip (repeated frames count once).
+    val frame = (f: Int) => baseText(f + 20).substring(0, 72)
+    val video = (0 until 8).map(frame).mkString            // 576 bytes
+    val clip  = (2 until 5).map(frame).mkString            // frames 2..4
+    val shuffled = clip.reverse
+    val looped = clip + clip
+    val docs = corpus(Seq(0L -> video, 1L -> clip, 2L -> shuffled,
+                          3L -> looped))
+    val out = PHash.frameContainment(docs, stride = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // clip ⊂ video: directed pair (1, 0) at containment 1.0; the
+    // reverse direction (video ⊂ clip) is 3/8 < 0.8 and must NOT appear
+    assert(out.contains((1L, 0L)), s"clip-in-video pair missing: $out")
+    assert(out((1L, 0L)) === ((3L, 8L, 3L, 1.0)))
+    assert(!out.contains((0L, 1L)), "containment must stay directed")
+    // shuffled bytes share no frame: doc 2 pairs with nothing
+    assert(!out.keys.exists(p => p._1 == 2L || p._2 == 2L),
+      "frame-boundary-shuffled payload wrongly matched")
+    // looped clip: same distinct-frame set as the clip — n_a = 3, both
+    // directions with the clip at 1.0, and contained in the video too
+    assert(out((3L, 0L)) === ((3L, 8L, 3L, 1.0)))
+    assert(out((3L, 1L)) === ((3L, 3L, 3L, 1.0)))
+    assert(out((1L, 3L)) === ((3L, 3L, 3L, 1.0)))
+  }
+
   test("sf0.001: every doc labeled, hash non-negative (63-bit), keeper law") {
     val out = SparkEntry.queries("q_dedup_phash")(spark, sf0001).collect()
     val n = graft.sources.Tables.documents(spark, sf0001).count()
