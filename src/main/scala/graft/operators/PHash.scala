@@ -136,9 +136,12 @@ object PHash {
     * iterator and per-frame dHash here is unchanged) with the
     * [[frameSignatures]] set and one equi-join on the frame hash.
     *
-    * Scale shape: candidates come ONLY from the fhash equi-join — pair
-    * work is Σ df(h)² over distinct frame hashes, never corpus², the
-    * MinHashLSH band-join discipline. A production corpus adds a
+    * Scale shape: content grain + equi-join candidates. Sampling,
+    * hashing, and all pair work run once per DISTINCT payload (a
+    * re-posted video is free — see the body comment); candidates come
+    * ONLY from the fhash equi-join, so pair work is Σ df(h)² over
+    * distinct frame hashes at distinct-payload grain, never corpus² —
+    * the MinHashLSH band-join discipline. A production corpus adds a
     * document-frequency cap on hot hashes (black frames, credit cards —
     * the boilerplate population, exactly PrefixFilter's df-ordering
     * argument); the fixture's max frame-df is 4, so the cap is not
@@ -147,8 +150,21 @@ object PHash {
   def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
                        stride: Int = 2, num: Int = 4, den: Int = 5)
       : DataFrame = {
+    // CONTENT grain (the DedupOps.grainedNearDup discipline): identical
+    // payloads — the dominant duplicate population, a re-posted video —
+    // share one frame-signature set, so sampling, hashing, and ALL pair
+    // work run once per distinct payload; ordered doc pairs expand from
+    // narrow membership joins. Doc grain would pay df² per frame hash
+    // on every copy of a hot payload (100 replicas ⇒ 10,000 join rows
+    // per hash) for pairs whose containment is 1.0 by identity.
+    val g = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+           collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true)
     val sig = frameSignatures(Multimodal.sampleFrames(
-        Multimodal.fromDocuments(docs), frameBytes, stride))
+        Multimodal.fromDocuments(
+          g.select(col("rep").as("doc_id"), col("text"))),
+        frameBytes, stride))
       .localCheckpoint(true) // feeds sizes + both join sides
     val sizes = sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
     val shared = sig.as("a")
@@ -156,7 +172,7 @@ object PHash {
         col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    shared
+    val repPairs = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_fr").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_fr").as("n_b")),
@@ -166,7 +182,30 @@ object PHash {
         col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a").cast("double"), 6)
           .as("containment"))
-      .orderBy("doc_a", "doc_b")
+    // narrow (rep, doc_id) membership — never the member array carried
+    // per intermediate row (quadratic memory on a hot group)
+    val m = g.select(col("rep"), explode(col("members")).as("doc_id"))
+    // intra-group: identical payloads with ≥ 1 frame contain each other
+    // exactly (n_a = n_b = n_inter = the group's frame-set size); the
+    // sizes join keeps frameless payloads (< one full window) out, as
+    // doc grain does
+    val intra = m.join(sizes.withColumnRenamed("doc_id", "rep"), Seq("rep"))
+      .select(col("rep"), col("n_fr"), col("doc_id").as("doc_a"))
+      .join(m.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_fr").as("n_a"),
+        col("n_fr").as("n_b"), col("n_fr").as("n_inter"),
+        lit(1.0).as("containment"))
+    // inter-group: rep pairs inherit verbatim across both memberships
+    // (identical frame sets ⇒ identical n/containment)
+    val inter = repPairs
+      .join(m.select(col("rep").as("doc_a"), col("doc_id").as("da")),
+        Seq("doc_a"))
+      .join(m.select(col("rep").as("doc_b"), col("doc_id").as("db")),
+        Seq("doc_b"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_a"), col("n_b"), col("n_inter"), col("containment"))
+    intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
   /** The same frame sampling + per-frame dHash + directed containment

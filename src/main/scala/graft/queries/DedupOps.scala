@@ -888,7 +888,8 @@ object DedupOps {
     // when ≥ 0.8 of its distinct frame hashes occur in doc_b — the
     // q_dedup_containment predicate at frame grain, catching the clip-
     // inside-a-longer-video duplication that whole-payload hashing
-    // cannot (the payloads' dHashes differ completely). Pair work is
+    // cannot (the payloads' dHashes differ completely). CONTENT grain:
+    // sampling/hashing/pair work once per DISTINCT payload, candidates
     // per distinct frame hash (equi-join), never corpus². SQL-oracled:
     // DuckDB samples/hashes the identical frames from the same bytes
     // (both sides generated from one geometry constant).
