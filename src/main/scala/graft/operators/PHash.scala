@@ -208,6 +208,54 @@ object PHash {
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
   }
 
+  /** Persist the frame-hash index of `docs` — the at-rest face of
+    * [[frameContainment]]'s corpus side: DISTINCT (doc_id, fhash) rows,
+    * fhash-sorted for row-group stats. Built once over the reference
+    * corpus (corpora at rest change rarely; video ingest never stops),
+    * then every incoming batch screens against it via [[screenFrames]]
+    * with zero corpus re-hash — the DedupIndex / DecontamIndex stored-
+    * artifact discipline applied to the video modality. */
+  def storeFrameIndex(docs: DataFrame, root: String,
+                      frameBytes: Int = NPix, stride: Int = 2): Unit =
+    frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(docs), frameBytes, stride))
+      .sortWithinPartitions("fhash")
+      .write.mode("overwrite").parquet(root)
+
+  /** Directed frame-grain containment of a (small) incoming batch
+    * against the STORED frame-hash index: (batch_doc, corpus_doc,
+    * n_fr, n_inter, containment) for every stored doc that contains
+    * ≥ num/den of the batch doc's distinct frame hashes — "is this
+    * upload a clip of something we already have?", answered per batch
+    * in O(batch ⋈ matching postings) with the corpus never re-hashed
+    * and never shuffled: the batch's frame signatures BROADCAST onto
+    * the streamed stored rows (the DedupIndex.queryBatch shape), so
+    * per-batch cost is the stored scan + a broadcast hash join however
+    * large the corpus. Join fan-out is bounded by the true answer size
+    * (every stored doc containing a batch frame is a candidate);
+    * a production corpus caps hot frame hashes exactly as
+    * [[frameContainment]] documents. */
+  def screenFrames(batchDocs: DataFrame, stored: DataFrame,
+                   frameBytes: Int = NPix, stride: Int = 2,
+                   num: Int = 4, den: Int = 5): DataFrame = {
+    val bsig = frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(batchDocs), frameBytes, stride))
+      .localCheckpoint(true) // feeds the join + the per-doc sizes
+    val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    stored.as("c")
+      .join(broadcast(bsig.as("b")), col("c.fhash") === col("b.fhash"))
+      .groupBy(col("b.doc_id").as("batch_doc"),
+               col("c.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(bsize.withColumnRenamed("doc_id", "batch_doc")),
+        Seq("batch_doc"))
+      .filter(col("n_inter") * den >= col("n_fr") * num)
+      .select(col("batch_doc"), col("corpus_doc"), col("n_fr"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_fr").cast("double"), 6)
+          .as("containment"))
+  }
+
   /** The same frame sampling + per-frame dHash + directed containment
     * as DuckDB SQL (oracle twin of [[frameContainment]], generated from
     * the same geometry/threshold constants). Mirrors the engine exactly:

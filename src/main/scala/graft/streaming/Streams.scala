@@ -706,6 +706,33 @@ object Streams {
       .scoreStoredDecontam(batch.sparkSession, indexRoot, batch)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
 
+  /** s_dedup_frames — continuous per-frame perceptual screening against
+    * the STORED frame-hash index (operators/PHash.storeFrameIndex: the
+    * reference corpus sampled + dHashed once; video ingest never
+    * stops): each micro-batch of (doc_id, text-as-payload) samples and
+    * hashes ONLY itself, broadcasts its frame signatures onto the
+    * streamed stored rows, and commits every "this upload is a clip of
+    * a stored video" hit (directed containment ≥ 0.8 at frame grain)
+    * under a `_SUCCESS`-marked version dir. A doc's hits depend only
+    * on the doc and the frozen index, so the union is
+    * batching-invariant and ≡ the one-shot [[graft.operators.PHash
+    * .screenFrames]] on the same docs (pinned); replay exactly-once
+    * via foreachBatch batchId. */
+  def frameDedupBatch(batch: DataFrame, indexRoot: String, outDir: String,
+                      batchId: Long): Unit =
+    graft.operators.PHash
+      .screenFrames(batch, batch.sparkSession.read.parquet(indexRoot))
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+
+  /** Union of all frame-containment hits committed by
+    * [[frameDedupBatch]]. */
+  def committedFrameHits(spark: org.apache.spark.sql.SparkSession,
+                         outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed frame-hit versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Union of all contamination hits committed by [[decontamBatch]]. */
   def committedContaminations(spark: org.apache.spark.sql.SparkSession,
                               outDir: String): DataFrame = {

@@ -564,6 +564,55 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the hits")
   }
 
+  test("s_dedup_frames: streamed frame hits ≡ one-shot screen vs stored index") {
+    import graft.operators.PHash
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val index = s"$tmp/graft_frameidx"
+    val out = s"$tmp/graft_frameidx_out"
+    for (p <- Seq(index, out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val isIngest = col("doc_id") % 3 === 0
+    PHash.storeFrameIndex(docs.filter(!isIngest), index)
+    val stored = spark.read.parquet(index)
+    // one-shot screen of ALL ingest docs against the frozen index IS
+    // the truth for the streamed union (a doc's hits depend only on
+    // the doc + the index)
+    val want = PHash.screenFrames(docs.filter(isIngest), stored)
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty, "fixture produced no cross-split frame hits")
+    // cross-machinery law: the batch key's directed pairs, restricted
+    // to (ingest → stored), carry the identical counts/containment
+    val cross = graft.operators.PHash.frameContainment(docs)
+      .filter(col("doc_a") % 3 === 0 && col("doc_b") % 3 =!= 0)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_inter"),
+        col("containment"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(cross === want,
+      "streamed-screen machinery diverges from the declared batch key")
+    val rows = docs.filter(isIngest).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 4).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.frameDedupBatch(b, index, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedFrameHits(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "streamed frame-hit union diverges from the one-shot screen")
+    // replay the last batch verbatim: exactly-once via version overwrite
+    Streams.frameDedupBatch(groups.last.toDF("doc_id", "text"), index, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the hits")
+  }
+
   test("s_embed_outliers: streamed scores ≡ batch twin vs stored model, replay-idempotent") {
     import graft.queries.LlmOps
     import graft.sources.Tables
