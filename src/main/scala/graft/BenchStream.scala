@@ -304,6 +304,18 @@ object BenchStream {
           (b, id) => Streams.clusterAssign(b, cents, out, id),
           () => Streams.committedAssignments(spark, out).count())
       }),
+      "s_dedup_frames" -> (() => {
+        val idx = s"$tmpDir/graft_bench_frameidx"
+        val out = s"$tmpDir/graft_bench_frameidx_out"
+        clean(idx, out)
+        // stored side = the reference slice; ~80% of ingest docs carry a
+        // stored base text, so the broadcast-join screen path is hot
+        graft.operators.PHash.storeFrameIndex(
+          refDocs.toDF("doc_id", "text"), idx)
+        driveForeach(ingestDocs, Seq("doc_id", "text"),
+          (b, id) => Streams.frameDedupBatch(b, idx, out, id),
+          () => Streams.committedFrameHits(spark, out).count())
+      }),
       "s_text_index_ingest" -> (() => {
         val root = s"$tmpDir/graft_bench_textindex"
         clean(root)
