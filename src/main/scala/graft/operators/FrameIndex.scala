@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The frame-hash index AT REST with the full maintenance lifecycle —
+  * the fourth stored index to get it (DedupIndex, InvertedIndex,
+  * AnnIndex are the siblings), closing the video-modality loop:
+  * [[PHash.screenFrames]] answers "is this upload a clip of a stored
+  * video?" against THIS artifact, and an accepted upload is then
+  * ADMITTED to it ([[append]]) so the next upload screens against a
+  * corpus that grew — the screen-then-admit loop a video platform runs
+  * forever (the DedupIndex continuous-dedup shape at frame grain).
+  *
+  * Storage: one table (`frames/`) of DISTINCT (doc_id, fhash) rows,
+  * hive-partitioned
+  * by `ingest` (0 = the backfill, 1… = streamed admissions), each
+  * partition fhash-sorted for row-group stats. One table ⇒ appends
+  * commit atomically under the Hadoop job-commit protocol (no two-table
+  * torn-append window; contrast InvertedIndex.committedBatches).
+  * Screening reads ALL ingest partitions — a probe never cares which
+  * wave admitted a video — so accumulated small ingest files degrade
+  * every probe at flat row volume: [[compact]] folds them into ingest-0
+  * with the shared [[graft.util.AtomicSwap]] crash-safe swap and a
+  * high-water mark that refuses re-appends of folded ingests
+  * (streaming callers skip those idempotently).
+  */
+object FrameIndex {
+
+  private def framesDir(root: String) = s"$root/frames"
+
+  private def hwmPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/compacted_through")
+
+  private def fsOf(s: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** True iff an index exists under `root`. Side effect by design:
+    * first repairs any compaction swap a crash tore mid-rename
+    * (util.AtomicSwap.recover), so a torn swap heals on first touch
+    * instead of reading as "no index" and baiting callers into a
+    * wipe-and-rebuild over the orphaned fold. */
+  def exists(s: SparkSession, root: String): Boolean = {
+    val fs = fsOf(s, root)
+    graft.util.AtomicSwap.recover(
+      fs, new org.apache.hadoop.fs.Path(root), "compacted_through")
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"${framesDir(root)}/ingest=0/_SUCCESS"))
+  }
+
+  /** Highest ingest id folded into ingest 0 by [[compact]] (−1 before
+    * any compaction). [[append]] refuses ids at or below it: a
+    * re-delivered already-folded ingest would store its frame rows
+    * twice and double-count n_inter at screen time. */
+  def compactedThrough(s: SparkSession, root: String): Long = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(hwmPath(root))) -1L
+    else {
+      val in = fs.open(hwmPath(root))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Ingest ids present under the table (directory listing, not a data
+    * scan). */
+  private def ingestIds(s: SparkSession, root: String): Seq[Long] =
+    fsOf(s, root).globStatus(
+      new org.apache.hadoop.fs.Path(s"${framesDir(root)}/ingest=*")) match {
+      case null => Nil
+      case st => st.toSeq
+        .map(_.getPath.getName.stripPrefix("ingest=").toLong).sorted
+    }
+
+  /** (doc_id, fhash, n_fr) — the doc's distinct frame hashes plus its
+    * TOTAL distinct-frame count denormalized onto every row. Storing
+    * n_fr with the postings is what lets a screen grade containment in
+    * BOTH directions (a stored clip inside a new longer upload needs
+    * the STORED doc's denominator) without ever re-aggregating the
+    * corpus per batch — the join row already carries it. */
+  private def signatures(docs: DataFrame, frameBytes: Int,
+                         stride: Int): DataFrame = {
+    val sig = PHash.frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(docs), frameBytes, stride))
+      .localCheckpoint(true) // feeds the rows + the per-doc sizes
+    sig.join(sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr")),
+      Seq("doc_id"))
+  }
+
+  /** Build the backfill (ingest 0) from the reference corpus. Rows are
+    * RANGE-partitioned on fhash and sorted within each file, so a
+    * corpus-scale backfill spreads over many files whose row-group
+    * min/max stats cover disjoint hash ranges. */
+  def build(docs: DataFrame, root: String,
+            frameBytes: Int = PHash.NPix, stride: Int = 2): Unit =
+    signatures(docs, frameBytes, stride)
+      .repartitionByRange(col("fhash"))
+      .sortWithinPartitions("fhash")
+      .write.mode("overwrite").parquet(s"${framesDir(root)}/ingest=0")
+
+  /** Admit a batch of accepted uploads under its own immutable
+    * `ingest=` partition (written directly, with its own _SUCCESS as
+    * the per-ingest commit marker — the DedupIndex convention). A
+    * replayed ingest id overwrites only its own directory, so replay
+    * is exactly-once;
+    * ids at or below the compaction high-water mark are refused — the
+    * streaming face skips them instead
+    * ([[graft.streaming.Streams.frameIndexIngest]]). */
+  def append(docs: DataFrame, root: String, ingestId: Long,
+             frameBytes: Int = PHash.NPix, stride: Int = 2): Unit = {
+    val s = docs.sparkSession
+    require(exists(s, root), s"no frame index under $root — build first")
+    require(ingestId > 0L, "ingest 0 is the backfill partition")
+    val hwm = compactedThrough(s, root)
+    require(ingestId > hwm,
+      s"ingest $ingestId was already folded by a compaction (high-water " +
+        s"mark $hwm) — re-appending it would store its frame rows twice " +
+        s"and double-count n_inter at screen time")
+    signatures(docs, frameBytes, stride)
+      .repartitionByRange(col("fhash"))
+      .sortWithinPartitions("fhash")
+      .write.mode("overwrite")
+      .parquet(s"${framesDir(root)}/ingest=$ingestId")
+  }
+
+  /** The stored (doc_id, fhash, n_fr) rows across every committed
+    * ingest — what [[PHash.screenFrames]] / [[PHash.screenAdmit]]
+    * screen against. */
+  def stored(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(framesDir(root)).select("doc_id", "fhash", "n_fr")
+
+  /** Fold every ingest partition into a single ingest-0 set — the
+    * periodic maintenance step of the screen-then-admit loop. Frame
+    * rows are preserved exactly (each ingest holds distinct docs, so
+    * the union is already distinct) ⇒ every screen answers identically
+    * before and after (pinned in FrameIndexSpec); only the layout
+    * changes, for the better: one range-partitioned fhash-sorted file
+    * set instead of one per admission wave. Staged write + two-rename swap
+    * (util.AtomicSwap) with the high-water mark written LAST; a crash
+    * at any point is healed by the recover call inside [[exists]]. */
+  def compact(s: SparkSession, root: String): Unit = {
+    require(exists(s, root), s"no frame index under $root")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(s, root)
+    val stagingPath = graft.util.AtomicSwap.stagingPath(rootPath)
+    val staging = stagingPath.toString
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    val committed = ingestIds(s, root)
+    s.read.parquet(framesDir(root))
+      .select(col("doc_id"), col("fhash"), col("n_fr"))
+      .repartitionByRange(col("fhash"))
+      .sortWithinPartitions("fhash")
+      .write.mode("overwrite").parquet(s"${framesDir(staging)}/ingest=0")
+    val hwm = math.max(committed.max, compactedThrough(s, root))
+    val out = fs.create(hwmPath(staging), true)
+    try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
+    graft.util.AtomicSwap.promote(fs, rootPath)
+  }
+}

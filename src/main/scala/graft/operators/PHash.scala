@@ -288,6 +288,83 @@ object PHash {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** BOTH-direction frame-containment pairs of an incoming batch
+    * against the stored frame index, in [[frameContainment]]'s
+    * (doc_a = contained, doc_b = container) shape — the screen face of
+    * the screen-then-admit loop ([[graft.streaming.Streams
+    * .frameIndexIngest]]): an upload can be a clip of a stored video
+    * (batch ⊂ stored) AND a stored clip can sit inside the new longer
+    * upload (stored ⊂ batch); grading the second direction needs the
+    * STORED doc's frame-count denominator, which rides on every stored
+    * row (FrameIndex denormalizes n_fr) — so one fhash equi-join with
+    * the batch signatures BROADCAST answers both directions with the
+    * corpus never re-aggregated. `excludeStored` anti-joins those
+    * stored doc_ids out of the candidates (the replay guard: a
+    * re-delivered batch is already IN the index and must not match its
+    * own rows — within-batch pairs are the caller's separate step). */
+  def screenAdmit(batchDocs: DataFrame, stored: DataFrame,
+                  excludeStored: DataFrame,
+                  frameBytes: Int = NPix, stride: Int = 2,
+                  num: Int = 4, den: Int = 5): DataFrame = {
+    val bsig = frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(batchDocs), frameBytes, stride))
+      .localCheckpoint(true)
+    val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    val cand = stored.join(
+      broadcast(excludeStored.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+    val inter = cand.as("c")
+      .join(broadcast(bsig.as("b")), col("c.fhash") === col("b.fhash"))
+      .groupBy(col("b.doc_id").as("bd"), col("c.doc_id").as("cd"))
+      .agg(count(lit(1)).as("n_inter"), max(col("c.n_fr")).as("n_c"))
+      .join(broadcast(bsize.select(col("doc_id").as("bd"),
+        col("n_fr").as("n_b"))), Seq("bd"))
+      .localCheckpoint(true) // feeds both direction filters
+    def dir(aId: Column, bId: Column, nA: Column, nB: Column) = inter
+      .filter(col("n_inter") * den >= nA * num)
+      .select(aId.as("doc_a"), bId.as("doc_b"), nA.as("n_a"),
+        nB.as("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / nA.cast("double"), 6)
+          .as("containment"))
+    dir(col("bd"), col("cd"), col("n_b"), col("n_c"))
+      .unionByName(dir(col("cd"), col("bd"), col("n_c"), col("n_b")))
+  }
+
+  /** The same frame sampling + per-frame dHash + DIRECTED batch→corpus
+    * screen as DuckDB SQL (oracle twin of [[screenFrames]] over a
+    * documents split, generated from the same geometry/threshold
+    * constants). `batchPred` / `corpusPred` are SQL predicates over the
+    * `documents` table selecting the two sides. */
+  def oracleScreenSql(batchPred: String, corpusPred: String,
+                      frameBytes: Int = NPix, stride: Int = 2,
+                      num: Int = 4, den: Int = 5): String = {
+    val sig = oracleSignatureSql("fr", "doc_id", "ftext")
+    s"""WITH fr AS (
+          SELECT doc_id, substr(text, f*$frameBytes + 1, $frameBytes)
+                   AS ftext
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, length(text) // $frameBytes,
+                                    $stride)) AS f
+                FROM documents)),
+        sig AS (SELECT DISTINCT doc_id, phash AS fhash FROM ($sig)),
+        bsig AS (SELECT s.* FROM sig s JOIN documents d USING (doc_id)
+                 WHERE $batchPred),
+        csig AS (SELECT s.* FROM sig s JOIN documents d USING (doc_id)
+                 WHERE $corpusPred),
+        bsize AS (SELECT doc_id, COUNT(*) AS n_fr FROM bsig GROUP BY 1),
+        inter AS (
+          SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                 COUNT(*) AS n_inter
+          FROM bsig b JOIN csig c ON b.fhash = c.fhash
+          GROUP BY 1, 2)
+        SELECT batch_doc, corpus_doc, s.n_fr, n_inter,
+          ROUND(CAST(n_inter AS DOUBLE) / CAST(s.n_fr AS DOUBLE), 6)
+            AS containment
+        FROM inter JOIN bsize s ON batch_doc = s.doc_id
+        WHERE n_inter * $den >= s.n_fr * $num
+        ORDER BY batch_doc, corpus_doc"""
+  }
+
   /** The same pixel grid + dHash as DuckDB SQL over `$table` (oracle
     * twin of [[signatures]] — generated from the same geometry so the
     * two engines cannot drift). Yields a relation (doc_id, phash). */

@@ -896,6 +896,54 @@ object DedupOps {
     "q_dedup_frames" -> ((s, d) =>
       graft.operators.PHash.frameContainment(Tables.documents(s, d))),
 
+    // ---- Frame-hash index AT REST (operators/FrameIndex) — the
+    // screen-then-admit loop's query face: the reference corpus
+    // (backfill 60%, doc_id%5 in {1,2,3}) plus one streamed-style
+    // admission wave (%5=4, encoded and committed as its own ingest
+    // partition exactly as s_frame_index_ingest does) is screened by
+    // an incoming batch (%5=0) for directed frame containment — "is
+    // this upload a clip of a stored video?" — with the corpus never
+    // re-hashed: the batch samples/hashes only itself and broadcasts
+    // onto the streamed stored rows. SQL-oracled end-to-end (the
+    // oracle recomputes the identical frames/hashes/screen from the
+    // same split — append ≡ rebuild makes the stored detour
+    // invisible, pinned in FrameIndexSpec).
+    "q_frame_index_query" -> ((s, d) => {
+      import graft.operators.{FrameIndex, PHash}
+      val root = Scans.scratch("frameindex", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!FrameIndex.exists(s, root)) {
+        FrameIndex.build(docs.filter(m5 =!= 0 && m5 =!= 4), root)
+        FrameIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
+      }
+      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
+    // ---- COMPACTION of the frame-hash index — the maintenance step
+    // completing the FOURTH stored-index lifecycle (dedup, inverted,
+    // ANN indexes are the siblings): the backfill + admission wave
+    // folded into a single range-partitioned fhash-sorted ingest-0
+    // set, then the q_frame_index_query screen against the compacted
+    // artifact. Rows are preserved exactly (each ingest holds distinct
+    // docs) so the screen answers identically — the oracle equality IS
+    // the assertion; the high-water mark refuses re-appends of folded
+    // ingests and the swap is the crash-safe util.AtomicSwap protocol.
+    "q_frame_index_compact" -> ((s, d) => {
+      import graft.operators.{FrameIndex, PHash}
+      val root = Scans.scratch("frameindexcpt", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!FrameIndex.exists(s, root)) {
+        FrameIndex.build(docs.filter(m5 =!= 0 && m5 =!= 4), root)
+        FrameIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
+        FrameIndex.compact(s, root)
+      }
+      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -1141,6 +1189,14 @@ object DedupOps {
 
     "q_dedup_frames" ->
       graft.operators.PHash.oracleFrameContainmentSql(),
+
+    "q_frame_index_query" ->
+      graft.operators.PHash.oracleScreenSql(
+        "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
+
+    "q_frame_index_compact" ->
+      graft.operators.PHash.oracleScreenSql(
+        "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
 
     "q_multimodal_binary" ->
       """SELECT doc_id,

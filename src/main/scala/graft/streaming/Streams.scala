@@ -724,6 +724,50 @@ object Streams {
       .screenFrames(batch, batch.sparkSession.read.parquet(indexRoot))
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
 
+  /** s_frame_index_ingest — the SCREEN-THEN-ADMIT loop, the video
+    * platform's continuous shape (the s_dedup_index discipline at
+    * frame grain): each micro-batch of uploads is
+    *   (1) screened WITHIN itself (PHash.frameContainment — directed
+    *       containment among batch-mates, content grain),
+    *   (2) screened against the STORED frame index in BOTH directions
+    *       (PHash.screenAdmit: the upload may be a clip of a stored
+    *       video, and a stored clip may sit inside the new longer
+    *       upload — the stored row's denormalized n_fr grades the
+    *       second direction with zero corpus re-aggregation), the
+    *       batch's own re-delivered rows anti-joined away,
+    *   (3) the union committed as an immutable batchId-named version,
+    *   (4) the batch ADMITTED as its own ingest partition (skipped
+    *       idempotently when a compaction already folded it).
+    * Every step is replay-idempotent, and the union of committed pairs
+    * over ANY batch partitioning of a corpus (empty backfill) equals
+    * the corpus-wide q_dedup_frames pair set — each directed pair
+    * emitted exactly once, by whichever batch completes it (pinned in
+    * StreamingSpec). */
+  def frameIndexIngest(batch: DataFrame, root: String, outDir: String,
+                       batchId: Long): Unit = {
+    import graft.operators.{FrameIndex, PHash}
+    val s = batch.sparkSession
+    require(FrameIndex.exists(s, root),
+      s"no frame index under $root — build the backfill first (may be empty)")
+    val within = PHash.frameContainment(batch)
+    val cross = PHash.screenAdmit(batch, FrameIndex.stored(s, root),
+      excludeStored = batch)
+    within.unionByName(cross)
+      .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+    val ingestId = batchId + 1
+    if (ingestId > FrameIndex.compactedThrough(s, root))
+      FrameIndex.append(batch, root, ingestId)
+  }
+
+  /** Union of all directed containment pairs committed by
+    * [[frameIndexIngest]]. */
+  def committedFramePairs(spark: org.apache.spark.sql.SparkSession,
+                          outDir: String): DataFrame = {
+    val dirs = committedVersions(spark, outDir)
+    require(dirs.nonEmpty, s"no committed frame-pair versions under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Union of all frame-containment hits committed by
     * [[frameDedupBatch]]. */
   def committedFrameHits(spark: org.apache.spark.sql.SparkSession,

@@ -613,6 +613,58 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the hits")
   }
 
+  test("s_frame_index_ingest: screen-then-admit union ≡ corpus-wide q_dedup_frames") {
+    import graft.operators.FrameIndex
+    import graft.sources.Tables
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = s"$tmp/graft_frameingest/idx"
+    val out = s"$tmp/graft_frameingest_out"
+    for (p <- Seq(s"$tmp/graft_frameingest", out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // empty backfill: this stream IS the corpus from scratch, so the
+    // committed union must equal the corpus-wide declared key — each
+    // directed pair emitted exactly once, by whichever batch completes
+    // it (later-arriving side's batch, in either containment direction)
+    FrameIndex.build(docs.filter(lit(false)), root)
+    val want = graft.SparkEntry.queries("q_dedup_frames")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val groups = rows.groupBy(_._1 % 4).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.frameIndexIngest(b, root, out, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    def committed(): Seq[String] =
+      Streams.committedFramePairs(spark, out)
+        .collect().map(_.toString).sorted.toSeq
+    assert(committed() === want,
+      "screen-then-admit union diverges from the corpus-wide pair set")
+    // replay the last batch verbatim: the version self-overwrites, the
+    // anti-join keeps the batch's own (now admitted) rows out of the
+    // cross screen, and the ingest partition rewrites only itself
+    Streams.frameIndexIngest(groups.last.toDF("doc_id", "text"), root, out,
+      (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the pair set")
+    // compact, then a replay of a FOLDED batch is skipped idempotently
+    // (the pair versions still self-overwrite to the same content)
+    FrameIndex.compact(spark, root)
+    val storedBefore = FrameIndex.stored(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    Streams.frameIndexIngest(groups.last.toDF("doc_id", "text"), root, out,
+      (groups.size - 1).toLong)
+    assert(FrameIndex.stored(spark, root)
+      .collect().map(_.toString).sorted.toSeq === storedBefore,
+      "a folded replay changed the store")
+    assert(committed() === want)
+  }
+
   test("s_embed_outliers: streamed scores ≡ batch twin vs stored model, replay-idempotent") {
     import graft.queries.LlmOps
     import graft.sources.Tables
