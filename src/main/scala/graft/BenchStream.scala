@@ -327,6 +327,23 @@ object BenchStream {
           (b, id) => Streams.textIndexIngest(b, root, id),
           () => spark.read.parquet(s"$root/postings").count())
       }),
+      "s_frame_index_ingest" -> (() => {
+        val root = s"$tmpDir/graft_bench_frameingest/idx"
+        val out = s"$tmpDir/graft_bench_frameingest_out"
+        clean(s"$tmpDir/graft_bench_frameingest", out)
+        // empty backfill: the stream IS the corpus. Capped like
+        // s_dedup_index — each batch screens against the index admitted
+        // SO FAR, so total work grows with corpus × batches, the honest
+        // cost structure of screen-then-admit, measured as-is.
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_FRAME_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.FrameIndex.build(
+          docsN.take(1).toDF("doc_id", "text").filter(lit(false)), root)
+        driveForeach(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.frameIndexIngest(b, root, out, id),
+          () => Streams.committedFramePairs(spark, out).count())
+      }),
       "s_dedup_index" -> (() => {
         val root = s"$tmpDir/graft_bench_dedupindex"
         val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"
