@@ -147,9 +147,14 @@ object PHash {
     * argument); the fixture's max frame-df is 4, so the cap is not
     * wired here. frame_sum/offset never leave the signature projection,
     * so the fan-out columns prune at the scan. */
-  def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
-                       stride: Int = 2, num: Int = 4, den: Int = 5)
-      : DataFrame = {
+  /** The content-grain frame machinery shared by [[frameContainment]]
+    * and [[frameClusters]]: payload groups, rep-grain signatures and
+    * sizes, and the directed rep-grain containment pairs. */
+  private case class FrameGrain(groups: DataFrame, sizes: DataFrame,
+                                repPairs: DataFrame)
+
+  private def frameGrain(docs: DataFrame, frameBytes: Int, stride: Int,
+                         num: Int, den: Int): FrameGrain = {
     // CONTENT grain (the DedupOps.grainedNearDup discipline): identical
     // payloads — the dominant duplicate population, a re-posted video —
     // share one frame-signature set, so sampling, hashing, and ALL pair
@@ -182,6 +187,14 @@ object PHash {
         col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a").cast("double"), 6)
           .as("containment"))
+    FrameGrain(g, sizes, repPairs)
+  }
+
+  def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
+                       stride: Int = 2, num: Int = 4, den: Int = 5)
+      : DataFrame = {
+    val fg = frameGrain(docs, frameBytes, stride, num, den)
+    val (g, sizes, repPairs) = (fg.groups, fg.sizes, fg.repPairs)
     // narrow (rep, doc_id) membership — never the member array carried
     // per intermediate row (quadratic memory on a hot group)
     val m = g.select(col("rep"), explode(col("members")).as("doc_id"))
@@ -206,6 +219,36 @@ object PHash {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_a"), col("n_b"), col("n_inter"), col("containment"))
     intra.unionByName(inter).orderBy("doc_a", "doc_b")
+  }
+
+  /** The frame-containment DECISION frame (doc_id, cluster_id,
+    * is_keeper): connected components over the UNDIRECTED closure of
+    * the directed containment pairs (a clip and its container are one
+    * dedup group whichever way containment held), keeper = component
+    * min. The fixpoint runs at REP grain — only distinct-payload edges
+    * ever enter the contraction, and doc labels expand through the
+    * narrow membership join afterwards (LINEAR in corpus size; the
+    * doc-grain alternative feeds the fixpoint the quadratic intra-group
+    * pair expansion — 100 copies ⇒ 9,900 pairs per payload — and
+    * OOMed at the 100× replica tier, measured). cluster_id is the true
+    * doc-grain component min: every rep is its group's min doc_id, so
+    * min over reps ≡ min over docs. Frameless payloads (< one full
+    * window) have no pairs and stay per-doc singletons, matching the
+    * doc-grain SQL oracle exactly. */
+  def frameClusters(docs: DataFrame, frameBytes: Int = NPix,
+                    stride: Int = 2, num: Int = 4, den: Int = 5)
+      : DataFrame = {
+    val fg = frameGrain(docs, frameBytes, stride, num, den)
+    val repLabels = DedupCluster.clusters(
+        fg.sizes.select(col("doc_id")),
+        fg.repPairs.select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("doc_id", "rep")
+    fg.groups.select(col("rep"), explode(col("members")).as("doc_id"))
+      .join(repLabels, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper",
+        (col("doc_id") === col("cluster_id")).cast("long"))
   }
 
   /** Persist the frame-hash index of `docs` — the at-rest face of
@@ -262,9 +305,22 @@ object PHash {
     * full 72-byte windows at offsets f·72 for f ∈ {0, stride, 2·stride…},
     * DISTINCT (doc, hash), df-join, num/den integer predicate. */
   def oracleFrameContainmentSql(frameBytes: Int = NPix, stride: Int = 2,
-                                num: Int = 4, den: Int = 5): String = {
+                                num: Int = 4, den: Int = 5): String =
+    s"""WITH ${framePairCtes(frameBytes, stride)}
+        SELECT doc_a, doc_b, sa.n_fr AS n_a, sb.n_fr AS n_b, n_inter,
+          ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_fr AS DOUBLE), 6)
+            AS containment
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter * $den >= sa.n_fr * $num
+        ORDER BY doc_a, doc_b"""
+
+  /** The shared frame-sampling / per-frame-hash / shared-count CTE
+    * chain (fr, sig, sizes, inter) of the frame-grain oracles. */
+  private def framePairCtes(frameBytes: Int, stride: Int): String = {
     val sig = oracleSignatureSql("fr", "doc_id", "ftext")
-    s"""WITH fr AS (
+    s"""fr AS (
           SELECT doc_id, substr(text, f*$frameBytes + 1, $frameBytes)
                    AS ftext
           FROM (SELECT doc_id, text,
@@ -277,16 +333,33 @@ object PHash {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
           FROM sig a JOIN sig b ON a.fhash = b.fhash
                                  AND a.doc_id <> b.doc_id
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b, sa.n_fr AS n_a, sb.n_fr AS n_b, n_inter,
-          ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_fr AS DOUBLE), 6)
-            AS containment
-        FROM inter
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-        WHERE n_inter * $den >= sa.n_fr * $num
-        ORDER BY doc_a, doc_b"""
+          GROUP BY 1, 2)"""
   }
+
+  /** The frame-containment DECISION as DuckDB SQL (oracle twin of the
+    * q_dedup_frames_cluster key): connected components over the
+    * UNDIRECTED closure of the directed containment pairs (a clip and
+    * its container belong to one dedup group whichever way containment
+    * held), keeper = min doc_id — the recursive-CC CTE of the other
+    * cluster oracles over this family's own pair predicate. */
+  def oracleFrameClusterSql(frameBytes: Int = NPix, stride: Int = 2,
+                            num: Int = 4, den: Int = 5): String =
+    s"""WITH RECURSIVE ${framePairCtes(frameBytes, stride)},
+        p AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          WHERE n_inter * $den >= sa.n_fr * $num),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM p),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id,
+               CAST(src = MIN(dst) AS BIGINT) AS is_keeper
+        FROM reach GROUP BY src ORDER BY doc_id"""
 
   /** BOTH-direction frame-containment pairs of an incoming batch
     * against the stored frame index, in [[frameContainment]]'s

@@ -896,6 +896,23 @@ object DedupOps {
     "q_dedup_frames" -> ((s, d) =>
       graft.operators.PHash.frameContainment(Tables.documents(s, d))),
 
+    // ---- Frame-containment DECISION — the per-frame family's cluster
+    // form (q_dedup_cluster / q_dedup_phash's shape): connected
+    // components over the UNDIRECTED closure of the directed
+    // containment pairs (a clip and its container are one dedup group
+    // whichever way containment held), keeper = component-min doc_id,
+    // singletons labeled. Pair generation is the content-grain
+    // q_dedup_frames machinery; the fixpoint is the shared
+    // DedupCluster star contraction run at REP grain — only
+    // distinct-payload edges enter the contraction, doc labels expand
+    // linearly afterwards (the doc-grain alternative OOMed at the 100×
+    // replica tier on the quadratic intra-group pair expansion —
+    // PHash.frameClusters records the measurement). SQL-oracled
+    // with the recursive-CC CTE over this family's own pair predicate.
+    "q_dedup_frames_cluster" -> ((s, d) =>
+      graft.operators.PHash.frameClusters(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // ---- Frame-hash index AT REST (operators/FrameIndex) — the
     // screen-then-admit loop's query face: the reference corpus
     // (backfill 60%, doc_id%5 in {1,2,3}) plus one streamed-style
@@ -1189,6 +1206,9 @@ object DedupOps {
 
     "q_dedup_frames" ->
       graft.operators.PHash.oracleFrameContainmentSql(),
+
+    "q_dedup_frames_cluster" ->
+      graft.operators.PHash.oracleFrameClusterSql(),
 
     "q_frame_index_query" ->
       graft.operators.PHash.oracleScreenSql(
