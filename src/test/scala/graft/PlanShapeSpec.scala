@@ -115,6 +115,16 @@ class PlanShapeSpec extends SparkSpec {
       s"contained-side prefix filter missing from plan:\n${p.take(2000)}")
   }
 
+  test("q_dedup_frames: candidates via the fhash equi-join, no nested loop") {
+    // the video-analog containment must never degenerate to an
+    // all-pairs product: rep-grain signatures self-join on the frame
+    // hash, membership expands through equi-joins
+    val p = plan("q_dedup_frames")
+    assert(p.contains("fhash"), "pair join lost its fhash equi key")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "frame containment degenerated to a nested loop")
+  }
+
   test("q_dedup_simhash candidates arrive via a band equi-join, no nested loop") {
     val p = plan("q_dedup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n${p.take(2000)}")
