@@ -327,6 +327,25 @@ object BenchStream {
           (b, id) => Streams.textIndexIngest(b, root, id),
           () => spark.read.parquet(s"$root/postings").count())
       }),
+      "s_knn_index_ingest" -> (() => {
+        val root = s"$tmpDir/graft_bench_knningest/idx"
+        clean(s"$tmpDir/graft_bench_knningest")
+        // backfill trains the models (outside the timed window is
+        // wrong here: training is part of no batch, so it runs in
+        // setup); each micro-batch then encodes against the STORED
+        // centroids/codebooks — pure per-row arithmetic, O(batch)
+        val nrm = graft.functions.VectorExprs.norm(col("v"))
+        def unit(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"),
+            org.apache.spark.sql.functions.transform(
+              col("v"), x => x / nrm).as("v"))
+        graft.operators.AnnIndex.build(
+          unit(vecs.take(20000).toDF("vec_id", "v")), root)
+        val rest = vecs.drop(20000)
+        driveForeach(rest, Seq("vec_id", "v"),
+          (b, id) => Streams.annIndexIngest(unit(b), root, id),
+          () => spark.read.parquet(s"$root/codes").count())
+      }),
       "s_frame_index_ingest" -> (() => {
         val root = s"$tmpDir/graft_bench_frameingest/idx"
         val out = s"$tmpDir/graft_bench_frameingest_out"
