@@ -280,17 +280,27 @@ object PHash {
     * [[frameContainment]] documents. */
   def screenFrames(batchDocs: DataFrame, stored: DataFrame,
                    frameBytes: Int = NPix, stride: Int = 2,
-                   num: Int = 4, den: Int = 5): DataFrame = {
+                   num: Int = 4, den: Int = 5,
+                   docBroadcastLimit: Long = 20000L): DataFrame = {
     val bsig = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(batchDocs), frameBytes, stride))
       .localCheckpoint(true) // feeds the join + the per-doc sizes
     val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+      .localCheckpoint(true) // feeds the gate count + the size join
+    // adaptive pick (the DedupIndex.queryBatch discipline): a
+    // micro-batch-sized input ships as a broadcast so the stored
+    // corpus never shuffles; a corpus-scale BACKFILL WAVE crosses the
+    // gate and takes the plain equi-join (AQE plans the exchange) —
+    // forcing the broadcast there is how a re-crawl OOMs. Both
+    // branches are pinned bit-equal in FrameIndexSpec.
+    val gate: DataFrame => DataFrame =
+      if (bsize.count() <= docBroadcastLimit) broadcast else identity
     stored.as("c")
-      .join(broadcast(bsig.as("b")), col("c.fhash") === col("b.fhash"))
+      .join(gate(bsig.as("b")), col("c.fhash") === col("b.fhash"))
       .groupBy(col("b.doc_id").as("batch_doc"),
                col("c.doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(bsize.withColumnRenamed("doc_id", "batch_doc")),
+      .join(gate(bsize.withColumnRenamed("doc_id", "batch_doc")),
         Seq("batch_doc"))
       .filter(col("n_inter") * den >= col("n_fr") * num)
       .select(col("batch_doc"), col("corpus_doc"), col("n_fr"),
@@ -378,19 +388,25 @@ object PHash {
   def screenAdmit(batchDocs: DataFrame, stored: DataFrame,
                   excludeStored: DataFrame,
                   frameBytes: Int = NPix, stride: Int = 2,
-                  num: Int = 4, den: Int = 5): DataFrame = {
+                  num: Int = 4, den: Int = 5,
+                  docBroadcastLimit: Long = 20000L): DataFrame = {
     val bsig = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(batchDocs), frameBytes, stride))
       .localCheckpoint(true)
     val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+      .localCheckpoint(true) // feeds the gate count + the size join
+    // the screenFrames adaptive pick — every batch-derived frame ships
+    // broadcast only while the batch is micro-batch-sized
+    val gate: DataFrame => DataFrame =
+      if (bsize.count() <= docBroadcastLimit) broadcast else identity
     val cand = stored.join(
-      broadcast(excludeStored.select(col("doc_id"))),
+      gate(excludeStored.select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
     val inter = cand.as("c")
-      .join(broadcast(bsig.as("b")), col("c.fhash") === col("b.fhash"))
+      .join(gate(bsig.as("b")), col("c.fhash") === col("b.fhash"))
       .groupBy(col("b.doc_id").as("bd"), col("c.doc_id").as("cd"))
       .agg(count(lit(1)).as("n_inter"), max(col("c.n_fr")).as("n_c"))
-      .join(broadcast(bsize.select(col("doc_id").as("bd"),
+      .join(gate(bsize.select(col("doc_id").as("bd"),
         col("n_fr").as("n_b"))), Seq("bd"))
       .localCheckpoint(true) // feeds both direction filters
     def dir(aId: Column, bId: Column, nA: Column, nB: Column) = inter

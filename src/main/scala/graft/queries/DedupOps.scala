@@ -938,6 +938,26 @@ object DedupOps {
         .orderBy("batch_doc", "corpus_doc")
     }),
 
+    // ---- The BACKFILL-WAVE shape of the frame index (the
+    // q_dedup_index_backfill discipline): a CORPUS-SCALE batch (the
+    // 80% split side — a re-crawl of the video corpus) screened
+    // against the stored 20% index. At replica tiers the wave crosses
+    // screenFrames' doc-count broadcast gate and takes the plain
+    // equi-join (AQE plans the exchange) — a forced broadcast of a
+    // corpus-scale frame-signature set is how a re-crawl OOMs. Branch
+    // equivalence (shuffle ≡ broadcast bit-for-bit) pinned in
+    // FrameIndexSpec.
+    "q_frame_index_backfill" -> ((s, d) => {
+      import graft.operators.{FrameIndex, PHash}
+      val root = Scans.scratch("frameindexbf", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!FrameIndex.exists(s, root))
+        FrameIndex.build(docs.filter(m5 === 0), root)
+      PHash.screenFrames(docs.filter(m5 =!= 0), FrameIndex.stored(s, root))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
     // ---- COMPACTION of the frame-hash index — the maintenance step
     // completing the FOURTH stored-index lifecycle (dedup, inverted,
     // ANN indexes are the siblings): the backfill + admission wave
@@ -1213,6 +1233,10 @@ object DedupOps {
     "q_frame_index_query" ->
       graft.operators.PHash.oracleScreenSql(
         "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
+
+    "q_frame_index_backfill" ->
+      graft.operators.PHash.oracleScreenSql(
+        "d.doc_id % 5 <> 0", "d.doc_id % 5 = 0"),
 
     "q_frame_index_compact" ->
       graft.operators.PHash.oracleScreenSql(

@@ -74,6 +74,32 @@ class FrameIndexSpec extends SparkSpec {
     assert(storedRows(root).size > beforeRows.size)
   }
 
+  test("screen branches: forced shuffle ≡ broadcast, bit-for-bit") {
+    // the backfill-wave safety valve: a corpus-scale batch must cross
+    // the doc-count gate and take the plain equi-join, and that branch
+    // must answer exactly like the broadcast one (limit 0 forces it;
+    // the default is the production gate)
+    val m5 = pmod(col("doc_id"), lit(5))
+    val root = tmpRoot("branches")
+    FrameIndex.build(docs.filter(m5 === 0), root)
+    val wave = docs.filter(m5 =!= 0)
+    def run(limit: Long): Seq[String] =
+      PHash.screenFrames(wave, FrameIndex.stored(spark, root),
+          docBroadcastLimit = limit)
+        .collect().map(_.toString).sorted.toSeq
+    val bcast = run(Long.MaxValue)
+    assert(bcast.nonEmpty, "fixture produced no backfill-wave hits")
+    assert(run(0L) === bcast,
+      "shuffle branch diverges from the broadcast branch")
+    // same law for the both-direction admit screen
+    def runAdmit(limit: Long): Seq[String] =
+      PHash.screenAdmit(wave, FrameIndex.stored(spark, root),
+          excludeStored = wave, docBroadcastLimit = limit)
+        .collect().map(_.toString).sorted.toSeq
+    assert(runAdmit(0L) === runAdmit(Long.MaxValue),
+      "admit-screen shuffle branch diverges from the broadcast branch")
+  }
+
   test("a compaction swap torn mid-rename heals on the next exists()") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("torn")
