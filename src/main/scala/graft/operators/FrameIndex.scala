@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
 object FrameIndex {
 
   private def framesDir(root: String) = s"$root/frames"
+  private def hotDir(root: String) = s"$root/hot"
 
   private def hwmPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/compacted_through")
@@ -63,15 +64,27 @@ object FrameIndex {
     }
   }
 
-  /** Ingest ids present under the table (directory listing, not a data
-    * scan). */
-  private def ingestIds(s: SparkSession, root: String): Seq[Long] =
-    fsOf(s, root).globStatus(
-      new org.apache.hadoop.fs.Path(s"${framesDir(root)}/ingest=*")) match {
-      case null => Nil
-      case st => st.toSeq
-        .map(_.getPath.getName.stripPrefix("ingest=").toLong).sorted
-    }
+  /** Ingest ids whose partition carries its `_SUCCESS` commit marker
+    * (directory listing, not a data scan). The output directory is
+    * created at job SETUP, before commit, so an append that crashed
+    * mid-write leaves an `ingest=` dir without the marker: trusting the
+    * bare listing would raise the compaction high-water mark past that
+    * UNCOMMITTED batch, and the streaming face would then skip its
+    * redelivery as "already folded" — the batch's frame rows silently
+    * lost forever. Only marker-bearing ids count (the DedupIndex
+    * committedIngests convention), and [[compact]]/[[stored]] restrict
+    * their reads to this set. */
+  private def committedIngests(s: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(framesDir(root))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("ingest=").toLong).sorted
+  }
 
   /** (doc_id, fhash, n_fr) — the doc's distinct frame hashes plus its
     * TOTAL distinct-frame count denormalized onto every row. Storing
@@ -93,11 +106,43 @@ object FrameIndex {
     * corpus-scale backfill spreads over many files whose row-group
     * min/max stats cover disjoint hash ranges. */
   def build(docs: DataFrame, root: String,
-            frameBytes: Int = PHash.NPix, stride: Int = 2): Unit =
+            frameBytes: Int = PHash.NPix, stride: Int = 2,
+            dfCap: Long = PHash.DefaultFrameDfCap): Unit = {
     signatures(docs, frameBytes, stride)
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(s"${framesDir(root)}/ingest=0")
+    refreshHot(docs.sparkSession, root, dfCap)
+  }
+
+  /** Materialize the corpus's hot-hash set ([[PHash.hotFrameHashes]]:
+    * hashes in more than dfCap distinct stored docs — boilerplate, so
+    * tiny) under `hot/`. Run at [[build]] and [[compact]] time — the
+    * one corpus-wide aggregation happens at maintenance cadence so
+    * every per-batch screen gets the guard as a broadcast, never a
+    * corpus scan. Between compactions the set is stale by at most the
+    * appended waves' df contributions (a hash can only become HOTTER;
+    * screens are uncapped on it until the next fold — bounded, and the
+    * fixture never reaches any cap at all). */
+  def refreshHot(s: SparkSession, root: String, dfCap: Long): Unit =
+    PHash.hotFrameHashes(stored(s, root).select("doc_id", "fhash"), dfCap)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(hotDir(root))
+
+  /** The stored hot-hash set (empty frame if the artifact is missing —
+    * a crash between the frames write and [[refreshHot]] leaves a
+    * usable, merely uncapped, index). Callers broadcast it into
+    * [[PHash.screenFrames]]/[[PHash.screenAdmit]]. */
+  def hotHashes(s: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(s, root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"${hotDir(root)}/_SUCCESS")))
+      s.read.parquet(hotDir(root)).select("fhash")
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fhash",
+            org.apache.spark.sql.types.LongType))))
+  }
 
   /** Admit a batch of accepted uploads under its own immutable
     * `ingest=` partition (written directly, with its own _SUCCESS as
@@ -124,11 +169,18 @@ object FrameIndex {
       .parquet(s"${framesDir(root)}/ingest=$ingestId")
   }
 
-  /** The stored (doc_id, fhash, n_fr) rows across every committed
+  /** The stored (doc_id, fhash, n_fr) rows across every COMMITTED
     * ingest — what [[PHash.screenFrames]] / [[PHash.screenAdmit]]
-    * screen against. */
-  def stored(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(framesDir(root)).select("doc_id", "fhash", "n_fr")
+    * screen against. Restricted to `_SUCCESS`-bearing partitions (a
+    * static partition filter — pruned at listing time, no data read):
+    * a crashed append's partial rows would otherwise screen with a
+    * wrong n_inter until the replay overwrote them. */
+  def stored(s: SparkSession, root: String): DataFrame = {
+    val inSet = committedIngests(s, root).map(java.lang.Long.valueOf)
+    s.read.parquet(framesDir(root))
+      .filter(col("ingest").cast("long").isin(inSet: _*))
+      .select("doc_id", "fhash", "n_fr")
+  }
 
   /** Fold every ingest partition into a single ingest-0 set — the
     * periodic maintenance step of the screen-then-admit loop. Frame
@@ -139,21 +191,25 @@ object FrameIndex {
     * set instead of one per admission wave. Staged write + two-rename swap
     * (util.AtomicSwap) with the high-water mark written LAST; a crash
     * at any point is healed by the recover call inside [[exists]]. */
-  def compact(s: SparkSession, root: String): Unit = {
+  def compact(s: SparkSession, root: String,
+              dfCap: Long = PHash.DefaultFrameDfCap): Unit = {
     require(exists(s, root), s"no frame index under $root")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsOf(s, root)
     val stagingPath = graft.util.AtomicSwap.stagingPath(rootPath)
     val staging = stagingPath.toString
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
-    val committed = ingestIds(s, root)
+    val committed = committedIngests(s, root)
+    val inSet = committed.map(java.lang.Long.valueOf)
     s.read.parquet(framesDir(root))
+      .filter(col("ingest").cast("long").isin(inSet: _*))
       .select(col("doc_id"), col("fhash"), col("n_fr"))
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(s"${framesDir(staging)}/ingest=0")
+    refreshHot(s, staging, dfCap) // fold cadence = hot-set refresh cadence
     val hwm = math.max(committed.max, compactedThrough(s, root))
-    val out = fs.create(hwmPath(staging), true)
+    val out = fs.create(hwmPath(staging), true) // marker LAST: staging done
     try out.write(hwm.toString.getBytes("UTF-8")) finally out.close()
     graft.util.AtomicSwap.promote(fs, rootPath)
   }

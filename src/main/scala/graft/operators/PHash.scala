@@ -107,20 +107,41 @@ object PHash {
       .select("doc_id", "phash", "cluster_id", "is_keeper")
   }
 
+  /** Column: the byte-value array (0–255, unsigned) of a BINARY column,
+    * byte-faithful for arbitrary payloads: hex() then one base-16 parse
+    * per byte pair. The whole-payload path's [[byteValues]] goes through
+    * split+ascii on a STRING column, which is only faithful for ascii
+    * payloads — fine there (the fixture contract), but the frame-grain
+    * API hands a real decoder's raw bytes through [[SampledFrame]], and
+    * a string round-trip would corrupt any non-UTF8 byte into a
+    * replacement char before hashing. Callers project the hex string as
+    * its own alias first so the O(n) hex() runs once per row, not once
+    * per byte. */
+  def binaryByteValues(hexCol: String): Column =
+    expr(s"""transform(sequence(1, length($hexCol) div 2),
+               i -> cast(conv(substr($hexCol, cast(2*i-1 as int), 2),
+                              16, 10) as bigint))"""
+      .replaceAll("\\s+", " "))
+
   /** Per-frame dHash signature SET — (doc_id, fhash) DISTINCT — from
     * sampled frames: the video-modality analog of [[signatures]]. Each
     * frame's content bytes are hashed with the SAME 9×8 grid + dHash as
     * the whole-payload path (a 72-byte frame makes each pixel exactly
     * one byte, so the generic block-average math reduces to identity —
-    * reused anyway so the two grains cannot drift). DISTINCT because
-    * containment is a SET predicate: a frame repeated within one doc
-    * (a looped intro) is one element of the doc's frame-hash set. Pure
-    * map-side until the distinct's single shuffle. */
+    * reused anyway so the two grains cannot drift), but the bytes are
+    * read DIRECTLY from the binary frame ([[binaryByteValues]]) so a
+    * real ffmpeg decoder's non-ascii pixel bytes hash faithfully — the
+    * SQL oracle twin stays ascii-constrained (it recomputes frames from
+    * the text column), which the fixture payloads satisfy by contract.
+    * DISTINCT because containment is a SET predicate: a frame repeated
+    * within one doc (a looped intro) is one element of the doc's
+    * frame-hash set. Pure map-side until the distinct's single
+    * shuffle. */
   def frameSignatures(frames: org.apache.spark.sql.Dataset[SampledFrame])
       : DataFrame =
     frames.toDF()
-      .select(col("doc_id"), col("frame").cast("string").as("ftext"))
-      .select(col("doc_id"), byteValues("ftext").as("pbytes"))
+      .select(col("doc_id"), hex(col("frame")).as("fhex"))
+      .select(col("doc_id"), binaryByteValues("fhex").as("pbytes"))
       .select(col("doc_id"), pixels("pbytes").as("px"))
       .select(col("doc_id"), dhash(col("px")).as("fhash"))
       .distinct()
@@ -141,20 +162,50 @@ object PHash {
     * re-posted video is free — see the body comment); candidates come
     * ONLY from the fhash equi-join, so pair work is Σ df(h)² over
     * distinct frame hashes at distinct-payload grain, never corpus² —
-    * the MinHashLSH band-join discipline. A production corpus adds a
-    * document-frequency cap on hot hashes (black frames, credit cards —
-    * the boilerplate population, exactly PrefixFilter's df-ordering
-    * argument); the fixture's max frame-df is 4, so the cap is not
-    * wired here. frame_sum/offset never leave the signature projection,
-    * so the fan-out columns prune at the scan. */
+    * the MinHashLSH band-join discipline. The one hash population that
+    * breaks that bound on a real video corpus is HOT frames (black
+    * frames, title cards, station idents): one hash at df 10⁶ alone
+    * costs 10¹² join rows. So a document-frequency cap is WIRED into
+    * the pair path (`dfCap`, default [[DefaultFrameDfCap]]): hashes
+    * shared by more than dfCap distinct payloads are dropped from the
+    * signature sets — from the intersection AND the n_fr denominator,
+    * consistently — before any join, bounding pair work per hash at
+    * dfCap² (exactly PrefixFilter's df-ordering argument: a frame
+    * everyone shares carries no dedup evidence; it IS the boilerplate
+    * population). A payload whose every frame is hot becomes frameless
+    * and stays a singleton. The fixture's max frame-df is 4 ≪ the
+    * default cap, so declared keys are byte-identical to the uncapped
+    * semantics and the SQL oracle needs no cap clause; the capped
+    * behavior is law-pinned in PHashSpec. frame_sum/offset never leave
+    * the signature projection, so the fan-out columns prune at the
+    * scan. */
   /** The content-grain frame machinery shared by [[frameContainment]]
     * and [[frameClusters]]: payload groups, rep-grain signatures and
     * sizes, and the directed rep-grain containment pairs. */
   private case class FrameGrain(groups: DataFrame, sizes: DataFrame,
                                 repPairs: DataFrame)
 
+  /** Hashes shared by more than this many DISTINCT payloads are
+    * boilerplate (black frames, title cards), not dedup evidence — the
+    * frame family's pair joins drop them (see [[frameContainment]]).
+    * Any value ≫ the fixture's max frame-df of 4 leaves declared-key
+    * results byte-identical; 1000 bounds per-hash pair work at 10⁶
+    * rows on a real corpus. */
+  val DefaultFrameDfCap = 1000L
+
+  /** The hot-hash set of a stored (doc_id, fhash) signature relation:
+    * hashes occurring in more than dfCap distinct docs. Tiny by
+    * construction (the boilerplate population), so callers broadcast
+    * it; [[graft.operators.FrameIndex]] materializes it at rest at
+    * build/compact time so screens never re-aggregate the corpus. */
+  def hotFrameHashes(sig: DataFrame, dfCap: Long = DefaultFrameDfCap)
+      : DataFrame =
+    sig.groupBy("fhash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("fhash")
+
   private def frameGrain(docs: DataFrame, frameBytes: Int, stride: Int,
-                         num: Int, den: Int): FrameGrain = {
+                         num: Int, den: Int,
+                         dfCap: Long = DefaultFrameDfCap): FrameGrain = {
     // CONTENT grain (the DedupOps.grainedNearDup discipline): identical
     // payloads — the dominant duplicate population, a re-posted video —
     // share one frame-signature set, so sampling, hashing, and ALL pair
@@ -166,10 +217,19 @@ object PHash {
       .agg(min(col("doc_id")).as("rep"),
            collect_list(col("doc_id")).as("members"))
       .localCheckpoint(true)
+    // hot-hash df cap BEFORE any pair work: one window count on the
+    // same fhash key the pair join shuffles on; a hash at rep-grain
+    // df > dfCap leaves the signature sets entirely (intersection AND
+    // n_fr denominator — consistent containment semantics). Never
+    // fires on the fixture (max df 4); bounds Σ df² at dfCap² per hash
+    // on a real corpus.
     val sig = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(
           g.select(col("rep").as("doc_id"), col("text"))),
         frameBytes, stride))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fhash")))
+      .filter(col("df") <= dfCap).drop("df")
       .localCheckpoint(true) // feeds sizes + both join sides
     val sizes = sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
     val shared = sig.as("a")
@@ -191,9 +251,10 @@ object PHash {
   }
 
   def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
-                       stride: Int = 2, num: Int = 4, den: Int = 5)
+                       stride: Int = 2, num: Int = 4, den: Int = 5,
+                       dfCap: Long = DefaultFrameDfCap)
       : DataFrame = {
-    val fg = frameGrain(docs, frameBytes, stride, num, den)
+    val fg = frameGrain(docs, frameBytes, stride, num, den, dfCap)
     val (g, sizes, repPairs) = (fg.groups, fg.sizes, fg.repPairs)
     // narrow (rep, doc_id) membership — never the member array carried
     // per intermediate row (quadratic memory on a hot group)
@@ -236,9 +297,10 @@ object PHash {
     * window) have no pairs and stay per-doc singletons, matching the
     * doc-grain SQL oracle exactly. */
   def frameClusters(docs: DataFrame, frameBytes: Int = NPix,
-                    stride: Int = 2, num: Int = 4, den: Int = 5)
+                    stride: Int = 2, num: Int = 4, den: Int = 5,
+                    dfCap: Long = DefaultFrameDfCap)
       : DataFrame = {
-    val fg = frameGrain(docs, frameBytes, stride, num, den)
+    val fg = frameGrain(docs, frameBytes, stride, num, den, dfCap)
     val repLabels = DedupCluster.clusters(
         fg.sizes.select(col("doc_id")),
         fg.repPairs.select(col("doc_a"), col("doc_b")))
@@ -259,11 +321,19 @@ object PHash {
     * with zero corpus re-hash — the DedupIndex / DecontamIndex stored-
     * artifact discipline applied to the video modality. */
   def storeFrameIndex(docs: DataFrame, root: String,
-                      frameBytes: Int = NPix, stride: Int = 2): Unit =
+                      frameBytes: Int = NPix, stride: Int = 2,
+                      dfCap: Long = DefaultFrameDfCap): Unit = {
     frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(docs), frameBytes, stride))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(root)
+    // the frozen corpus's hot-hash set (boilerplate frames — tiny),
+    // materialized once beside the index so every streaming screen
+    // gets the df-cap guard as a broadcast, never a corpus scan
+    hotFrameHashes(docs.sparkSession.read.parquet(root), dfCap)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root.hot")
+  }
 
   /** Directed frame-grain containment of a (small) incoming batch
     * against the STORED frame-hash index: (batch_doc, corpus_doc,
@@ -275,15 +345,24 @@ object PHash {
     * the streamed stored rows (the DedupIndex.queryBatch shape), so
     * per-batch cost is the stored scan + a broadcast hash join however
     * large the corpus. Join fan-out is bounded by the true answer size
-    * (every stored doc containing a batch frame is a candidate);
-    * a production corpus caps hot frame hashes exactly as
-    * [[frameContainment]] documents. */
+    * (every stored doc containing a batch frame is a candidate) —
+    * EXCEPT at hot frame hashes (black frames: one batch frame hash at
+    * stored-df 10⁶ fans out 10⁶ rows), so `hotHashes` — the stored
+    * corpus's over-df-cap hash set, materialized at rest by
+    * [[graft.operators.FrameIndex]] at build/compact time, tiny by
+    * construction — is broadcast-anti-joined off the batch signatures
+    * BEFORE the join, and the batch n_fr denominator counts surviving
+    * frames only (same consistent semantics as [[frameContainment]]'s
+    * dfCap). None ⇒ uncapped (the fixture contract). */
   def screenFrames(batchDocs: DataFrame, stored: DataFrame,
                    frameBytes: Int = NPix, stride: Int = 2,
                    num: Int = 4, den: Int = 5,
-                   docBroadcastLimit: Long = 20000L): DataFrame = {
-    val bsig = frameSignatures(Multimodal.sampleFrames(
+                   docBroadcastLimit: Long = 20000L,
+                   hotHashes: Option[DataFrame] = None): DataFrame = {
+    val bsigAll = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(batchDocs), frameBytes, stride))
+    val bsig = hotHashes.fold(bsigAll)(h =>
+        bsigAll.join(broadcast(h.select("fhash")), Seq("fhash"), "left_anti"))
       .localCheckpoint(true) // feeds the join + the per-doc sizes
     val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
       .localCheckpoint(true) // feeds the gate count + the size join
@@ -389,9 +468,16 @@ object PHash {
                   excludeStored: DataFrame,
                   frameBytes: Int = NPix, stride: Int = 2,
                   num: Int = 4, den: Int = 5,
-                  docBroadcastLimit: Long = 20000L): DataFrame = {
-    val bsig = frameSignatures(Multimodal.sampleFrames(
+                  docBroadcastLimit: Long = 20000L,
+                  hotHashes: Option[DataFrame] = None): DataFrame = {
+    // the screenFrames hot-hash guard: stored-corpus boilerplate hashes
+    // leave the batch signatures before the join (and the n_b
+    // denominator); the stored-side n_c denominator is as-written —
+    // a hot-frame-heavy stored clip grades conservatively, documented
+    val bsigAll = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(batchDocs), frameBytes, stride))
+    val bsig = hotHashes.fold(bsigAll)(h =>
+        bsigAll.join(broadcast(h.select("fhash")), Seq("fhash"), "left_anti"))
       .localCheckpoint(true)
     val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
       .localCheckpoint(true) // feeds the gate count + the size join

@@ -934,7 +934,8 @@ object DedupOps {
         FrameIndex.build(docs.filter(m5 =!= 0 && m5 =!= 4), root)
         FrameIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
       }
-      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root))
+      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root),
+          hotHashes = Some(FrameIndex.hotHashes(s, root)))
         .orderBy("batch_doc", "corpus_doc")
     }),
 
@@ -954,7 +955,8 @@ object DedupOps {
       val m5 = pmod(col("doc_id"), lit(5))
       if (!FrameIndex.exists(s, root))
         FrameIndex.build(docs.filter(m5 === 0), root)
-      PHash.screenFrames(docs.filter(m5 =!= 0), FrameIndex.stored(s, root))
+      PHash.screenFrames(docs.filter(m5 =!= 0), FrameIndex.stored(s, root),
+          hotHashes = Some(FrameIndex.hotHashes(s, root)))
         .orderBy("batch_doc", "corpus_doc")
     }),
 
@@ -977,7 +979,8 @@ object DedupOps {
         FrameIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
         FrameIndex.compact(s, root)
       }
-      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root))
+      PHash.screenFrames(docs.filter(m5 === 0), FrameIndex.stored(s, root),
+          hotHashes = Some(FrameIndex.hotHashes(s, root)))
         .orderBy("batch_doc", "corpus_doc")
     }),
 

@@ -719,10 +719,21 @@ object Streams {
     * .screenFrames]] on the same docs (pinned); replay exactly-once
     * via foreachBatch batchId. */
   def frameDedupBatch(batch: DataFrame, indexRoot: String, outDir: String,
-                      batchId: Long): Unit =
+                      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    // the hot-hash guard rides beside the frozen index (written by
+    // storeFrameIndex); an index stored before the guard existed
+    // screens uncapped, unchanged
+    val hotPath = new org.apache.hadoop.fs.Path(s"$indexRoot.hot/_SUCCESS")
+    val hot =
+      if (hotPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(hotPath))
+        Some(s.read.parquet(s"$indexRoot.hot"))
+      else None
     graft.operators.PHash
-      .screenFrames(batch, batch.sparkSession.read.parquet(indexRoot))
+      .screenFrames(batch, s.read.parquet(indexRoot), hotHashes = hot)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
+  }
 
   /** s_frame_index_ingest — the SCREEN-THEN-ADMIT loop, the video
     * platform's continuous shape (the s_dedup_index discipline at
@@ -751,7 +762,8 @@ object Streams {
       s"no frame index under $root — build the backfill first (may be empty)")
     val within = PHash.frameContainment(batch)
     val cross = PHash.screenAdmit(batch, FrameIndex.stored(s, root),
-      excludeStored = batch)
+      excludeStored = batch,
+      hotHashes = Some(FrameIndex.hotHashes(s, root)))
     within.unionByName(cross)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
     val ingestId = batchId + 1

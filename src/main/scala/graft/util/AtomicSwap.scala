@@ -38,6 +38,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * An object-store deployment replaces the renames with a manifest
   * swap; the staging/marker/recover contract is unchanged.
+  *
+  * Concurrency contract: compaction is SINGLE-WRITER — at most one
+  * [[promote]] (one `compact()`) per index root at a time; two
+  * concurrent folds of the same root are a caller bug. [[recover]],
+  * however, runs from every reader (`exists()` on all four indexes
+  * calls it), so a reader CAN race the writer inside promote's
+  * two-rename window: the reader sees root absent + staging complete
+  * and finishes the promote itself. Both sides therefore tolerate a
+  * LOST rename — when a rename fails they re-check whether the other
+  * party already put an artifact at root (the index content is
+  * identical whichever side won) instead of require-failing.
   */
 object AtomicSwap {
 
@@ -52,9 +63,15 @@ object AtomicSwap {
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(root, old),
       s"compaction swap failed: could not set $root aside as $old")
-    require(fs.rename(staging, root),
-      s"compaction swap failed: could not promote $staging to $root " +
-        s"(the previous artifact is intact at $old — rename it back)")
+    if (!fs.rename(staging, root)) {
+      // a concurrent reader's recover() saw root absent + staging
+      // complete inside our window and finished the promote for us —
+      // the artifact at root IS the fold; anything else is a real
+      // failure (the previous artifact is intact at root.old).
+      require(fs.exists(root) && !fs.exists(staging),
+        s"compaction swap failed: could not promote $staging to $root " +
+          s"(the previous artifact is intact at $old — rename it back)")
+    }
     fs.delete(old, true)
   }
 
@@ -71,13 +88,18 @@ object AtomicSwap {
     val stagingComplete =
       fs.exists(staging) && fs.exists(new Path(staging, marker))
     if (!fs.exists(root) && stagingComplete) {
-      require(fs.rename(staging, root),
-        s"swap recovery failed: could not promote $staging to $root")
+      // the rename can lose a race with the writer's own promote (or a
+      // sibling reader's recover) completing first — root existing
+      // afterwards means the identical artifact landed either way
+      if (!fs.rename(staging, root))
+        require(fs.exists(root),
+          s"swap recovery failed: could not promote $staging to $root")
       fs.delete(old, true)
       true
     } else if (!fs.exists(root) && fs.exists(old)) {
-      require(fs.rename(old, root),
-        s"swap recovery failed: could not roll $old back to $root")
+      if (!fs.rename(old, root))
+        require(fs.exists(root),
+          s"swap recovery failed: could not roll $old back to $root")
       true
     } else {
       if (fs.exists(root) && fs.exists(old)) fs.delete(old, true)

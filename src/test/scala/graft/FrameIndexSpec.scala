@@ -100,6 +100,72 @@ class FrameIndexSpec extends SparkSpec {
       "admit-screen shuffle branch diverges from the broadcast branch")
   }
 
+  test("an uncommitted (crashed) append is invisible: excluded from screens, never folded, redeliverable") {
+    // the output dir is created at job SETUP, before commit — a crash
+    // mid-append leaves an ingest= dir WITHOUT _SUCCESS. That batch
+    // must not screen, must not raise the compaction high-water mark
+    // (else the streaming face skips its redelivery as 'already
+    // folded' and the rows are lost forever), and its redelivery must
+    // land normally after a compaction ran in between.
+    val m5 = pmod(col("doc_id"), lit(5))
+    val root = tmpRoot("crash")
+    FrameIndex.build(docs.filter(m5 === 1 || m5 === 2), root)
+    FrameIndex.append(docs.filter(m5 === 3), root, ingestId = 1)
+    val committed = storedRows(root)
+    val crashBatch = docs.filter(m5 === 4)
+    FrameIndex.append(crashBatch, root, ingestId = 2)
+    val marker = new java.io.File(s"$root/frames/ingest=2/_SUCCESS")
+    assert(marker.exists, "test setup: committed append has no marker")
+    assert(marker.delete())
+    assert(storedRows(root) === committed,
+      "uncommitted ingest rows are visible to screens")
+    FrameIndex.compact(spark, root)
+    assert(FrameIndex.compactedThrough(spark, root) === 1L,
+      "compaction raised the high-water mark past an UNCOMMITTED batch")
+    // the at-least-once redelivery is NOT refused as already-folded…
+    FrameIndex.append(crashBatch, root, ingestId = 2)
+    assert(storedRows(root).size > committed.size,
+      "redelivered batch rows missing from the store")
+  }
+
+  test("the stored hot-hash set guards screens against boilerplate frames") {
+    // 500 stored videos all share one boilerplate frame (a black
+    // frame): its fhash is the entire candidate fan-out — 2500 join
+    // rows for a 5-doc batch here, df(batch)·df(stored) ≈ 10¹² on a
+    // real corpus. The at-rest hot set (materialized at build/compact,
+    // broadcast at screen time) removes it; unique evidence still
+    // screens.
+    def block(seed: Long): String = {
+      val rnd = new scala.util.Random(seed * 2654435761L + 29)
+      (0 until 72).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    import spark.implicits._
+    val hotB = block(-1L)
+    val storedDocs = (0 until 500)
+      .map(i => i.toLong -> (hotB + block(i))).toDF("doc_id", "text")
+    // batch doc 9000 shares ONLY the hot frame; 9001 is a true clip of
+    // stored doc 7 (its unique frame) — the guard must drop the first
+    // and keep the second
+    val batch = Seq(9000L -> (hotB + block(900000L)),
+                    9001L -> block(7L)).toDF("doc_id", "text")
+    val root = tmpRoot("hot")
+    FrameIndex.build(storedDocs, root, stride = 1, dfCap = 50)
+    val hot = FrameIndex.hotHashes(spark, root)
+    assert(hot.count() === 1L, "exactly the boilerplate hash is hot")
+    val guarded = PHash.screenFrames(batch, FrameIndex.stored(spark, root),
+        stride = 1, num = 1, den = 2, hotHashes = Some(hot))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(guarded === Seq((9001L, 7L)),
+      s"guarded screen must keep exactly the true-clip hit: $guarded")
+    val unguarded = PHash.screenFrames(batch, FrameIndex.stored(spark, root),
+        stride = 1, num = 1, den = 2).count()
+    assert(unguarded >= 500L,
+      "control: without the guard the hot hash floods the candidates")
+    // compaction refreshes the set; the guarded answer is unchanged
+    FrameIndex.compact(spark, root, dfCap = 50)
+    assert(FrameIndex.hotHashes(spark, root).count() === 1L)
+  }
+
   test("a compaction swap torn mid-rename heals on the next exists()") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("torn")

@@ -123,6 +123,63 @@ class PHashSpec extends SparkSpec {
     assert(out((1L, 3L)) === ((3L, 3L, 3L, 1.0)))
   }
 
+  test("hot-frame-hash df cap: boilerplate at df 10^3 is dropped before the pair join, warm evidence survives, default cap never fires") {
+    // the 100-TB guard: ONE hot frame hash (black frame / title card)
+    // at df 1000 alone costs 10^6 equi-join rows and ~10^6 result
+    // pairs whose only shared evidence is boilerplate; with the cap it
+    // contributes ZERO pair work. A warm hash (df 10, under the cap)
+    // must keep pairing — the cap removes boilerplate, not evidence.
+    def block(seed: Long): String = {
+      val rnd = new scala.util.Random(seed * 2654435761L + 17)
+      (0 until 72).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val hotB = block(-1L)
+    val warmB = block(-2L)
+    val hotDocs = (0 until 1000).map(i => i.toLong -> (hotB + block(i)))
+    val warmDocs = (0 until 10).map(j =>
+      (2000L + j) -> (warmB + block(100000 + j)))
+    val docs = corpus(hotDocs ++ warmDocs)
+    val capped = PHash.frameContainment(docs, stride = 1,
+        num = 1, den = 2, dfCap = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hot-only pairs gone: nothing involving the df-1000 population
+    assert(!capped.exists(p => p._1 < 2000L || p._2 < 2000L),
+      "pairs whose only evidence is a hot hash survived the cap")
+    // warm pairs intact, with the n_fr denominator counting SURVIVING
+    // frames (warm + unique = 2) — consistent set semantics
+    val warm = capped.filter(p => p._1 >= 2000L && p._2 >= 2000L)
+    assert(warm.size === 90, s"warm 10-doc group must keep all 90 " +
+      s"directed pairs, got ${warm.size}")
+    assert(warm.forall(_._3 === 2L), "capped n_fr must count surviving frames")
+    // uncapped control on a SUBSET (df 20 ≪ default cap): the default
+    // cap is invisible below it — byte-identical results
+    val sub = corpus(hotDocs.take(20) ++ warmDocs)
+    def run(cap: Long) = PHash.frameContainment(sub, stride = 1,
+        num = 1, den = 2, dfCap = cap)
+      .collect().map(_.toString).sorted.toSeq
+    val dflt = run(PHash.DefaultFrameDfCap)
+    assert(dflt === run(Long.MaxValue),
+      "default cap changed results on an under-cap corpus")
+    assert(dflt.nonEmpty, "control corpus produced no pairs")
+  }
+
+  test("frame hashing is byte-faithful for non-ascii binary frames") {
+    // a real decoder emits raw pixel bytes; a string round-trip would
+    // collapse 0x80 and 0x90 (both invalid UTF-8) into the same
+    // replacement char BEFORE hashing, making these two frames collide.
+    // 72-byte frames make each pixel one byte: A = [128,144,10,…] sets
+    // exactly bit 0 (px0 < px1); B = [144,128,10,…] sets nothing.
+    import spark.implicits._
+    import graft.operators.SampledFrame
+    val a = Array.fill[Byte](72)(10); a(0) = 0x80.toByte; a(1) = 0x90.toByte
+    val b = Array.fill[Byte](72)(10); b(0) = 0x90.toByte; b(1) = 0x80.toByte
+    val sig = PHash.frameSignatures(Seq(
+        SampledFrame(0L, 0, 0L, 0L, a), SampledFrame(1L, 0, 0L, 0L, b))
+      .toDS()).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) === 1L, s"expected bit 0 only, got ${sig(0L)}")
+    assert(sig(1L) === 0L, s"expected empty hash, got ${sig(1L)}")
+  }
+
   test("sf0.001: every doc labeled, hash non-negative (63-bit), keeper law") {
     val out = SparkEntry.queries("q_dedup_phash")(spark, sf0001).collect()
     val n = graft.sources.Tables.documents(spark, sf0001).count()
