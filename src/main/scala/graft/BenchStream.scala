@@ -32,7 +32,8 @@ import graft.streaming.{Ev, Streams}
 object BenchStream {
 
   private case class KeyResult(wallSec: Double, microBatches: Long,
-                               inputRows: Long, outputRows: Long)
+                               inputRows: Long, outputRows: Long,
+                               extra: String = "")
 
   /** Run `body` with the RocksDB + changelog-checkpointing state store
     * confs set, restoring the previous values after. */
@@ -214,6 +215,45 @@ object BenchStream {
         countOut())
     }
 
+    /** driveForeach + a compaction every `compactEvery` feeds (inside the
+      * timed window — steady-state operating point, not pure ingest).
+      * Extra JSON: fold count and the data-file-count curve (pre → post
+      * per fold), the number that says WHY the fold cadence exists. */
+    def driveCompacting[T <: Product](
+        data: Seq[T], cols: Seq[String],
+        fn: (org.apache.spark.sql.DataFrame, Long) => Unit,
+        countOut: () => Long, root: String, compactFn: () => Unit)(
+        implicit ev: org.apache.spark.sql.Encoder[T]): KeyResult = {
+      val compactEvery =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_COMPACT_EVERY", "8").toInt
+      def dataFiles(): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        val f = new java.io.File(root)
+        if (f.exists()) walk(f) else 0L
+      }
+      val bs = data.grouped(math.max(1, data.size / nBatches)).toSeq
+      val curve = Seq.newBuilder[(Long, Long)]
+      val mem = MemoryStream[T](spark)
+      val t0 = System.nanoTime()
+      val q = mem.toDF().toDF(cols: _*).writeStream
+        .foreachBatch(fn).start()
+      try bs.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b); q.processAllAvailable()
+        if ((i + 1) % compactEvery == 0) {
+          val pre = dataFiles(); compactFn(); curve += ((pre, dataFiles()))
+        }
+      }
+      finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val folds = curve.result()
+      val extra = s""","compactions":${folds.size},"files_curve":[""" +
+        folds.map { case (a, b) => s"[$a,$b]" }.mkString(",") + "]"
+      KeyResult(wall, q.lastProgress.batchId + 1, data.size.toLong,
+        countOut(), extra)
+    }
+
     // deterministic ingest corpus: 4 exact copies per distinct text
     // (the s_dedup_soft crawl shape), lang striped for the classifier.
     // Distinct texts draw 12 tokens from a 60k pseudo-random vocabulary
@@ -363,6 +403,45 @@ object BenchStream {
           (b, id) => Streams.frameIndexIngest(b, root, out, id),
           () => Streams.committedFramePairs(spark, out).count())
       }),
+      // ---- the COMPACT-IN-LOOP regime: the growing-index rows above
+      // measure pure ingest, but the production operating point all four
+      // stored indexes support is ingest with PERIODIC COMPACTION folding
+      // the accumulated ingest=/batch= partitions (file count — and with
+      // it screen/query cost — otherwise grows without bound). These rows
+      // drive the SAME corpus with a compact every `compactEvery`
+      // micro-batches INSIDE the timed window (the maintenance job a
+      // platform owner actually provisions against) and log the
+      // file-count curve: files before → after each fold. Throughput is
+      // therefore end-to-end steady-state docs/s, amortizing the folds.
+      "s_frame_index_ingest_compact" -> (() => {
+        val root = s"$tmpDir/graft_bench_frameingestc/idx"
+        val out = s"$tmpDir/graft_bench_frameingestc_out"
+        clean(s"$tmpDir/graft_bench_frameingestc", out)
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_FRAME_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.FrameIndex.build(
+          docsN.take(1).toDF("doc_id", "text").filter(lit(false)), root)
+        driveCompacting(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.frameIndexIngest(b, root, out, id),
+          () => Streams.committedFramePairs(spark, out).count(),
+          root, () => graft.operators.FrameIndex.compact(spark, root))
+      }),
+      "s_knn_index_ingest_compact" -> (() => {
+        val root = s"$tmpDir/graft_bench_knningestc/idx"
+        clean(s"$tmpDir/graft_bench_knningestc")
+        val nrm = graft.functions.VectorExprs.norm(col("v"))
+        def unit(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"),
+            org.apache.spark.sql.functions.transform(
+              col("v"), x => x / nrm).as("v"))
+        graft.operators.AnnIndex.build(
+          unit(vecs.take(20000).toDF("vec_id", "v")), root)
+        driveCompacting(vecs.drop(20000), Seq("vec_id", "v"),
+          (b, id) => Streams.annIndexIngest(unit(b), root, id),
+          () => spark.read.parquet(s"$root/codes").count(),
+          root, () => graft.operators.AnnIndex.compact(spark, root))
+      }),
       "s_dedup_index" -> (() => {
         val root = s"$tmpDir/graft_bench_dedupindex"
         val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"
@@ -395,7 +474,7 @@ object BenchStream {
     val qs = allResults.map { case (k, r) =>
       s""""$k":{"wall_sec":${fmt(r.wallSec)},"micro_batches":${r.microBatches},""" +
         s""""input_rows":${r.inputRows},"rows_per_sec":${fmt(r.inputRows / r.wallSec)},""" +
-        s""""output_rows":${r.outputRows}}"""
+        s""""output_rows":${r.outputRows}${r.extra}}"""
     }.mkString("{", ",", "}")
     val total = allResults.map(_._2.wallSec).sum
     val line =

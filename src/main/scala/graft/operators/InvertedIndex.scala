@@ -134,9 +134,26 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .withColumn("nb", lit(NumBuckets.toLong))
 
+  /** The compact physical layout every postings write emits: repartition
+    * ON the bucket id so each tb lands wholly in one task — exactly ONE
+    * file per (tb, batch) instead of up-to-shuffle.partitions files (the
+    * groupBy shuffle otherwise scatters a bucket's rows over every
+    * reducer, and probe cost at the 100x tier proved file-LISTING bound
+    * even under perfect partition pruning) — and sort within partitions
+    * on (tb, term) so row-group min/max stats prune the probe's
+    * In(term, ...) pushdown inside the file too. One extra exchange at
+    * write time (postings-sized, build/append/compact only); queries pay
+    * nothing, ever. */
+  private def compactLayout(postings: DataFrame): DataFrame =
+    postings.repartition(NumBuckets, col("tb"))
+      .sortWithinPartitions("tb", "term", "doc_id")
+
   /** Build and persist the backfill index (batch 0). Wipes any previous
     * artifact first — stats land before postings, so a rebuild dying
-    * mid-way reads as exists()==false (the AnnIndex.build discipline). */
+    * mid-way reads as exists()==false (the AnnIndex.build discipline).
+    * Emits the compacted one-file-per-bucket layout directly (see
+    * [[compactLayout]]) — a fresh backfill should never need a compaction
+    * pass to reach its own steady-state file count. */
   def build(docs: DataFrame, root: String): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(
@@ -144,7 +161,7 @@ object InvertedIndex {
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
     statsOf(docs).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").parquet(statsDir(root))
-    postingsOf(docs).withColumn("batch", lit(0L))
+    compactLayout(postingsOf(docs)).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(postingsDir(root))
   }
@@ -174,7 +191,7 @@ object InvertedIndex {
     // Stats is a single-row, single-partition write (near-atomic commit),
     // so writing it last shrinks the torn window to nothing observable:
     // partial postings with no stats row stay invisible until replayed.
-    postingsOf(docs).withColumn("batch", lit(batchId))
+    compactLayout(postingsOf(docs)).withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(postingsDir(root))
@@ -217,9 +234,9 @@ object InvertedIndex {
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch")
       .parquet(statsDir(staging))
-    s.read.parquet(postingsDir(root))
-      .filter(col("batch").isin(batchSet: _*))
-      .select("term", "doc_id", "tf", "dl", "tb")
+    compactLayout(s.read.parquet(postingsDir(root))
+        .filter(col("batch").isin(batchSet: _*))
+        .select("term", "doc_id", "tf", "dl", "tb"))
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(postingsDir(staging))

@@ -318,6 +318,60 @@ object DedupOps {
            ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
          WHERE a.vec_id < a.nbr_id)"""
 
+  /** Stride-grid window machinery for q_dedup_substring (see the key's
+    * Scaladoc: exact for stride-aligned repeats, the alignment caveat
+    * is what [[substringWinnow]] closes). */
+  private[graft] def substringStride(docs: DataFrame,
+      l: Int = 40, s: Int = 20): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= l)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (l - 1), lit(s)))
+          .as("pos"))
+      .select(col("doc_id"),
+        col("text").substr(col("pos"), lit(l)).as("w"))
+    val occ = wins.groupBy("w").agg(count(lit(1)).as("occ"))
+    wins.join(occ, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("1000 * n_dup_windows div n_windows").as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprint machinery for q_dedup_substring_winnow (and
+    * its spec's crafted-corpus laws). K-gram length [[k]], window of
+    * [[w]] consecutive grams; guarantee threshold = k + w − 1 chars.
+    * See the key's Scaladoc for the algorithm and scale notes. */
+  private[graft] def substringWinnow(docs: DataFrame,
+      k: Int = 20, w: Int = 21): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= k + w - 1) // ≥ 1 full window
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).as("n_g"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1), lit(1)))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("n_g"), col("pos"),
+        col("text").substr(col("pos"), lit(k)).as("g"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("wm", min(col("g")).over(win))
+      .filter(col("pos") <= col("n_g") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("wm")).distinct()
+    val occ = fps.groupBy("wm").agg(count(lit(1)).as("n_docs"))
+    fps.join(occ, Seq("wm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared_fp"),
+        expr("1000 * n_shared_fp div n_fp").as("shared_permille"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- MinHash + banded LSH near-dup: the scale path of q_dedup_near.
     // Same output contract (pairs with exact J >= 0.8); candidates come
@@ -804,24 +858,37 @@ object DedupOps {
     // Plan: explode ≈ n_chars/stride rows/doc, one map-side-combinable
     // count keyed by window, one equi-join back — the
     // q_quality_dupngrams shape at character level, no nested loop.
-    "q_dedup_substring" -> ((s, d) => {
-      val L = 40; val S = 20
-      val wins = Tables.documents(s, d)
-        .filter(length(col("text")) >= L)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - (L - 1), lit(S)))
-            .as("pos"))
-        .select(col("doc_id"),
-          col("text").substr(col("pos"), lit(L)).as("w"))
-      val occ = wins.groupBy("w").agg(count(lit(1)).as("occ"))
-      wins.join(occ, Seq("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
-        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
-          expr("1000 * n_dup_windows div n_windows").as("dup_permille"))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_substring" -> ((s, d) =>
+      substringStride(Tables.documents(s, d))),
+
+    // ---- Duplicated-substring detection via WINNOWING (Schleimer,
+    // Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    // Fingerprinting" — the MOSS algorithm): closes q_dedup_substring's
+    // stride-alignment blind spot. That key only catches two occurrences
+    // of a repeat whose offsets agree modulo the stride; winnowing's
+    // guarantee is offset-FREE: with k-gram length K and window size W,
+    // any substring of length ≥ K + W − 1 shared by two documents puts
+    // at least one COMMON fingerprint in both documents' sets, because
+    // some window of W consecutive k-grams lies entirely inside the
+    // shared region in each doc, those windows hold identical gram
+    // multisets, and both select the same minimum. K=20, W=21 pins the
+    // guarantee threshold at 40 chars — the same repeat length the
+    // stride key targets. Selection key is the lexicographic min GRAM
+    // (deterministic and engine-portable; production would select by
+    // xxhash64 min for unbiased ~2/(W+1) fingerprint density — the
+    // min-STRING form biases selection toward low bytes but keeps the
+    // ≥1-fingerprint-per-window coverage bound, and lets the DuckDB
+    // oracle replicate the selection exactly). Output: per doc the
+    // fingerprint-set size, how many fingerprints are SHARED with
+    // another document, and the integer per-mille fraction (cross-doc
+    // grain — intra-doc repetition is the stride key's domain).
+    // Plan at 100 TB: one doc_id shuffle + per-doc sort for the window
+    // min (documents are MB-bounded, so per-partition work is bounded),
+    // a distinct, one map-side-combinable count per fingerprint, one
+    // equi-join back — no pair product anywhere; gram strings would be
+    // xxhash64'd before the corpus-wide agg (counts hash-invariant).
+    "q_dedup_substring_winnow" -> ((s, d) =>
+      substringWinnow(Tables.documents(s, d))),
 
     // ---- C4-style cross-doc BOILERPLATE coverage: word 5-grams that
     // appear in ≥2 DISTINCT documents (nav bars, license headers, cookie
@@ -1124,6 +1191,30 @@ object DedupOps {
            CAST(1000 * SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
                 // COUNT(*) AS BIGINT) AS dup_permille
          FROM wins JOIN occ USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // same winnowing definition: stride-1 20-grams, lexicographic min
+    // over each window of 21 consecutive grams (full windows only),
+    // distinct fingerprints per doc, shared = in ≥ 2 docs
+    "q_dedup_substring_winnow" ->
+      """WITH grams AS (
+           SELECT doc_id, length(text) - 19 AS n_g, CAST(i AS INTEGER) AS pos,
+                  substr(text, CAST(i AS INTEGER), 20) AS g
+           FROM documents,
+                unnest(generate_series(1, length(text) - 19)) AS t(i)
+           WHERE length(text) >= 40),
+         wm AS (
+           SELECT doc_id, n_g, pos,
+             min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 20 FOLLOWING) AS wm
+           FROM grams),
+         fps AS (SELECT DISTINCT doc_id, wm FROM wm WHERE pos <= n_g - 20),
+         occ AS (SELECT wm, COUNT(*) AS n_docs FROM fps GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           CAST(1000 * SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS shared_permille
+         FROM fps JOIN occ USING (wm)
          GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_boilerplate" -> boilerplateOracleSql,
     // blocklist built from the same corpus ⇒ stored ≡ in-flight

@@ -744,4 +744,69 @@ class CorpusOpsSpec extends SparkSpec {
     // without asserting more than the edge guarantee implies.
     assert(recall >= 0.65, s"co-membership recall $recall < 0.65")
   }
+
+  // ---- q_dedup_substring_winnow: the offset-free repeat guarantee ----
+
+  /** Crafted doc: cyclic-lowercase filler (per-doc character step, so no
+    * two docs ever share a filler 20-gram — consecutive-char differences
+    * are the step, constant per doc) around a planted shared substring. */
+  private def plantedDoc(step: Int, prefixLen: Int, shared: String,
+      totalFiller: Int = 90): String = {
+    val filler = (0 until totalFiller)
+      .map(i => ('a' + (i * step + 3) % 26).toChar).mkString
+    filler.substring(0, prefixLen) + shared + filler.substring(prefixLen)
+  }
+  private val sharedRun = // 45 aperiodic chars, disjoint charset vs filler
+    "0123456789:;<=>?@ABCDEFGHIJKLMNOPQRSTUVWXYZ#"
+
+  test("winnowing catches the unaligned repeat the stride grid misses") {
+    import spark.implicits._
+    // offsets 13 vs 24: differ mod 20, so no stride-grid window string
+    // can coincide; shared run is 45 >= 40 chars so winnowing guarantees
+    // a common fingerprint regardless of alignment
+    val docs = Seq(
+      (1L, plantedDoc(1, 13, sharedRun)),
+      (2L, plantedDoc(7, 24, sharedRun)),
+      (3L, plantedDoc(11, 0, ""))).toDF("doc_id", "text")
+    val stride = graft.queries.DedupOps.substringStride(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stride.values.forall(_ == 0L),
+      s"stride grid unexpectedly caught the unaligned repeat: $stride")
+    val winnow = graft.queries.DedupOps.substringWinnow(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(winnow(1L) >= 1L && winnow(2L) >= 1L,
+      s"winnowing missed the >= 40-char shared repeat: $winnow")
+    assert(winnow(3L) === 0L, "clean doc reported a shared fingerprint")
+  }
+
+  test("winnowing guarantee holds at every offset residue; exact replay") {
+    import spark.implicits._
+    // 20 docs planting the same 45-char run at prefix lengths 0..19 —
+    // all stride residues — each with a distinct filler alphabet walk
+    val docs = (0 until 20).map(i =>
+      (i.toLong, plantedDoc(i + 1, i, sharedRun))).toDF("doc_id", "text")
+    val rows = graft.queries.DedupOps.substringWinnow(docs).collect()
+    val got = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === 20)
+    // guarantee: every doc shares >= 1 fingerprint with some other doc
+    for ((id, (nFp, nShared, pm)) <- got) {
+      assert(nShared >= 1L, s"doc $id: guarantee violated at offset $id")
+      assert(nShared <= nFp && pm === 1000L * nShared / nFp)
+    }
+    // exact driver-side replay of the definition (k=20, w=21,
+    // lexicographic min per window, distinct per doc, shared = >= 2 docs)
+    val texts = (0 until 20).map(i => i.toLong -> plantedDoc(i + 1, i, sharedRun))
+    val fpSets = texts.map { case (id, t) =>
+      id -> t.sliding(20).sliding(21).map(_.min).toSet
+    }.toMap
+    val occ = fpSets.values.flatten.groupBy(identity).map { case (g, o) =>
+      g -> fpSets.values.count(_.contains(g))
+    }
+    for ((id, fps) <- fpSets) {
+      val nShared = fps.count(g => occ(g) > 1).toLong
+      assert(got(id) === ((fps.size.toLong, nShared,
+        1000L * nShared / fps.size)), s"replay mismatch for doc $id")
+    }
+  }
 }

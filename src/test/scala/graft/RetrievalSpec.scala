@@ -107,6 +107,25 @@ class RetrievalSpec extends SparkSpec {
       "compaction changed the postings rows")
   }
 
+  test("every postings write emits one file per (tb, batch) — layout law") {
+    // probe cost at the 100x tier proved file-LISTING bound: build and
+    // append must land each bucket in exactly one file (the groupBy
+    // shuffle would otherwise scatter a bucket over every reducer)
+    val docs = Tables.documents(spark, sf001)
+    val root = tmpRoot("layout")
+    InvertedIndex.build(docs.filter(col("doc_id") < 375), root)
+    InvertedIndex.append(docs.filter(col("doc_id") >= 375), root, 1)
+    val p = new org.apache.hadoop.fs.Path(s"$root/postings")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/postings/tb=*/batch=*/part-*"))
+    val byDir = files.groupBy(_.getPath.getParent.toString)
+    assert(byDir.nonEmpty)
+    val fat = byDir.filter(_._2.length > 1).keys.toSeq.sorted
+    assert(fat.isEmpty,
+      s"buckets with more than one file per batch: ${fat.take(5)}")
+  }
+
   test("a torn append is invisible until replayed (batch intersection)") {
     // simulate a crash between append()'s two writes: append fully, then
     // delete the batch's postings partitions so only its stats row
