@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   *
   *   root/stats/    — (n_docs, total_tokens)       PARTITIONED BY (batch)
   *   root/postings/ — (term, doc_id, tf, dl)       PARTITIONED BY (tb, batch)
+  *   root/dfs/      — (term, df)                   PARTITIONED BY (tb, batch)
+  *
+  * `dfs` is the DICTIONARY side table (vocabulary-sized): per-term
+  * document frequency per batch, so the probe's idf comes from a
+  * dictionary lookup instead of a count over every pruned postings row
+  * — see [[dfsOf]] for the write-order crash contract and the exactness
+  * argument.
   *
   * `tb = pmod(xxhash64(term), 32)` is a hash term-bucket: a query's
   * terms map to a handful of buckets, and the probe's `tb IN (…)`
@@ -45,6 +52,7 @@ object InvertedIndex {
 
   private def statsDir(root: String)    = s"$root/stats"
   private def postingsDir(root: String) = s"$root/postings"
+  private def dfsDir(root: String)      = s"$root/dfs"
   private def hwmPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/compacted_through")
 
@@ -134,6 +142,42 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .withColumn("nb", lit(NumBuckets.toLong))
 
+  /** Per-term document frequencies of ONE batch's postings — the
+    * DICTIONARY side table of a classic inverted index: (term, tb, df),
+    * vocabulary-sized. Stored beside the postings so the probe's idf
+    * table is a dictionary lookup instead of a count over every pruned
+    * postings row (the probe's only corpus-DENSITY-dependent aggregation:
+    * at the 100× replica tier the four bench terms match 1.19M postings
+    * rows, and re-counting them per query was the measured residual the
+    * file-listing theory failed to explain — the scans themselves
+    * min-of-5 at 0.15 s). Exactness: (term, doc_id) is unique across
+    * batches by the append contract, so df(term) = Σ over batches of the
+    * per-batch df. Write ORDER makes the dictionary's presence implied
+    * by the batch's commit marker — build: stats, dfs, postings(last =
+    * exists() gate); append: postings, dfs, stats(last = commit point) —
+    * so every committed batch has its dfs rows; [[dfTable]] still
+    * verifies coverage and falls back to counting for pre-dfs artifacts. */
+  private def dfsOf(postings: DataFrame): DataFrame =
+    postings.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+
+  /** Dictionary-backed df table for the probe: Some((term, df)) when the
+    * dfs side covers every committed batch, None (fall back to counting
+    * the pruned postings) for pre-dictionary artifacts. */
+  private def dfTable(s: SparkSession, root: String, terms: Seq[String],
+      buckets: Seq[Long], committed: Seq[java.lang.Long])
+      : Option[DataFrame] = {
+    val fs = fsOf(s, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dfsDir(root)))) None
+    else if (!committed.map(_.longValue).toSet
+               .subsetOf(batchIds(s, dfsDir(root)))) None
+    else Some(
+      s.read.parquet(dfsDir(root))
+        .filter(col("batch").isin(committed: _*))
+        .filter(col("tb").isin(buckets: _*))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(sum("df").as("df")))
+  }
+
   /** The compact physical layout every postings write emits: repartition
     * ON the bucket id so each tb lands wholly in one task — exactly ONE
     * file per (tb, batch) instead of up-to-shuffle.partitions files (the
@@ -148,22 +192,38 @@ object InvertedIndex {
     postings.repartition(NumBuckets, col("tb"))
       .sortWithinPartitions("tb", "term", "doc_id")
 
+  /** The dictionary write shared by build/append/compact: df rows laid
+    * out like the postings (one file per (tb, batch), term-sorted). */
+  private def writeDfs(dfs: DataFrame, root: String, batchId: Long): Unit =
+    dfs.repartition(NumBuckets, col("tb"))
+      .sortWithinPartitions("tb", "term")
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tb", "batch").parquet(dfsDir(root))
+
   /** Build and persist the backfill index (batch 0). Wipes any previous
     * artifact first — stats land before postings, so a rebuild dying
     * mid-way reads as exists()==false (the AnnIndex.build discipline).
     * Emits the compacted one-file-per-bucket layout directly (see
     * [[compactLayout]]) — a fresh backfill should never need a compaction
-    * pass to reach its own steady-state file count. */
+    * pass to reach its own steady-state file count. The dictionary (dfs)
+    * is derived by reading the WRITTEN postings back — vocabulary-sized
+    * agg over an already-tokenized artifact, not a third corpus pass —
+    * and lands after them: a crash in that window leaves a complete,
+    * correct index whose probes fall back to counting df (dfTable's
+    * coverage check), never a wrong one. */
   def build(docs: DataFrame, root: String): Unit = {
+    val s = docs.sparkSession
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
     statsOf(docs).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("batch").parquet(statsDir(root))
     compactLayout(postingsOf(docs)).withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(postingsDir(root))
+    writeDfs(dfsOf(s.read.parquet(postingsDir(root))), root, 0L)
   }
 
   /** Append a NEW batch of documents under its own `batch=` partitions
@@ -195,6 +255,11 @@ object InvertedIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(postingsDir(root))
+    // dictionary between postings and stats: a committed batch (stats
+    // present) always carries its dfs rows; an uncommitted one is
+    // invisible whichever write the crash interrupted
+    writeDfs(dfsOf(s.read.parquet(postingsDir(root))
+        .filter(col("batch") === batchId)), root, batchId)
     statsOf(docs).withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -240,6 +305,22 @@ object InvertedIndex {
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("tb", "batch")
       .parquet(postingsDir(staging))
+    // dictionary fold: sum per-batch dfs when the artifact carries them
+    // for every folded batch, else recount from the folded postings —
+    // either way the compacted artifact is dictionary-carrying (a
+    // compaction UPGRADES a pre-dfs index)
+    val foldedDfs = {
+      val fromDict =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dfsDir(root)))) None
+        else if (!committed.toSet.subsetOf(batchIds(s, dfsDir(root)))) None
+        else Some(s.read.parquet(dfsDir(root))
+          .filter(col("batch").isin(batchSet: _*))
+          .groupBy("term", "tb").agg(sum("df").as("df")))
+      fromDict.getOrElse(
+        dfsOf(s.read.parquet(postingsDir(root))
+          .filter(col("batch").isin(batchSet: _*))))
+    }
+    writeDfs(foldedDfs, staging, 0L)
     // high-water mark travels with the artifact: append() refuses any
     // batch id a future re-delivery might duplicate
     val hwm = math.max(committed.max, compactedThrough(s, root))
@@ -323,24 +404,38 @@ object InvertedIndex {
     // mixed-schema index (pre-nb backfill + nb-carrying appends) would
     // make limit(1)'s answer depend on which batch's row it sampled
     // (null → NPE or a silently skipped check)
+    // ONE driver job folds the nb check and the corpus constants: the
+    // stats table is batches-sized, and running nb-check + st-broadcast
+    // as separate jobs charged two fixed scheduling rounds to every
+    // probe. n_docs/total_tokens are exact INT64 sums, so shipping them
+    // as literals is bit-identical to the former broadcast crossJoin
+    // (avgdl: cast-to-double then divide, same IEEE op either way).
+    val hasNb = statsRaw.columns.contains("nb")
+    val stRow = graft.util.Local.model(
+      if (hasNb)
+        statsRaw.agg(sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"), max("nb").as("nb"))
+      else
+        statsRaw.agg(sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"))
+    ).collect().head
     val storedNb =
-      if (!statsRaw.columns.contains("nb")) None
-      else graft.util.Local.model(statsRaw.agg(max("nb").as("nb")))
-        .collect().headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+      if (hasNb && !stRow.isNullAt(2)) Some(stRow.getLong(2)) else None
     require(storedNb.forall(_ == NumBuckets.toLong),
       s"index at $root was bucketed with nb=${storedNb.get}, this build " +
         s"probes with $NumBuckets — rebuild or match the constant")
-    val st = statsRaw
-      .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+    val nDocs = if (stRow.isNullAt(0)) 0L else stRow.getLong(0)
+    val totTok = if (stRow.isNullAt(1)) 0L else stRow.getLong(1)
+    val avgdl = if (nDocs == 0L) 0.0 else totTok.toDouble / nDocs
     val pruned = s.read.parquet(postingsDir(root))
       .filter(col("batch").isin(committed: _*))
       .filter(col("tb").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
-    val idfTab = pruned.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(st))
+    val idfTab = dfTable(s, root, terms, buckets, committed)
+      .getOrElse(pruned.groupBy("term").agg(count(lit(1)).as("df")))
       .select(col("term"),
-        idf(col("df"), col("n_docs")).as("idf"),
-        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+        idf(col("df"), lit(nDocs)).as("idf"),
+        lit(avgdl).as("avgdl"))
     (pruned, idfTab)
   }
 

@@ -39,6 +39,31 @@ object SimHash {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** (doc_id, simhash) computed once per DISTINCT text — the content-
+    * grain discipline the Jaccard family (grainedNearDup) has always
+    * used, applied to the signature pass: exact duplicates (the dominant
+    * population of a crawl corpus, and exactly what the replica tiers
+    * simulate) share one text, so the expensive part — tokenize + the
+    * 64-aggregate vote — runs per distinct text and members inherit
+    * their group's signature through one narrow join (identical result:
+    * the signature is a pure function of the text). At the 100× replica
+    * tier this cuts the signature pass from 500k to 5k vote groups —
+    * measured 122.6 → (see PLANS_r16) on q_dedup_simhash. A 100-TB
+    * build would group on sha2(text, 256) to keep the shuffle narrow
+    * (the grainedNearDup caveat). */
+  private def grainedSignatures(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    val g = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("members"))
+      .localCheckpoint(true) // distinct-text-sized; feeds sig AND expansion
+    val repSig = signatures(
+      g.select(col("rep").as(idCol), col(textCol)), idCol, textCol)
+    g.select(col("rep"), explode(col("members")).as("did"))
+      .join(repSig.select(col("doc_id").as("rep"), col("simhash")),
+            Seq("rep"))
+      .select(col("did").as("doc_id"), col("simhash"))
+  }
+
   /** (doc_id, band_idx, band_val, simhash): the signature split into `b`
     * contiguous (64/b)-bit bands — the equi-join keys for candidate
     * generation. The full signature rides along (8 bytes/row) so the
@@ -87,25 +112,60 @@ object SimHash {
     // members into per-signature ARRAYS and double-exploded them — each
     // intermediate row carried the whole array, quadratic MEMORY per
     // group, and a hot signature group OOMed the 100× tier.)
-    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
+    val sig = grainedSignatures(docs, idCol, textCol).localCheckpoint(true)
+    // Adaptive broadcast gate on the EXPANSION joins (the screenFrames /
+    // DedupIndex.queryBatch discipline): their output is the quadratic
+    // pair set — the one thing this key materializes by contract — and a
+    // sort-merge plan must SORT that output-sized stream, while a
+    // broadcast-hash plan streams it straight through codegen. The sig
+    // frame sits right at AQE's broadcast threshold on the replica tiers
+    // (500k rows ≈ 10–20 MB estimated), so left to AQE the strategy
+    // FLIPS run to run — the measured 70→103→123 s cross-round variance
+    // on untouched code. The gate pins it: corpus below the limit ⇒
+    // explicit broadcast (16 B/row ⇒ ≤32 MB build side); a corpus-scale
+    // sig crosses the gate and takes the shuffle join AQE plans —
+    // forcing a broadcast there is how a real corpus OOMs.
+    val gate: DataFrame => DataFrame =
+      if (sig.count() <= 2000000L) (df: DataFrame) => broadcast(df)
+      else identity
+    // ONE expansion pipeline for BOTH legs: the same-signature (hamming
+    // 0) pairs enter as DIAGONAL rows (sig_a = sig_b) of the rep-grain
+    // pair frame, so the union happens on a few thousand 24-byte rows —
+    // never on the quadratic doc-pair streams. Two measured reasons,
+    // both found at the 100× replica tier (984M inter + 385M intra
+    // expansion rows; ProbeSim decomposition, PLANS_r16):
+    //  1. A doc-grain union is a whole-stage-codegen BOUNDARY: every
+    //     expanded row materializes between the join stages and the
+    //     aggregation above, and the two legs' combined throughput
+    //     collapsed from 1.7 s (counted separately) to 56–68 s
+    //     (counted through the union).
+    //  2. The banded distinct leaves the rep frame in whatever tiny
+    //     post-shuffle partitioning AQE coalesced it to — each row fans
+    //     out ~|A|·|B| doc pairs, so a near-1-partition coalesce
+    //     SERIALIZES the quadratic output onto one core (the
+    //     70→103→123 s cross-round drift on untouched code was exactly
+    //     this partition count varying with tier layout). The
+    //     repartition spreads kilobytes; the fan-out gains the whole
+    //     executor count.
+    // The diagonal's da < db filter drops self-pairs and orders
+    // same-group pairs; distinct signatures imply distinct docs, so
+    // least/greatest only reorders inter rows — output row-identical to
+    // the former two-leg doc-grain union.
+    val nParts = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val diag = sig.select(col("simhash")).distinct()
+      .select(col("simhash").as("sig_a"), col("simhash").as("sig_b"),
+              lit(0L).as("hamming"))
     val sigPairs = signaturePairs(sig, b, maxHamming)
-    // same-signature pairs: hamming 0 by definition — a self-join on the
-    // signature, never an array materialization
-    val intra = sig.select(col("simhash"), col("doc_id").as("doc_a"))
-      .join(sig.select(col("simhash"), col("doc_id").as("doc_b")),
-            Seq("simhash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
-    // qualifying signature pairs expand over both memberships; each doc
-    // belongs to exactly one group, so no pair repeats
-    val inter = sigPairs
-      .join(sig.select(col("simhash").as("sig_a"), col("doc_id").as("da")),
-            Seq("sig_a"))
-      .join(sig.select(col("simhash").as("sig_b"), col("doc_id").as("db")),
-            Seq("sig_b"))
+      .unionByName(diag)
+      .repartition(nParts)
+    sigPairs
+      .join(gate(sig.select(col("simhash").as("sig_a"),
+                            col("doc_id").as("da"))), Seq("sig_a"))
+      .join(gate(sig.select(col("simhash").as("sig_b"),
+                            col("doc_id").as("db"))), Seq("sig_b"))
+      .filter(col("sig_a") =!= col("sig_b") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
               greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-    intra.unionByName(inter)
   }
 
   /** Qualifying DISTINCT-signature pairs (sig_a < sig_b, hamming ≤
@@ -153,7 +213,7 @@ object SimHash {
   def clusters(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", b: Int = 4,
                maxHamming: Int = 3): DataFrame = {
-    val sig = signatures(docs, idCol, textCol).localCheckpoint(true)
+    val sig = grainedSignatures(docs, idCol, textCol).localCheckpoint(true)
     clustersFromSignatures(docs.select(col(idCol).as("doc_id")), sig,
       b, maxHamming)
   }

@@ -107,6 +107,36 @@ class RetrievalSpec extends SparkSpec {
       "compaction changed the postings rows")
   }
 
+  test("dictionary df ≡ recount fallback; coverage gate catches partial dfs") {
+    // the stored dfs dictionary must answer bit-identically to counting
+    // df from the pruned postings (the pre-dictionary path), and any
+    // artifact whose dfs side does not cover every committed batch must
+    // fall back to counting — never silently undercount idf
+    val docs = Tables.documents(spark, sf001)
+    val terms = Seq("spark", "window", "dup", "merge")
+    val root = tmpRoot("dict")
+    InvertedIndex.build(docs.filter(col("doc_id") < 375), root)
+    InvertedIndex.append(docs.filter(col("doc_id") >= 375), root, 1)
+    val p = new org.apache.hadoop.fs.Path(s"$root/dfs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p), "build/append did not write the dfs dictionary")
+    val withDict = rows(InvertedIndex.query(spark, root, terms, k = 20))
+    // partial coverage: drop batch 0's dictionary partitions only
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/dfs/tb=*/batch=0"))
+      .foreach(st => fs.delete(st.getPath, true))
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20)) === withDict,
+      "partial dfs coverage changed the answer (fallback not taken?)")
+    // no dictionary at all: the pre-dfs artifact shape
+    fs.delete(p, true)
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20)) === withDict,
+      "dictionary and recount paths disagree")
+    // a compaction of the dictionary-less artifact restores the dfs side
+    InvertedIndex.compact(spark, root)
+    assert(fs.exists(p), "compaction did not upgrade the artifact with dfs")
+    assert(rows(InvertedIndex.query(spark, root, terms, k = 20)) === withDict,
+      "post-compaction dictionary answer drifted")
+  }
+
   test("every postings write emits one file per (tb, batch) — layout law") {
     // probe cost at the 100x tier proved file-LISTING bound: build and
     // append must land each bucket in exactly one file (the groupBy
