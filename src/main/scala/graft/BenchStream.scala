@@ -442,6 +442,32 @@ object BenchStream {
           () => spark.read.parquet(s"$root/codes").count(),
           root, () => graft.operators.AnnIndex.compact(spark, root))
       }),
+      "s_text_index_ingest_compact" -> (() => {
+        val root = s"$tmpDir/graft_bench_textindexc"
+        clean(root)
+        graft.operators.InvertedIndex.build(
+          refDocs.toDF("doc_id", "text"), root)
+        driveCompacting(ingestDocs.drop(refDocs.size), Seq("doc_id", "text"),
+          (b, id) => Streams.textIndexIngest(b, root, id),
+          () => spark.read.parquet(s"$root/postings").count(),
+          root, () => graft.operators.InvertedIndex.compact(spark, root))
+      }),
+      "s_dedup_index_compact" -> (() => {
+        val root = s"$tmpDir/graft_bench_dedupindexc"
+        val pairs = s"$tmpDir/graft_bench_dedupindexc_pairs"
+        clean(root, pairs)
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_DEDUP_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.DedupIndex.build(
+          graft.Graft.shingleRows(
+            docsN.take(1).toDF("doc_id", "text").filter(lit(false)),
+            "doc_id", "text", n = 3), root)
+        driveCompacting(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.dedupIndexIngest(b, root, pairs, id),
+          () => Streams.committedPairs(spark, pairs).count(),
+          root, () => graft.operators.DedupIndex.compact(spark, root))
+      }),
       "s_dedup_index" -> (() => {
         val root = s"$tmpDir/graft_bench_dedupindex"
         val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"

@@ -142,7 +142,7 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .withColumn("nb", lit(NumBuckets.toLong))
 
-  /** Per-term document frequencies of ONE batch's postings — the
+  /** Per-term document frequencies of ONE batch set's postings — the
     * DICTIONARY side table of a classic inverted index: (term, tb, df),
     * vocabulary-sized. Stored beside the postings so the probe's idf
     * table is a dictionary lookup instead of a count over every pruned
@@ -152,30 +152,50 @@ object InvertedIndex {
     * file-listing theory failed to explain — the scans themselves
     * min-of-5 at 0.15 s). Exactness: (term, doc_id) is unique across
     * batches by the append contract, so df(term) = Σ over batches of the
-    * per-batch df. Write ORDER makes the dictionary's presence implied
-    * by the batch's commit marker — build: stats, dfs, postings(last =
-    * exists() gate); append: postings, dfs, stats(last = commit point) —
-    * so every committed batch has its dfs rows; [[dfTable]] still
-    * verifies coverage and falls back to counting for pre-dfs artifacts. */
+    * per-batch df. WHO writes it: build (batch 0) and compact (the fold)
+    * — NOT append: a per-micro-batch dictionary write costs two extra
+    * jobs per batch and measured s_text_index_ingest at 2.8× slower, so
+    * streamed batches stay dictionary-less until a compaction folds
+    * them, and [[dfTable]] HYBRIDIZES — dictionary for the covered
+    * bulk + a recount over only the uncovered ingest TAIL (tail batches
+    * are micro-batch-sized by construction; the corpus-dense bulk is
+    * exactly what build/compact covered). */
   private def dfsOf(postings: DataFrame): DataFrame =
     postings.groupBy("term", "tb").agg(count(lit(1)).as("df"))
 
-  /** Dictionary-backed df table for the probe: Some((term, df)) when the
-    * dfs side covers every committed batch, None (fall back to counting
-    * the pruned postings) for pre-dictionary artifacts. */
+  /** Hybrid df table for the probe: Some((term, df)) = dictionary rows
+    * over the covered batches + a pruned-postings recount over the
+    * uncovered (post-compaction ingest tail) batches; None — full
+    * recount — for pre-dictionary artifacts. */
   private def dfTable(s: SparkSession, root: String, terms: Seq[String],
       buckets: Seq[Long], committed: Seq[java.lang.Long])
       : Option[DataFrame] = {
     val fs = fsOf(s, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dfsDir(root)))) None
-    else if (!committed.map(_.longValue).toSet
-               .subsetOf(batchIds(s, dfsDir(root)))) None
-    else Some(
-      s.read.parquet(dfsDir(root))
-        .filter(col("batch").isin(committed: _*))
-        .filter(col("tb").isin(buckets: _*))
-        .filter(col("term").isin(terms: _*))
-        .groupBy("term").agg(sum("df").as("df")))
+    else {
+      val committedSet = committed.map(_.longValue).toSet
+      val covered = batchIds(s, dfsDir(root)) intersect committedSet
+      if (covered.isEmpty) None
+      else {
+        val coveredIds = covered.toSeq.sorted.map(java.lang.Long.valueOf)
+        val dict = s.read.parquet(dfsDir(root))
+          .filter(col("batch").isin(coveredIds: _*))
+          .filter(col("tb").isin(buckets: _*))
+          .filter(col("term").isin(terms: _*))
+          .select("term", "df")
+        val tail = (committedSet -- covered).toSeq.sorted
+          .map(java.lang.Long.valueOf)
+        val withTail =
+          if (tail.isEmpty) dict
+          else dict.unionByName(
+            s.read.parquet(postingsDir(root))
+              .filter(col("batch").isin(tail: _*))
+              .filter(col("tb").isin(buckets: _*))
+              .filter(col("term").isin(terms: _*))
+              .groupBy("term").agg(count(lit(1)).as("df")))
+        Some(withTail.groupBy("term").agg(sum("df").as("df")))
+      }
+    }
   }
 
   /** The compact physical layout every postings write emits: repartition
@@ -255,11 +275,6 @@ object InvertedIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(postingsDir(root))
-    // dictionary between postings and stats: a committed batch (stats
-    // present) always carries its dfs rows; an uncommitted one is
-    // invisible whichever write the crash interrupted
-    writeDfs(dfsOf(s.read.parquet(postingsDir(root))
-        .filter(col("batch") === batchId)), root, batchId)
     statsOf(docs).withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -346,6 +346,16 @@ object DedupOps {
     * See the key's Scaladoc for the algorithm and scale notes. */
   private[graft] def substringWinnow(docs: DataFrame,
       k: Int = 20, w: Int = 21): DataFrame = {
+    // Gram explode + per-doc rows-between window min + distinct. The
+    // window costs one doc_id exchange + per-doc sort of the gram rows —
+    // measured 52.7 s for 140M gram rows at the 100× tier, and every
+    // stage is partition-parallel (documents are MB-bounded, windows
+    // never cross docs). A map-only HOF form (transform/slice/array_min
+    // per row, no shuffle at all) computes the same definition but
+    // allocates a w-element array PER WINDOW and measured ≥ 5× slower —
+    // tried and reverted (PLANS_r16); the shuffle is not the bottleneck,
+    // the per-window work is, and the sort-based window shares one pass
+    // across overlapping windows.
     import org.apache.spark.sql.expressions.Window
     val grams = docs
       .filter(length(col("text")) >= k + w - 1) // ≥ 1 full window
