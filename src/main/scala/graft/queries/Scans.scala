@@ -13,18 +13,67 @@ import graft.util.Det._
   */
 object Scans {
 
-  /** Scratch root for the sink round-trip queries: `SPARK_GRAFT_SCRATCH`
-    * if set (on a real cluster: a job-scoped staging dir on SHARED
-    * storage — local tmp is driver-only), else java.io.tmpdir. The leaf
-    * is derived from (sfDir, session) so concurrent runs at different
-    * scale factors never clobber each other. */
+  /** Scratch root for the sink round-trip queries and every at-rest
+    * artifact (indexes, models): `SPARK_GRAFT_SCRATCH` if set (on a
+    * real cluster: a job-scoped staging dir on SHARED storage — local
+    * tmp is driver-only), else java.io.tmpdir. The leaf is derived
+    * from (code fingerprint, sfDir, session): the session hash keeps
+    * concurrent runs at different scale factors from clobbering each
+    * other, and the CODE fingerprint keeps a FRESH JVM from silently
+    * reusing an artifact a PREVIOUS build of the code wrote —
+    * `s.hashCode` is an identity hash that repeats across identical
+    * launch sequences, and before the fingerprint a format change
+    * (e.g. the r16 inverted-index dictionary) could leave three bench
+    * sessions verifying an index layout the running code never wrote.
+    * Any recompile moves every leaf; same-code same-session reuse is
+    * untouched (the fingerprint is a stable lazy val). */
   private[graft] def scratch(kind: String,
+                               s: org.apache.spark.sql.SparkSession,
+                               d: String): String =
+    scratchAt(kind, codeFingerprint, s, d)
+
+  /** [[scratch]] with the fingerprint explicit — the seam the
+    * invalidation spec drives: a fingerprint change MUST move the
+    * path (so exists() reads false and the artifact rebuilds), equal
+    * fingerprints MUST reuse it. */
+  private[graft] def scratchAt(kind: String, fingerprint: String,
                                s: org.apache.spark.sql.SparkSession,
                                d: String): String = {
     val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
       System.getProperty("java.io.tmpdir"))
-    s"$root/graft_${kind}_" +
+    s"$root/graft_${kind}_${fingerprint}_" +
       java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
+  }
+
+  /** Fingerprint of the compiled graft classes — and therefore of
+    * every at-rest artifact format they can write. Hashes (relative
+    * path, size, mtime) of each .class file under this class's code
+    * source (a directory under sbt, one jar stat when deployed
+    * assembled), so ANY recompile — format change or not — yields a
+    * new value; over-invalidation costs one rebuild of fixture-sized
+    * artifacts, under-invalidation silently serves stale bytes.
+    * Computed once per JVM (file metadata only, no content reads). */
+  private[graft] lazy val codeFingerprint: String = {
+    import java.nio.file.{Files, Paths, Path}
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mix(str: String): Unit = md.update(str.getBytes("UTF-8"))
+    try {
+      val loc = Paths.get(
+        Scans.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      if (Files.isDirectory(loc)) {
+        val walk = Files.walk(loc)
+        try {
+          walk.iterator().asScala
+            .filter(p => p.toString.endsWith(".class"))
+            .map(p => s"${loc.relativize(p)}:${Files.size(p)}:" +
+              s"${Files.getLastModifiedTime(p).toMillis}")
+            .toSeq.sorted.foreach(mix)
+        } finally walk.close()
+      } else mix(s"${loc.getFileName}:${Files.size(loc)}:" +
+        s"${Files.getLastModifiedTime(loc).toMillis}")
+    } catch { case _: Exception => mix("dev") }
+    md.digest().take(4).map(b => f"$b%02x").mkString
   }
 
   val queries: Map[String, Q] = Map(
