@@ -224,8 +224,11 @@ object BenchStream {
         fn: (org.apache.spark.sql.DataFrame, Long) => Unit,
         countOut: () => Long, root: String, compactFn: () => Unit)(
         implicit ev: org.apache.spark.sql.Encoder[T]): KeyResult = {
-      val compactEvery =
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_COMPACT_EVERY", "8").toInt
+      // clamp like the batch-size guard below: 0 would divide-by-zero
+      // the modulo, a negative would silently disable compaction while
+      // still labeling the row a compact-in-loop measurement
+      val compactEvery = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_COMPACT_EVERY", "8").toInt)
       def dataFiles(): Long = {
         def walk(f: java.io.File): Long =
           if (f.isDirectory) f.listFiles().map(walk).sum

@@ -163,6 +163,22 @@ object InvertedIndex {
   private def dfsOf(postings: DataFrame): DataFrame =
     postings.groupBy("term", "tb").agg(count(lit(1)).as("df"))
 
+  /** True iff the dictionary table finished its JOB commit — the
+    * `_SUCCESS` marker at the dfs root, written after every partition
+    * landed. Presence of the per-(tb, batch) directories alone is NOT
+    * enough: the writer creates/renames them per partition before job
+    * commit, so a crash mid-write leaves a PARTIAL set that would pass
+    * a directory-presence check — terms in the missing buckets would
+    * get undercounted df or drop out of the idf inner join entirely,
+    * silently corrupting BM25 scores. Only build/compact write dfs
+    * (each into a fresh dir), so one root marker covers the artifact;
+    * a torn write reads as "no dictionary" and both [[dfTable]] and
+    * [[compact]] fall back to recounting from the postings — the
+    * recount the scaladoc promises. */
+  private def dfsCommitted(s: SparkSession, root: String): Boolean =
+    fsOf(s, root).exists(
+      new org.apache.hadoop.fs.Path(s"${dfsDir(root)}/_SUCCESS"))
+
   /** Hybrid df table for the probe: Some((term, df)) = dictionary rows
     * over the covered batches + a pruned-postings recount over the
     * uncovered (post-compaction ingest tail) batches; None — full
@@ -170,8 +186,7 @@ object InvertedIndex {
   private def dfTable(s: SparkSession, root: String, terms: Seq[String],
       buckets: Seq[Long], committed: Seq[java.lang.Long])
       : Option[DataFrame] = {
-    val fs = fsOf(s, root)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dfsDir(root)))) None
+    if (!dfsCommitted(s, root)) None
     else {
       val committedSet = committed.map(_.longValue).toSet
       val covered = batchIds(s, dfsDir(root)) intersect committedSet
@@ -326,7 +341,7 @@ object InvertedIndex {
     // compaction UPGRADES a pre-dfs index)
     val foldedDfs = {
       val fromDict =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dfsDir(root)))) None
+        if (!dfsCommitted(s, root)) None
         else if (!committed.toSet.subsetOf(batchIds(s, dfsDir(root)))) None
         else Some(s.read.parquet(dfsDir(root))
           .filter(col("batch").isin(batchSet: _*))
