@@ -346,32 +346,23 @@ object DedupOps {
     * See the key's Scaladoc for the algorithm and scale notes. */
   private[graft] def substringWinnow(docs: DataFrame,
       k: Int = 20, w: Int = 21): DataFrame = {
-    // Gram explode + per-doc rows-between window min + distinct. The
-    // window costs one doc_id exchange + per-doc sort of the gram rows —
-    // measured 52.7 s for 140M gram rows at the 100× tier, and every
-    // stage is partition-parallel (documents are MB-bounded, windows
-    // never cross docs). A map-only HOF form (transform/slice/array_min
-    // per row, no shuffle at all) computes the same definition but
-    // allocates a w-element array PER WINDOW and measured ≥ 5× slower —
-    // tried and reverted (PLANS_r16); the shuffle is not the bottleneck,
-    // the per-window work is, and the sort-based window shares one pass
-    // across overlapping windows.
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .filter(length(col("text")) >= k + w - 1) // ≥ 1 full window
+    // One map-side monotonic-deque expression per document
+    // (functions.WinnowFps): the declarative form — gram explode +
+    // per-doc rows-between window min — materialized 140M k-char gram
+    // ROWS at the 100× tier and paid a doc_id exchange plus a per-doc
+    // SORT of 20-byte string keys just to share scans across
+    // overlapping windows: 52.7 s, the round-16 `weak`, and the sort
+    // constant only grows with corpus size. (A transform/slice/
+    // array_min HOF form was also tried: w-array allocation PER WINDOW,
+    // ≥ 5× worse — PLANS_r16.) The deque computes the same minima in
+    // O(n) amortized gram pushes with ZERO pre-aggregation shuffle;
+    // the first corpus-sized exchange is now the fingerprint-frequency
+    // groupBy below — the answer's own grain. Output is bit-identical
+    // (WinnowFpsSpec pins expression ≡ declarative window plan on
+    // fixture text) so the DuckDB window-min oracle is unchanged.
+    val fps = docs
       .select(col("doc_id"),
-        (length(col("text")) - (k - 1)).as("n_g"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1), lit(1)))
-          .as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("n_g"), col("pos"),
-        col("text").substr(col("pos"), lit(k)).as("g"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = grams
-      .withColumn("wm", min(col("g")).over(win))
-      .filter(col("pos") <= col("n_g") - (w - 1)) // full windows only
-      .select(col("doc_id"), col("wm")).distinct()
+        explode(graft.functions.WinnowFps.fps(col("text"), k, w)).as("wm"))
     val occ = fps.groupBy("wm").agg(count(lit(1)).as("n_docs"))
     fps.join(occ, Seq("wm"))
       .groupBy("doc_id")
