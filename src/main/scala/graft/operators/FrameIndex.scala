@@ -29,6 +29,7 @@ object FrameIndex {
 
   private def framesDir(root: String) = s"$root/frames"
   private def hotDir(root: String) = s"$root/hot"
+  private def dfsDir(root: String) = s"$root/dfs"
 
   private def hwmPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/compacted_through")
@@ -92,13 +93,75 @@ object FrameIndex {
     * BOTH directions (a stored clip inside a new longer upload needs
     * the STORED doc's denominator) without ever re-aggregating the
     * corpus per batch — the join row already carries it. */
+  private case class SigSet(withN: DataFrame, dfDelta: DataFrame)
+
   private def signatures(docs: DataFrame, frameBytes: Int,
-                         stride: Int): DataFrame = {
+                         stride: Int): SigSet = {
     val sig = PHash.frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(docs), frameBytes, stride))
-      .localCheckpoint(true) // feeds the rows + the per-doc sizes
-    sig.join(sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr")),
-      Seq("doc_id"))
+      .localCheckpoint(true) // feeds the rows + per-doc sizes + df delta
+    SigSet(
+      sig.join(sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr")),
+        Seq("doc_id")),
+      // this ingest's df contribution — (doc_id, fhash) is distinct
+      // within the batch, so count(1) per fhash is its distinct-doc df
+      sig.groupBy("fhash").agg(count(lit(1)).as("df")))
+  }
+
+  /** Persist one ingest's (fhash, df) delta beside its frame rows. The
+    * per-ingest deltas are what makes [[refreshHot]] INCREMENTAL: docs
+    * are distinct across ingests (the append contract), so corpus
+    * df(h) = Σ per-ingest df(h) — the InvertedIndex dictionary
+    * argument at frame grain — and the hot set folds from these
+    * hash-grain tables instead of re-aggregating every stored
+    * (doc, fhash) posting (the full re-aggregation that moved
+    * q_frame_index_backfill 18.1 → 33.9 s at the 100× tier when the
+    * df-cap guard landed). Written AFTER the frames partition commits:
+    * a crash in the window leaves a complete index whose fold recounts
+    * this ingest from its frames ([[dfTable]]'s per-ingest fallback),
+    * never a wrong one. */
+  private def writeDfs(dfDelta: DataFrame, root: String,
+                       ingestId: Long): Unit =
+    dfDelta.repartitionByRange(col("fhash")).sortWithinPartitions("fhash")
+      .write.mode("overwrite").parquet(s"${dfsDir(root)}/ingest=$ingestId")
+
+  /** Ingest ids with a COMMITTED dfs delta (own `_SUCCESS` marker — a
+    * torn delta from a crashed write must read as absent, not as an
+    * undercount baked into the hot set). */
+  private def committedDfs(s: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(s, root)
+    val p = new org.apache.hadoop.fs.Path(dfsDir(root))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("ingest=").toLong).sorted
+  }
+
+  /** Corpus-wide (fhash, df) across every committed frame ingest:
+    * stored deltas where present, a recount from the frames partition
+    * for any ingest lacking one (crash window, pre-dfs artifact) —
+    * exact either way, hash-grain work in the common case. */
+  private def dfTable(s: SparkSession, root: String): DataFrame = {
+    val frames = committedIngests(s, root)
+    val have = committedDfs(s, root).toSet intersect frames.toSet
+    val missing = frames.filterNot(have)
+    val fromDfs =
+      if (have.isEmpty) None
+      else Some(s.read.parquet(
+          have.toSeq.sorted.map(i => s"${dfsDir(root)}/ingest=$i"): _*)
+        .select("fhash", "df"))
+    val fromFrames =
+      if (missing.isEmpty) None
+      else Some(s.read.parquet(
+          missing.map(i => s"${framesDir(root)}/ingest=$i"): _*)
+        .groupBy("fhash").agg(count(lit(1)).as("df")))
+    (fromDfs ++ fromFrames).reduceOption(_ unionByName _)
+      .map(_.groupBy("fhash").agg(sum("df").as("df")))
+      .getOrElse(s.emptyDataFrame
+        .select(lit(0L).as("fhash"), lit(0L).as("df")).limit(0))
   }
 
   /** Build the backfill (ingest 0) from the reference corpus. Rows are
@@ -108,24 +171,32 @@ object FrameIndex {
   def build(docs: DataFrame, root: String,
             frameBytes: Int = PHash.NPix, stride: Int = 2,
             dfCap: Long = PHash.DefaultFrameDfCap): Unit = {
-    signatures(docs, frameBytes, stride)
+    val sig = signatures(docs, frameBytes, stride)
+    sig.withN
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(s"${framesDir(root)}/ingest=0")
+    writeDfs(sig.dfDelta, root, 0L)
     refreshHot(docs.sparkSession, root, dfCap)
   }
 
-  /** Materialize the corpus's hot-hash set ([[PHash.hotFrameHashes]]:
-    * hashes in more than dfCap distinct stored docs — boilerplate, so
-    * tiny) under `hot/`. Run at [[build]] and [[compact]] time — the
-    * one corpus-wide aggregation happens at maintenance cadence so
-    * every per-batch screen gets the guard as a broadcast, never a
-    * corpus scan. Between compactions the set is stale by at most the
-    * appended waves' df contributions (a hash can only become HOTTER;
-    * screens are uncapped on it until the next fold — bounded, and the
-    * fixture never reaches any cap at all). */
+  /** Materialize the corpus's hot-hash set (hashes in more than dfCap
+    * distinct stored docs — boilerplate, so tiny) under `hot/`. Run at
+    * [[build]] and [[compact]] time so every per-batch screen gets the
+    * guard as a broadcast. INCREMENTAL since r17: the df counts fold
+    * from the per-ingest [[writeDfs]] deltas (hash-grain tables, docs
+    * distinct across ingests ⇒ dfs sum exactly) instead of
+    * re-aggregating every stored (doc, fhash) posting — the full
+    * re-aggregation was most of q_frame_index_backfill's 18.1 → 33.9 s
+    * regression at the 100× tier; an ingest missing its delta (crash
+    * window, pre-dfs artifact) is recounted from its own frames
+    * partition, so the fold is exact either way (hot ≡ full-recompute
+    * law in FrameIndexSpec). Between compactions the set is stale by
+    * at most the appended waves' df contributions (a hash can only
+    * become HOTTER; screens are uncapped on it until the next fold —
+    * bounded, and the fixture never reaches any cap at all). */
   def refreshHot(s: SparkSession, root: String, dfCap: Long): Unit =
-    PHash.hotFrameHashes(stored(s, root).select("doc_id", "fhash"), dfCap)
+    dfTable(s, root).filter(col("df") > dfCap).select("fhash")
       .coalesce(1)
       .write.mode("overwrite").parquet(hotDir(root))
 
@@ -162,11 +233,16 @@ object FrameIndex {
       s"ingest $ingestId was already folded by a compaction (high-water " +
         s"mark $hwm) — re-appending it would store its frame rows twice " +
         s"and double-count n_inter at screen time")
-    signatures(docs, frameBytes, stride)
+    val sig = signatures(docs, frameBytes, stride)
+    sig.withN
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite")
       .parquet(s"${framesDir(root)}/ingest=$ingestId")
+    // the batch's df delta, frames-first (a crash here leaves a
+    // complete index; the fold recounts this ingest). One batch-sized
+    // agg — what keeps every later refreshHot a hash-grain fold.
+    writeDfs(sig.dfDelta, root, ingestId)
   }
 
   /** The stored (doc_id, fhash, n_fr) rows across every COMMITTED
@@ -207,6 +283,11 @@ object FrameIndex {
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(s"${framesDir(staging)}/ingest=0")
+    // the folded artifact carries ONE folded df delta (sum of the
+    // per-ingest deltas; recount fallback inside dfTable) so future
+    // appends keep folding hash-grain — a compaction UPGRADES a
+    // pre-dfs artifact the same way InvertedIndex.compact does
+    writeDfs(dfTable(s, root), staging, 0L)
     refreshHot(s, staging, dfCap) // fold cadence = hot-set refresh cadence
     val hwm = math.max(committed.max, compactedThrough(s, root))
     val out = fs.create(hwmPath(staging), true) // marker LAST: staging done

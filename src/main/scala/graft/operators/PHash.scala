@@ -323,14 +323,17 @@ object PHash {
   def storeFrameIndex(docs: DataFrame, root: String,
                       frameBytes: Int = NPix, stride: Int = 2,
                       dfCap: Long = DefaultFrameDfCap): Unit = {
-    frameSignatures(Multimodal.sampleFrames(
+    val sig = frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(docs), frameBytes, stride))
-      .sortWithinPartitions("fhash")
+      .localCheckpoint(true) // feeds the write + the hot-set agg
+    sig.sortWithinPartitions("fhash")
       .write.mode("overwrite").parquet(root)
     // the frozen corpus's hot-hash set (boilerplate frames — tiny),
     // materialized once beside the index so every streaming screen
-    // gets the df-cap guard as a broadcast, never a corpus scan
-    hotFrameHashes(docs.sparkSession.read.parquet(root), dfCap)
+    // gets the df-cap guard as a broadcast, never a corpus scan.
+    // Aggregated from the checkpointed signature frame — re-reading
+    // the just-written parquet was a second full corpus pass.
+    hotFrameHashes(sig, dfCap)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root.hot")
   }

@@ -166,6 +166,54 @@ class FrameIndexSpec extends SparkSpec {
     assert(FrameIndex.hotHashes(spark, root).count() === 1L)
   }
 
+  test("incremental hot set ≡ full recompute; a torn df delta falls " +
+      "back to recounting, never undercounts") {
+    // a boilerplate frame whose df crosses the cap only SUMMED across
+    // ingests (3 + 2 + 2 = 7 > 5, each ingest alone ≤ 3) — the case a
+    // per-ingest fold gets wrong unless the deltas are truly additive
+    def block(seed: Long): String = {
+      val rnd = new scala.util.Random(seed * 2654435761L + 29)
+      (0 until 72).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    import spark.implicits._
+    val hotB = block(-1L)
+    def wave(ids: Range) = ids.map(i => i.toLong -> (hotB + block(i)))
+      .toDF("doc_id", "text")
+    val root = tmpRoot("inc")
+    val cap = 5L
+    FrameIndex.build(wave(0 until 3), root, stride = 1, dfCap = cap)
+    assert(FrameIndex.hotHashes(spark, root).count() === 0L,
+      "below the cap after the backfill alone")
+    FrameIndex.append(wave(100 until 102), root, ingestId = 1, stride = 1)
+    FrameIndex.append(wave(200 until 202), root, ingestId = 2, stride = 1)
+    FrameIndex.refreshHot(spark, root, cap)
+    val full = PHash.hotFrameHashes(
+      FrameIndex.stored(spark, root).select("doc_id", "fhash"), cap)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def hotNow() = FrameIndex.hotHashes(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(full.size === 1L, "test shape: exactly the shared frame is hot")
+    assert(hotNow() === full,
+      "dfs-fold hot set must equal the full (doc, fhash) recompute")
+    // tear ingest 1's delta (crash between frames and dfs commits):
+    // the fold must RECOUNT that ingest from its frames — dropping it
+    // would read df = 5 ≤ cap and silently unguard the hot frame
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/dfs/ingest=1/_SUCCESS"), false), "test setup: tear the delta")
+    FrameIndex.refreshHot(spark, root, cap)
+    assert(hotNow() === full,
+      "torn delta must recount from frames, not undercount df")
+    // compaction restores the folded delta and the UPGRADED artifact
+    // keeps answering identically
+    FrameIndex.compact(spark, root, dfCap = cap)
+    assert(hotNow() === full)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/dfs/ingest=0/_SUCCESS")),
+      "compaction must re-materialize the folded df delta")
+  }
+
   test("a compaction swap torn mid-rename heals on the next exists()") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("torn")
