@@ -109,17 +109,20 @@ object FrameIndex {
   }
 
   /** Persist one ingest's (fhash, df) delta beside its frame rows. The
-    * per-ingest deltas are what makes [[refreshHot]] INCREMENTAL: docs
+    * stored deltas are what makes [[refreshHot]] INCREMENTAL: docs
     * are distinct across ingests (the append contract), so corpus
     * df(h) = Σ per-ingest df(h) — the InvertedIndex dictionary
     * argument at frame grain — and the hot set folds from these
     * hash-grain tables instead of re-aggregating every stored
     * (doc, fhash) posting (the full re-aggregation that moved
     * q_frame_index_backfill 18.1 → 33.9 s at the 100× tier when the
-    * df-cap guard landed). Written AFTER the frames partition commits:
-    * a crash in the window leaves a complete index whose fold recounts
-    * this ingest from its frames ([[dfTable]]'s per-ingest fallback),
-    * never a wrong one. */
+    * df-cap guard landed). WHO writes it: [[build]] (the corpus-sized
+    * backfill, from the already-checkpointed signature frame) and
+    * [[compact]] (the fold) — NOT [[append]]: streamed micro-batches
+    * stay delta-less (see the note there) and [[dfTable]] recounts
+    * them from their own batch-sized frames partitions. Written AFTER
+    * the frames partition commits: a crash in the window leaves a
+    * complete index whose fold recounts, never a wrong one. */
   private def writeDfs(dfDelta: DataFrame, root: String,
                        ingestId: Long): Unit =
     dfDelta.repartitionByRange(col("fhash")).sortWithinPartitions("fhash")
@@ -233,16 +236,18 @@ object FrameIndex {
       s"ingest $ingestId was already folded by a compaction (high-water " +
         s"mark $hwm) — re-appending it would store its frame rows twice " +
         s"and double-count n_inter at screen time")
-    val sig = signatures(docs, frameBytes, stride)
-    sig.withN
+    signatures(docs, frameBytes, stride).withN
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
       .write.mode("overwrite")
       .parquet(s"${framesDir(root)}/ingest=$ingestId")
-    // the batch's df delta, frames-first (a crash here leaves a
-    // complete index; the fold recounts this ingest). One batch-sized
-    // agg — what keeps every later refreshHot a hash-grain fold.
-    writeDfs(sig.dfDelta, root, ingestId)
+    // NO df delta at append — the InvertedIndex discipline: a second
+    // committed write PER MICRO-BATCH is the one cost a streaming
+    // ingest pays forever (s_frame_index_ingest measured it well
+    // beyond the ambient band), while [[dfTable]]'s fold recounts
+    // delta-less ingests from their own batch-sized frames partitions
+    // for free at maintenance cadence; [[compact]] folds them into
+    // the single stored delta.
   }
 
   /** The stored (doc_id, fhash, n_fr) rows across every COMMITTED

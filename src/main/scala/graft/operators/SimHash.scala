@@ -78,20 +78,13 @@ object SimHash {
     val gate: DataFrame => DataFrame =
       if (textBytes <= (64L << 20)) (df: DataFrame) => broadcast(df)
       else identity
-    // CLUSTERED on simhash on the way out: pairs() broadcasts this
-    // frame into its expansion joins, and a broadcast hash relation
-    // stores each key's ~|group| value rows in BUILD order. The old
-    // explode path emitted members contiguously; the rep-assignment
-    // join emits DOC order, scattering every key's chain across the
-    // corpus-sized row pool — and walking those chains 2×10⁹ times
-    // measured 34.3 vs 3.6 s at the 100× tier (ProbeSim2: identical
-    // rows, pure cache locality). One narrow (doc_id, simhash)
-    // shuffle — 8 MB at that tier — buys cache-local chains.
-    val nP = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // NOTE: emits DOC order (the probe side's order). pairs() re-
+    // clusters on simhash before broadcasting into its expansion
+    // joins — see the comment there; clusters() works at signature
+    // grain and needs no such pass.
     docs.select(col(idCol).as("doc_id"), col(textCol))
       .join(gate(sigByText), Seq(textCol))
       .select(col("doc_id"), col("simhash"))
-      .repartition(nP, col("simhash")).sortWithinPartitions("simhash")
   }
 
   /** (doc_id, band_idx, band_val, simhash): the signature split into `b`
@@ -142,7 +135,18 @@ object SimHash {
     // members into per-signature ARRAYS and double-exploded them — each
     // intermediate row carried the whole array, quadratic MEMORY per
     // group, and a hot signature group OOMed the 100× tier.)
-    val sig = grainedSignatures(docs, idCol, textCol).localCheckpoint(true)
+    // CLUSTERED on simhash before the checkpoint: the expansion joins
+    // broadcast this frame, and a broadcast hash relation stores each
+    // key's ~|group| value rows in BUILD order — the rep-assignment
+    // join emits DOC order, scattering every key's chain across the
+    // corpus-sized row pool, and walking those chains 2×10⁹ times
+    // measured 34.3 vs 3.6 s at the 100× tier on identical rows
+    // (ProbeSim2: pure cache locality). One narrow (doc_id, simhash)
+    // shuffle — 8 MB at that tier — buys cache-local chains.
+    val nP = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sig = grainedSignatures(docs, idCol, textCol)
+      .repartition(nP, col("simhash")).sortWithinPartitions("simhash")
+      .localCheckpoint(true)
     // Adaptive broadcast gate on the EXPANSION joins (the screenFrames /
     // DedupIndex.queryBatch discipline): their output is the quadratic
     // pair set — the one thing this key materializes by contract — and a

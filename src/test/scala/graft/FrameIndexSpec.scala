@@ -186,6 +186,9 @@ class FrameIndexSpec extends SparkSpec {
       "below the cap after the backfill alone")
     FrameIndex.append(wave(100 until 102), root, ingestId = 1, stride = 1)
     FrameIndex.append(wave(200 until 202), root, ingestId = 2, stride = 1)
+    // appends are delta-less by design (no second committed write per
+    // micro-batch) — the fold must mix the stored backfill delta with
+    // per-ingest recounts and still be exact across the cap boundary
     FrameIndex.refreshHot(spark, root, cap)
     val full = PHash.hotFrameHashes(
       FrameIndex.stored(spark, root).select("doc_id", "fhash"), cap)
@@ -195,13 +198,14 @@ class FrameIndexSpec extends SparkSpec {
     assert(full.size === 1L, "test shape: exactly the shared frame is hot")
     assert(hotNow() === full,
       "dfs-fold hot set must equal the full (doc, fhash) recompute")
-    // tear ingest 1's delta (crash between frames and dfs commits):
-    // the fold must RECOUNT that ingest from its frames — dropping it
-    // would read df = 5 ≤ cap and silently unguard the hot frame
+    // tear the BACKFILL's delta (crash between the frames and dfs
+    // commits of build): the fold must RECOUNT ingest 0 from its
+    // frames — trusting the torn per-bucket set would undercount df
+    // and silently unguard the hot frame
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new org.apache.hadoop.fs.Path(
-      s"$root/dfs/ingest=1/_SUCCESS"), false), "test setup: tear the delta")
+      s"$root/dfs/ingest=0/_SUCCESS"), false), "test setup: tear the delta")
     FrameIndex.refreshHot(spark, root, cap)
     assert(hotNow() === full,
       "torn delta must recount from frames, not undercount df")
