@@ -44,6 +44,7 @@ object AnnIndex {
   private def centroidsDir(root: String) = s"$root/centroids"
   private def codebooksDir(root: String) = s"$root/codebooks"
   private def codesDir(root: String)     = s"$root/codes"
+  private def attrsDir(root: String)     = s"$root/attrs"
   private def hwmPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/compacted_through")
 
@@ -133,12 +134,50 @@ object AnnIndex {
         e => e("code_id")).as("codes"))
       .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
 
+  /** True iff the index carries the [[attrs]] sidecar (written at
+    * build time — an index is either attribute-carrying or not for its
+    * whole life; filtered queries on a bare index are a loud error,
+    * never a silent unfiltered answer). */
+  def hasAttrs(s: SparkSession, root: String): Boolean =
+    fsOf(s, root).exists(attrsMarker(root))
+
+  /** Explicit sidecar commit marker — the dynamic-partition-overwrite
+    * protocol [[writeAttrs]] uses emits no `_SUCCESS` of its own
+    * (verified on disk), so [[writeAttrs]] creates this after its
+    * write returns; a crash mid-write reads as "no sidecar". */
+  private def attrsMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"${attrsDir(root)}/_GRAFT_COMMIT")
+
+  /** Write one batch's attribute rows partitioned EXACTLY like the
+    * codes — (cell, batch) hive partitions — so a filtered probe's
+    * `cell IN (…)` prunes the attribute scan at file-listing level the
+    * same way it prunes the codes scan (the Vespa/Milvus filtered-ANN
+    * layout: attributes ride the index partitioning; a vec_id-keyed
+    * side table would re-scan the corpus per probe). Written BEFORE
+    * the batch's codes partition commits: codes-present ⇒
+    * attrs-present, so a crash in the window leaves only orphan attr
+    * rows whose vec_ids never surface (the probe semi-joins FROM the
+    * codes side) and the replay overwrites both. */
+  private def writeAttrs(attrs: DataFrame, assigned: DataFrame,
+                         root: String, batchId: Long): Unit = {
+    attrs.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
+      .parquet(attrsDir(root))
+    fsOf(attrs.sparkSession, root).create(attrsMarker(root), true).close()
+  }
+
   /** Train and persist the index. `emb` = (vec_id, v: array<double>)
     * with v already L2-normalized (squared-L2 order ≡ cosine order).
     * The codes table is written as ingest batch 0 — append() adds
-    * later batches under their own partitions. */
+    * later batches under their own partitions. `attrs` (optional) =
+    * (vec_id, attribute columns…) — the metadata sidecar filtered
+    * queries predicate on; see [[writeAttrs]] for the layout. */
   def build(emb0: DataFrame, root: String, k: Int = 8, m: Int = 16,
-            dim: Int = 64, kCodes: Int = 16): Unit = {
+            dim: Int = 64, kCodes: Int = 16,
+            attrs: Option[DataFrame] = None): Unit = {
     // wipe any previous artifact FIRST (the DedupIndex.build discipline):
     // centroids/codebooks are written before codes, so a rebuild that
     // dies mid-way over an existing root would otherwise leave new
@@ -166,6 +205,9 @@ object AnnIndex {
       kCodes, iters = 2)
     cents.write.mode("overwrite").parquet(centroidsDir(root))
     cb.write.mode("overwrite").parquet(codebooksDir(root))
+    // attrs BEFORE codes (codes-present ⇒ attrs-present; exists() keys
+    // on the codes marker, so a crash here still reads as no-index)
+    attrs.foreach(a => writeAttrs(a, assigned, root, 0L))
     // hive-partition on (coarse cell, ingest batch): probes prune on
     // cell at the FILE LISTING level; appends overwrite only their own
     // batch partitions (exactly-once under replay)
@@ -193,11 +235,19 @@ object AnnIndex {
     * sum at query time. Ingest pipelines get this for free when ids are
     * assigned upstream (the foreachBatch batchId discipline). */
   def append(emb0: DataFrame, root: String, batchId: Long,
-             m: Int = 16, dim: Int = 64): Unit = {
+             m: Int = 16, dim: Int = 64,
+             attrs: Option[DataFrame] = None): Unit = {
     val s = emb0.sparkSession
     require(exists(s, root),
       s"no ANN index under $root — build the backfill first")
     require(batchId > 0L, "batch 0 is the backfill partition")
+    require(attrs.isEmpty || hasAttrs(s, root),
+      "attrs passed to append but the index was built without the " +
+        "sidecar — rebuild with attrs (an index is attribute-carrying " +
+        "for its whole life or not at all)")
+    require(attrs.nonEmpty || !hasAttrs(s, root),
+      "the index carries the attrs sidecar but this append has none — " +
+        "its vectors would silently vanish from every filtered probe")
     val hwm = compactedThrough(s, root)
     require(batchId > hwm,
       s"batch $batchId was already folded by a compaction (high-water " +
@@ -208,6 +258,7 @@ object AnnIndex {
     val assigned = assign(emb0, cents).localCheckpoint(true)
     val subs = ProductQuantizer.subvectors(
       assigned.select(col("vec_id"), col("rv").as("v")), m, dim)
+    attrs.foreach(a => writeAttrs(a, assigned, root, batchId))
     packCodes(subs, assigned, cb)
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
@@ -254,6 +305,20 @@ object AnnIndex {
       .write.mode("overwrite").parquet(centroidsDir(staging))
     s.read.parquet(codebooksDir(root))
       .write.mode("overwrite").parquet(codebooksDir(staging))
+    // attrs fold mirrors the codes fold (same layout argument);
+    // restricting to codes-committed batches drops any orphan attr
+    // partition a crashed append left behind
+    if (hasAttrs(s, root)) {
+      val committedSet = committed.map(java.lang.Long.valueOf)
+      s.read.parquet(attrsDir(root))
+        .filter(col("batch").isin(committedSet: _*))
+        .drop("batch").withColumn("batch", lit(0L))
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite").partitionBy("cell", "batch")
+        .parquet(attrsDir(staging))
+      fs.create(attrsMarker(staging), true).close()
+    }
     s.read.parquet(codesDir(root))
       .select(col("vec_id"), col("codes"), col("cell"))
       .withColumn("batch", lit(0L))
@@ -273,7 +338,13 @@ object AnnIndex {
     * squared L2 in normalized space (monotone with cosine). */
   def query(s: SparkSession, root: String, qv: Seq[Double],
             nprobe: Int = 2, n: Int = 10,
-            excludeId: Option[Long] = None, m: Int = 16): DataFrame = {
+            excludeId: Option[Long] = None, m: Int = 16,
+            attrFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(attrFilter.isEmpty || hasAttrs(s, root),
+      s"attribute-filtered query against $root, which has no attrs " +
+        "sidecar — a silent unfiltered answer would be wrong; rebuild " +
+        "with attrs = Some(...)")
     require(qv.length % m == 0, s"dim ${qv.length} not divisible by m $m")
     val qvc = typedLit(qv)
     val cents = s.read.parquet(centroidsDir(root))
@@ -300,10 +371,22 @@ object AnnIndex {
         ProductQuantizer.dist2(col("qv"), col("cv")).as("d"))
     // the probe scan: cell IN (…) literals → static partition pruning —
     // only the probed cells' files are listed/read from the store
-    val codes = s.read.parquet(codesDir(root))
+    val codes0 = s.read.parquet(codesDir(root))
       .filter(col("cell").isin(cellIds: _*))
       .filter(excludeId.map(id => col("vec_id") =!= id).getOrElse(lit(true)))
-      .select(col("vec_id"), col("cell"),
+    // metadata filter BEFORE selection (filtered top-k ≠ filter(top-k)):
+    // the attrs scan prunes to the SAME probed cells as the codes scan
+    // (identical partitioning — file-listing-level pruning both sides),
+    // then a cell-local vec_id semi-join drops non-matching candidates
+    // before any ADC work. AQE sizes the join; on a fixture-scale probe
+    // the filtered attr side broadcasts itself.
+    val codesF = attrFilter.fold(codes0)(pred =>
+      codes0.join(
+        s.read.parquet(attrsDir(root))
+          .filter(col("cell").isin(cellIds: _*)).filter(pred)
+          .select("vec_id"),
+        Seq("vec_id"), "left_semi"))
+    val codes = codesF.select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code_id")))
     codes.join(broadcast(dtab), Seq("cell", "sub", "code_id"))
       .groupBy("vec_id")

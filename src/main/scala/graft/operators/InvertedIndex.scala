@@ -164,20 +164,25 @@ object InvertedIndex {
     postings.groupBy("term", "tb").agg(count(lit(1)).as("df"))
 
   /** True iff the dictionary table finished its JOB commit — the
-    * `_SUCCESS` marker at the dfs root, written after every partition
-    * landed. Presence of the per-(tb, batch) directories alone is NOT
-    * enough: the writer creates/renames them per partition before job
-    * commit, so a crash mid-write leaves a PARTIAL set that would pass
-    * a directory-presence check — terms in the missing buckets would
-    * get undercounted df or drop out of the idf inner join entirely,
-    * silently corrupting BM25 scores. Only build/compact write dfs
-    * (each into a fresh dir), so one root marker covers the artifact;
-    * a torn write reads as "no dictionary" and both [[dfTable]] and
+    * explicit marker [[writeDfs]] creates only after its write
+    * returns. Presence of the per-(tb, batch) directories alone is
+    * NOT enough: the writer creates/renames them per partition before
+    * job commit, so a crash mid-write leaves a PARTIAL set that would
+    * pass a directory-presence check — terms in the missing buckets
+    * would get undercounted df or drop out of the idf inner join
+    * entirely, silently corrupting BM25 scores. (It must be OUR
+    * marker: the dynamic-partition-overwrite protocol never emits the
+    * usual `_SUCCESS` — verified on disk, a gate on it would silently
+    * disable the dictionary forever.) Only build/compact write dfs
+    * (each into a fresh dir), so one marker covers the artifact; a
+    * torn write reads as "no dictionary" and both [[dfTable]] and
     * [[compact]] fall back to recounting from the postings — the
     * recount the scaladoc promises. */
   private def dfsCommitted(s: SparkSession, root: String): Boolean =
-    fsOf(s, root).exists(
-      new org.apache.hadoop.fs.Path(s"${dfsDir(root)}/_SUCCESS"))
+    fsOf(s, root).exists(dfsMarker(root))
+
+  private def dfsMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"${dfsDir(root)}/_GRAFT_COMMIT")
 
   /** Hybrid df table for the probe: Some((term, df)) = dictionary rows
     * over the covered batches + a pruned-postings recount over the
@@ -229,13 +234,18 @@ object InvertedIndex {
 
   /** The dictionary write shared by build/append/compact: df rows laid
     * out like the postings (one file per (tb, batch), term-sorted). */
-  private def writeDfs(dfs: DataFrame, root: String, batchId: Long): Unit =
+  private def writeDfs(dfs: DataFrame, root: String, batchId: Long): Unit = {
     dfs.repartition(NumBuckets, col("tb"))
       .sortWithinPartitions("tb", "term")
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("tb", "batch").parquet(dfsDir(root))
+    // commit marker LAST (see dfsCommitted — dynamic overwrite emits
+    // no _SUCCESS of its own)
+    val s = dfs.sparkSession
+    fsOf(s, root).create(dfsMarker(root), true).close()
+  }
 
   /** Build and persist the backfill index (batch 0). Wipes any previous
     * artifact first — stats land before postings, so a rebuild dying

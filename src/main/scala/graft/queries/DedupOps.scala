@@ -568,6 +568,34 @@ object DedupOps {
         .query(s, root, qv, nprobe = 2, n = 10, excludeId = Some(0L))
     }),
 
+    // ---- round 17: METADATA-FILTERED probe of the STORED index — the
+    // q_knn_filtered serving shape answered from the artifact: the
+    // index carries an ATTRIBUTE SIDECAR (attrs/ — (vec_id, label)
+    // rows hive-partitioned on the SAME (cell, batch) keys as the
+    // codes, the Vespa/Milvus layout), so a filtered probe prunes BOTH
+    // scans to the nprobe probed cells at file-listing level, semi-
+    // joins the predicate's survivors onto the code rows BEFORE any
+    // ADC work (filtered top-k ≠ filter(top-k)), and never touches a
+    // raw vector or an unprobed cell. Test-oracled like every PQ
+    // surface; AnnIndexSpec pins filtered ≡ filter-then-rank over the
+    // unfiltered candidate universe, the sidecar folding through
+    // compaction, and the no-sidecar loud failure.
+    "q_knn_index_filtered" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val root = Scans.scratch("annindexf", s, d)
+      val emb = LlmOps.embDouble(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("v"))
+      if (!AnnIndex.exists(s, root))
+        AnnIndex.build(emb, root, k = 8, m = 16, dim = 64, kCodes = 16,
+          attrs = Some(Tables.embeddings(s, d)
+            .select(col("vec_id"), col("label").cast("long").as("label"))))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("v")).first().getSeq[Double](0)
+      AnnIndex.query(s, root, qv, nprobe = 2, n = 10,
+        excludeId = Some(0L), attrFilter = Some(col("label") === 1L))
+    }),
+
     // ---- COMPACTION of the ANN index — the maintenance operator that
     // completes the stored-index family (dedup and inverted indexes got
     // theirs in round 14): backfill (two thirds of the corpus, which

@@ -186,6 +186,35 @@ object LlmOps {
                             queryId = 0, k = 10)
     }),
 
+    // ---- round 17: METADATA-FILTERED exact kNN — the standard vector-
+    // serving request shape ("nearest passages WHERE lang = …"): top-10
+    // by cosine among vectors whose label passes the predicate, filter
+    // applied BEFORE selection (filtered top-k ≠ filter(top-k) — a
+    // post-filter can return < k rows while matches beyond rank 10 are
+    // dropped). Plan: the label predicate lands in the parquet scan
+    // (PushedFilters), the query vector broadcasts, the dot product is
+    // codegen'd, TakeOrderedAndProject keeps k rows per partition
+    // before the single-reducer merge — at 100 TB the filter prunes
+    // row groups via column stats and the scan stays the only
+    // corpus-sized work. The stored-index serving twin (probe-time
+    // filtering against the at-rest attribute sidecar) is
+    // q_knn_index_filtered in DedupOps.
+    "q_knn_filtered" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          v.as("v"), graft.functions.VectorExprs.norm(v).as("n"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n").as("qn"))
+      emb.filter(col("vec_id") =!= 0 && col("label") === 1L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(graft.functions.VectorExprs.dot(col("v"), col("qv")) /
+            (col("n") * col("qn")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- k-means corpus clustering as a FIRST-CLASS surface (the
     // bucketing primitive the mixing/curriculum/SemDedup stages build
     // on): deterministic spherical k-means (operators.IvfKMeans —
@@ -447,6 +476,17 @@ object LlmOps {
                                       CAST(b.embedding AS DOUBLE[])), 4)
            AS cos_sim
          FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+         WHERE a.vec_id = 0
+         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""",
+    // the same probe with the metadata predicate applied BEFORE the
+    // top-k (the filtered-ANN contract)
+    "q_knn_filtered" ->
+      """SELECT b.vec_id, CAST(b.label AS BIGINT) AS label,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4)
+           AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON b.vec_id <> 0 AND b.label = 1
          WHERE a.vec_id = 0
          ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""",
     "q_sim_join" ->

@@ -236,6 +236,56 @@ class AnnIndexSpec extends SparkSpec {
     assert(afterAns === beforeAns, "healed index answers differently")
   }
 
+  test("filtered probe: predicate applies BEFORE selection, sidecar " +
+      "folds through compaction, bare index fails loudly") {
+    import spark.implicits._
+    val emb = clustered(64).localCheckpoint(true)
+    val attrs = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(3L)).as("label"))
+    val root = tmpRoot("attrs")
+    AnnIndex.build(emb.filter(col("vec_id") < 400), root,
+      attrs = Some(attrs.filter(col("vec_id") < 400)))
+    AnnIndex.append(emb.filter(col("vec_id") >= 400), root, batchId = 1,
+      attrs = Some(attrs.filter(col("vec_id") >= 400)))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("v").first().getSeq[Double](0)
+    def filtered() = AnnIndex.query(spark, root, qv, nprobe = 3, n = 10,
+        excludeId = Some(0L), attrFilter = Some(col("label") === 1L))
+      .as[(Long, Double)].collect().toSeq
+    // reference: rank the UNFILTERED candidate universe (n = corpus),
+    // then filter by label and take 10 — the filtered-top-k contract
+    val reference = {
+      val all = AnnIndex.query(spark, root, qv, nprobe = 3, n = 100000,
+          excludeId = Some(0L))
+        .as[(Long, Double)].collect().toSeq
+      val ok = all.filter { case (id, _) => id % 3 == 1 }
+      ok.sortBy { case (id, d2) => (d2, id) }.take(10)
+    }
+    assert(filtered() == reference,
+      "filtered probe must equal filter-then-rank over the same " +
+        "candidate universe")
+    assert(filtered().forall { case (id, _) => id % 3 == 1 })
+    assert(filtered().size == 10, "the filter must not starve top-k")
+    // the sidecar folds through compaction bit-identically
+    val before = filtered()
+    AnnIndex.compact(spark, root)
+    assert(filtered() == before,
+      "filtered answers must survive compaction bit-for-bit")
+    // a filtered query against a sidecar-less index is a loud error
+    val bare = tmpRoot("noattrs")
+    AnnIndex.build(emb.filter(col("vec_id") < 400), bare)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.query(spark, bare, qv, attrFilter = Some(col("label") === 1L))
+    }
+    assert(e.getMessage.contains("sidecar"))
+    // …and sidecar discipline is all-or-nothing across appends
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(emb.filter(col("vec_id") >= 400), bare, batchId = 1,
+        attrs = Some(attrs))
+    }
+    assert(e2.getMessage.contains("without the sidecar"))
+  }
+
   test("query() never touches the corpus frame (answers purely from storage)") {
     // build from one frame, then query with only (root, qv) — if the
     // query path referenced the corpus, this would be impossible to

@@ -16,7 +16,7 @@ class PreflightSpec extends SparkSpec {
         "q_dedup_simhash", "q_dedup_simhash_cluster", "q_dedup_semantic",
         "q_knn_lsh", "q_knn_ivf",
         "q_knn_pq", "q_knn_ivfpq", "q_knn_index_query",
-        "q_knn_index_compact", "q_knn_join_ann",
+        "q_knn_index_compact", "q_knn_index_filtered", "q_knn_join_ann",
         "q_knn_graph_ann", "q_knn_graph_cluster_ann",
         "q_embed_pca", "q_cluster_kmeans", "q_cluster_assign", "q_knn_rerank",
         "q_tok_bpe_train", "q_text_bpe_apply")
