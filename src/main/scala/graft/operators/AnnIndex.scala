@@ -160,6 +160,19 @@ object AnnIndex {
     * codes side) and the replay overwrites both. */
   private def writeAttrs(attrs: DataFrame, assigned: DataFrame,
                          root: String, batchId: Long): Unit = {
+    // Coverage contract, enforced: every vector in the batch MUST have
+    // an attrs row. The join below is inner, so a vec_id absent from
+    // attrs would silently vanish from every filtered probe (query()'s
+    // left_semi drops it) — the exact "silent unfiltered answer" class
+    // this module promises to fail loudly on. One anti-join count at
+    // write time (build path, not serving path) buys the guarantee.
+    val uncovered = assigned.select("vec_id")
+      .join(attrs.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(uncovered == 0L,
+      s"AnnIndex attrs sidecar must cover the batch: $uncovered " +
+      s"vector(s) in batch $batchId have no attrs row; such vectors " +
+      "would silently match no filtered query. Supply an attrs row " +
+      "per vec_id (null attribute values are fine) or build bare.")
     attrs.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")

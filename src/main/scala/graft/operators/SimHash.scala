@@ -73,10 +73,16 @@ object SimHash {
     // a fixture/replica-tier distinct-text set ships map-side, so the
     // corpus never shuffles its text column at all; a corpus-scale set
     // crosses the gate and AQE plans the text-keyed exchange.
-    val textBytes = Option(g.agg(sum(length(col(textCol)))).head.get(0))
+    // octet_length, not length: char counts undercount a multi-byte
+    // corpus up to 4x, and the gate guards executor memory, which is
+    // bytes. Gate at 48MB, not the 64MB broadcast comfort zone — the
+    // hash relation built from the rows carries per-row object
+    // overhead on top of the raw text bytes.
+    val textBytes = Option(
+        g.agg(sum(octet_length(col(textCol)))).head.get(0))
       .fold(0L)(_.asInstanceOf[Long])
     val gate: DataFrame => DataFrame =
-      if (textBytes <= (64L << 20)) (df: DataFrame) => broadcast(df)
+      if (textBytes <= (48L << 20)) (df: DataFrame) => broadcast(df)
       else identity
     // NOTE: emits DOC order (the probe side's order). pairs() re-
     // clusters on simhash before broadcasting into its expansion

@@ -29,8 +29,46 @@ object Scans {
     * untouched (the fingerprint is a stable lazy val). */
   private[graft] def scratch(kind: String,
                                s: org.apache.spark.sql.SparkSession,
-                               d: String): String =
+                               d: String): String = {
+    sweepStale(kind, s)
     scratchAt(kind, codeFingerprint, s, d)
+  }
+
+  private val sweptKinds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Janitor for the fingerprint scheme's one cost: every recompile
+    * moves every leaf, stranding the previous build's artifacts, so
+    * without this the scratch root grows by one full artifact set per
+    * build forever. On the FIRST scratch() call for each kind per JVM,
+    * best-effort delete sibling `graft_<kind>_<fp>_<hash>` leaves whose
+    * fingerprint differs from the running code's (kinds contain no
+    * underscores, so the leaf name splits unambiguously). Same-
+    * fingerprint leaves — including other sessions of the SAME build
+    * running concurrently — are never touched; a concurrent run of a
+    * DIFFERENT build would lose its cache and rebuild, which is the
+    * safe direction (exists() reads false, never stale bytes). */
+  private def sweepStale(kind: String,
+                         s: org.apache.spark.sql.SparkSession): Unit =
+    if (sweptKinds.add(kind)) {
+      try {
+        val root = new org.apache.hadoop.fs.Path(scratchRoot)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val sibs = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(root, s"graft_${kind}_*")))
+          .getOrElse(Array.empty)
+        for (st <- sibs) {
+          val parts = st.getPath.getName.split("_")
+          if (parts.length == 4 && parts(1) == kind &&
+              parts(2) != codeFingerprint)
+            fs.delete(st.getPath, true)
+        }
+      } catch { case _: Exception => () } // janitor must never fail a query
+    }
+
+  private[graft] def scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      System.getProperty("java.io.tmpdir"))
 
   /** [[scratch]] with the fingerprint explicit — the seam the
     * invalidation spec drives: a fingerprint change MUST move the
@@ -39,8 +77,7 @@ object Scans {
   private[graft] def scratchAt(kind: String, fingerprint: String,
                                s: org.apache.spark.sql.SparkSession,
                                d: String): String = {
-    val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
-      System.getProperty("java.io.tmpdir"))
+    val root = scratchRoot
     s"$root/graft_${kind}_${fingerprint}_" +
       java.lang.Integer.toHexString(d.hashCode ^ s.hashCode)
   }
@@ -72,7 +109,17 @@ object Scans {
         } finally walk.close()
       } else mix(s"${loc.getFileName}:${Files.size(loc)}:" +
         s"${Files.getLastModifiedTime(loc).toMillis}")
-    } catch { case _: Exception => mix("dev") }
+    } catch {
+      case e: Exception =>
+        // Degrading to a constant fingerprint silently reinstates the
+        // stale-artifact trap for THIS deployment (null code source
+        // under exotic classloaders) — make it visible, don't hide it.
+        org.slf4j.LoggerFactory.getLogger(Scans.getClass).warn(
+          "graft codeFingerprint unavailable ({}); scratch artifacts " +
+          "will NOT auto-invalidate across recompiles in this " +
+          "deployment", e.toString)
+        mix("dev")
+    }
     md.digest().take(4).map(b => f"$b%02x").mkString
   }
 

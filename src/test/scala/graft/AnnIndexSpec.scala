@@ -286,6 +286,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("without the sidecar"))
   }
 
+  test("attrs sidecar must cover the batch — a coverage gap is a loud " +
+      "error, not a silently unfilterable vector") {
+    // writeAttrs inner-joins attrs with the batch's assignments, so a
+    // vec_id missing from attrs would simply never appear in any
+    // filtered probe (query()'s left_semi drops it) — the exact
+    // "silent unfiltered answer" class this module bans. The coverage
+    // contract is enforced at write time on both build and append.
+    val emb = clustered(64).localCheckpoint(true)
+    val attrs = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(3L)).as("label"))
+    val root = tmpRoot("attrscov")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(emb, root,
+        attrs = Some(attrs.filter(col("vec_id") =!= 5L)))
+    }
+    assert(e.getMessage.contains("cover"), e.getMessage)
+    // append path enforces the same contract
+    val root2 = tmpRoot("attrscov2")
+    AnnIndex.build(emb.filter(col("vec_id") < 400), root2,
+      attrs = Some(attrs.filter(col("vec_id") < 400)))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(emb.filter(col("vec_id") >= 400), root2, batchId = 1,
+        attrs = Some(attrs.filter(col("vec_id") >= 401)))
+    }
+    assert(e2.getMessage.contains("cover"), e2.getMessage)
+  }
+
   test("query() never touches the corpus frame (answers purely from storage)") {
     // build from one frame, then query with only (root, qv) — if the
     // query path referenced the corpus, this would be impossible to

@@ -44,4 +44,36 @@ class ScratchSpec extends SparkSpec {
     assert(Scans.scratch("spec", spark, sf0001) !=
       Scans.scratch("spec", spark, "/root/testdata/sf0.01"))
   }
+
+  test("first scratch() per kind reaps stale-fingerprint siblings only") {
+    // The fingerprint scheme's cost: each recompile moves every leaf,
+    // stranding the previous build's artifacts in the scratch root
+    // forever. The janitor fires once per (kind, JVM) and deletes
+    // sibling graft_<kind>_<fp>_* leaves whose fp differs from the
+    // running code's — and must NOT touch same-fp leaves (a concurrent
+    // session of the same build) or other kinds' leaves.
+    val root = new java.io.File(Scans.scratchRoot)
+    def mk(name: String): java.io.File = {
+      val d = new java.io.File(root, name)
+      assert(d.mkdirs() || d.isDirectory)
+      d
+    }
+    val fp = Scans.codeFingerprint
+    val stale    = mk(s"graft_specjan_deadbeef_cafe")   // old build: reap
+    val current  = mk(s"graft_specjan_${fp}_cafe")      // same build: keep
+    val otherKin = mk(s"graft_specjanx_deadbeef_cafe")  // other kind: keep
+    try {
+      Scans.scratch("specjan", spark, sf0001) // triggers the sweep
+      assert(!stale.exists(), "stale-fingerprint leaf must be reaped")
+      assert(current.exists(),
+        "same-fingerprint sibling (concurrent same-build session) " +
+          "must survive")
+      assert(otherKin.exists(), "other kinds' leaves are not this " +
+        "kind's sweep's business")
+    } finally {
+      Seq(stale, current, otherKin).foreach { d =>
+        if (d.exists()) d.delete()
+      }
+    }
+  }
 }
