@@ -210,7 +210,10 @@ object FrameIndex {
   def hotHashes(s: SparkSession, root: String): DataFrame = {
     val fs = fsOf(s, root)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"${hotDir(root)}/_SUCCESS")))
-      s.read.parquet(hotDir(root)).select("fhash")
+      // static schema: the artifact layout is ours, and schema inference
+      // is a footer-reading Spark job the streaming screen would pay
+      // EVERY micro-batch
+      s.read.schema("fhash BIGINT").parquet(hotDir(root)).select("fhash")
     else
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -229,13 +232,7 @@ object FrameIndex {
   def append(docs: DataFrame, root: String, ingestId: Long,
              frameBytes: Int = PHash.NPix, stride: Int = 2): Unit = {
     val s = docs.sparkSession
-    require(exists(s, root), s"no frame index under $root — build first")
-    require(ingestId > 0L, "ingest 0 is the backfill partition")
-    val hwm = compactedThrough(s, root)
-    require(ingestId > hwm,
-      s"ingest $ingestId was already folded by a compaction (high-water " +
-        s"mark $hwm) — re-appending it would store its frame rows twice " +
-        s"and double-count n_inter at screen time")
+    requireAppendable(s, root, ingestId)
     signatures(docs, frameBytes, stride).withN
       .repartitionByRange(col("fhash"))
       .sortWithinPartitions("fhash")
@@ -250,6 +247,38 @@ object FrameIndex {
     // the single stored delta.
   }
 
+  /** [[append]] for the MICRO-BATCH ingest path: takes the batch's
+    * already-computed (doc_id, fhash) signature set (the one signature
+    * pass [[graft.streaming.Streams.frameIndexIngest]] shares across
+    * screen + containment + admit) instead of re-sampling the payloads,
+    * and writes ONE fhash-sorted file — a trigger-bounded batch never
+    * needs the range spread (its sampling job + up-to-shuffle.partitions
+    * files per ingest were per-batch costs the probe measured), and one
+    * file per admission wave is exactly what [[compact]]'s fold cadence
+    * is sized against. Stored rows are row-identical to [[append]] on
+    * the same docs (n_fr re-derived from the same distinct set;
+    * FrameIndexSpec pins the law). */
+  def appendSig(sig: DataFrame, root: String, ingestId: Long): Unit = {
+    val s = sig.sparkSession
+    requireAppendable(s, root, ingestId)
+    sig.join(sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr")),
+        Seq("doc_id"))
+      .coalesce(1).sortWithinPartitions("fhash")
+      .write.mode("overwrite")
+      .parquet(s"${framesDir(root)}/ingest=$ingestId")
+  }
+
+  private def requireAppendable(s: SparkSession, root: String,
+                                ingestId: Long): Unit = {
+    require(exists(s, root), s"no frame index under $root — build first")
+    require(ingestId > 0L, "ingest 0 is the backfill partition")
+    val hwm = compactedThrough(s, root)
+    require(ingestId > hwm,
+      s"ingest $ingestId was already folded by a compaction (high-water " +
+        s"mark $hwm) — re-appending it would store its frame rows twice " +
+        s"and double-count n_inter at screen time")
+  }
+
   /** The stored (doc_id, fhash, n_fr) rows across every COMMITTED
     * ingest — what [[PHash.screenFrames]] / [[PHash.screenAdmit]]
     * screen against. Restricted to `_SUCCESS`-bearing partitions (a
@@ -258,8 +287,11 @@ object FrameIndex {
     * wrong n_inter until the replay overwrote them. */
   def stored(s: SparkSession, root: String): DataFrame = {
     val inSet = committedIngests(s, root).map(java.lang.Long.valueOf)
-    s.read.parquet(framesDir(root))
-      .filter(col("ingest").cast("long").isin(inSet: _*))
+    // static schema (partition column included): inference reads file
+    // footers in a Spark job — a per-micro-batch cost on the screen path
+    s.read.schema("doc_id BIGINT, fhash BIGINT, n_fr BIGINT, ingest BIGINT")
+      .parquet(framesDir(root))
+      .filter(col("ingest").isin(inSet: _*))
       .select("doc_id", "fhash", "n_fr")
   }
 

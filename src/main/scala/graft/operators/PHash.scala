@@ -205,7 +205,8 @@ object PHash {
 
   private def frameGrain(docs: DataFrame, frameBytes: Int, stride: Int,
                          num: Int, den: Int,
-                         dfCap: Long = DefaultFrameDfCap): FrameGrain = {
+                         dfCap: Long = DefaultFrameDfCap,
+                         docSig: Option[DataFrame] = None): FrameGrain = {
     // CONTENT grain (the DedupOps.grainedNearDup discipline): identical
     // payloads — the dominant duplicate population, a re-posted video —
     // share one frame-signature set, so sampling, hashing, and ALL pair
@@ -213,24 +214,44 @@ object PHash {
     // narrow membership joins. Doc grain would pay df² per frame hash
     // on every copy of a hot payload (100 replicas ⇒ 10,000 join rows
     // per hash) for pairs whose containment is 1.0 by identity.
-    val g = docs.groupBy(col("text"))
+    //
+    // docSig: the FUSED micro-batch mode (frameIndexIngest): the caller
+    // already holds the checkpointed doc-grain signature set, so the
+    // rep-grain set is a semi-join restriction of it (reps are docs;
+    // distinct (doc_id, fhash) restricted to rep ids ≡ re-sampling the
+    // rep payloads) and NOTHING here checkpoints — every derivation
+    // stays lazy and executes inside the caller's single write job,
+    // with ReuseExchange deduplicating the repeated subtrees. Each
+    // localCheckpoint is a separate Spark action; at micro-batch grain
+    // the ~36-tiny-jobs-per-batch floor WAS the measured throughput
+    // (ProbeFrameIngest), so the batch face trades recompute-safety
+    // (worthless on 1000-doc inputs) for job count.
+    val g0 = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep"),
            collect_list(col("doc_id")).as("members"))
-      .localCheckpoint(true)
+    val g = if (docSig.isDefined) g0 else g0.localCheckpoint(true)
     // hot-hash df cap BEFORE any pair work: one window count on the
     // same fhash key the pair join shuffles on; a hash at rep-grain
     // df > dfCap leaves the signature sets entirely (intersection AND
     // n_fr denominator — consistent containment semantics). Never
     // fires on the fixture (max df 4); bounds Σ df² at dfCap² per hash
     // on a real corpus.
-    val sig = frameSignatures(Multimodal.sampleFrames(
-        Multimodal.fromDocuments(
-          g.select(col("rep").as("doc_id"), col("text"))),
-        frameBytes, stride))
+    val sigRaw = docSig match {
+      case Some(ds) =>
+        ds.join(g.select(col("rep").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+      case None =>
+        frameSignatures(Multimodal.sampleFrames(
+          Multimodal.fromDocuments(
+            g.select(col("rep").as("doc_id"), col("text"))),
+          frameBytes, stride))
+    }
+    val sigCapped = sigRaw
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("fhash")))
       .filter(col("df") <= dfCap).drop("df")
-      .localCheckpoint(true) // feeds sizes + both join sides
+    val sig = // feeds sizes + both join sides (lazy in fused mode)
+      if (docSig.isDefined) sigCapped else sigCapped.localCheckpoint(true)
     val sizes = sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
     val shared = sig.as("a")
       .join(sig.as("b"), col("a.fhash") === col("b.fhash") &&
@@ -252,9 +273,12 @@ object PHash {
 
   def frameContainment(docs: DataFrame, frameBytes: Int = NPix,
                        stride: Int = 2, num: Int = 4, den: Int = 5,
-                       dfCap: Long = DefaultFrameDfCap)
+                       dfCap: Long = DefaultFrameDfCap,
+                       precomputedSig: Option[DataFrame] = None,
+                       ordered: Boolean = true)
       : DataFrame = {
-    val fg = frameGrain(docs, frameBytes, stride, num, den, dfCap)
+    val fg = frameGrain(docs, frameBytes, stride, num, den, dfCap,
+      precomputedSig)
     val (g, sizes, repPairs) = (fg.groups, fg.sizes, fg.repPairs)
     // narrow (rep, doc_id) membership — never the member array carried
     // per intermediate row (quadratic memory on a hot group)
@@ -279,7 +303,11 @@ object PHash {
         Seq("doc_b"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_a"), col("n_b"), col("n_inter"), col("containment"))
-    intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    val all = intra.unionByName(inter)
+    // ordered=false: the ingest path writes to parquet where a global
+    // sort is pure cost (range-sampling pass + total-sort exchange per
+    // micro-batch); declared batch keys keep the oracle-stable order.
+    if (ordered) all.orderBy("doc_a", "doc_b") else all
   }
 
   /** The frame-containment DECISION frame (doc_id, cluster_id,
@@ -506,6 +534,48 @@ object PHash {
           .as("containment"))
     dir(col("bd"), col("cd"), col("n_b"), col("n_c"))
       .unionByName(dir(col("cd"), col("bd"), col("n_c"), col("n_b")))
+  }
+
+  /** [[screenAdmit]] for the MICRO-BATCH ingest path, row-identical by
+    * construction, restructured for job count: takes the batch's
+    * already-checkpointed (doc_id, fhash) signature set instead of
+    * re-sampling the payloads, keeps every derivation lazy (no internal
+    * checkpoints, no count gate — the batch side ALWAYS broadcasts; a
+    * foreachBatch micro-batch is trigger-bounded by contract, corpus-
+    * scale backfill waves belong on [[screenAdmit]]'s adaptive gate),
+    * and emits BOTH containment directions from each candidate pair in
+    * ONE pass — the two-direction struct explodes per inter row, so
+    * the stored-corpus join runs once without a checkpoint to protect
+    * it. ProbeFrameIngest measured the unfused screen at 14 actions
+    * per 1000-doc batch; this form contributes zero of its own (it all
+    * runs inside the caller's output-write job). */
+  def screenAdmitFused(bsigAll: DataFrame, stored: DataFrame,
+                       excludeStored: DataFrame,
+                       num: Int = 4, den: Int = 5,
+                       hotHashes: Option[DataFrame] = None): DataFrame = {
+    val bsig = hotHashes.fold(bsigAll)(h =>
+      bsigAll.join(broadcast(h.select("fhash")), Seq("fhash"), "left_anti"))
+    val bsize = bsig.groupBy("doc_id").agg(count(lit(1)).as("n_fr"))
+    val cand = stored.join(
+      broadcast(excludeStored.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+    val inter = cand.as("c")
+      .join(broadcast(bsig.as("b")), col("c.fhash") === col("b.fhash"))
+      .groupBy(col("b.doc_id").as("bd"), col("c.doc_id").as("cd"))
+      .agg(count(lit(1)).as("n_inter"), max(col("c.n_fr")).as("n_c"))
+      .join(broadcast(bsize.select(col("doc_id").as("bd"),
+        col("n_fr").as("n_b"))), Seq("bd"))
+    inter
+      .select(col("n_inter"), explode(array(
+        struct(col("bd").as("doc_a"), col("cd").as("doc_b"),
+               col("n_b").as("n_a"), col("n_c").as("n_b")),
+        struct(col("cd").as("doc_a"), col("bd").as("doc_b"),
+               col("n_c").as("n_a"), col("n_b").as("n_b")))).as("p"))
+      .filter(col("n_inter") * den >= col("p.n_a") * num)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("p.n_a").cast("double"),
+          6).as("containment"))
   }
 
   /** The same frame sampling + per-frame dHash + DIRECTED batch→corpus

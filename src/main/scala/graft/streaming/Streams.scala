@@ -753,22 +753,40 @@ object Streams {
     * over ANY batch partitioning of a corpus (empty backfill) equals
     * the corpus-wide q_dedup_frames pair set — each directed pair
     * emitted exactly once, by whichever batch completes it (pinned in
-    * StreamingSpec). */
+    * StreamingSpec).
+    *
+    * Per-batch cost discipline (the measured one — ProbeFrameIngest):
+    * a micro-batch's wall is TINY-JOB COUNT, not rows; the unfused
+    * form paid ~36 actions/batch (three separate signature passes +
+    * checkpoint actions guarding recomputes that cost nothing at
+    * 1000-doc grain). So the batch's (doc_id, fhash) signature set is
+    * computed and checkpointed ONCE here, and all three consumers —
+    * within-batch containment, both-direction stored screen, and the
+    * admit — derive from it lazily: the screen+containment union
+    * executes as one write job (ReuseExchange dedups shared subtrees),
+    * the admit as one more. Row-identical to the unfused operators by
+    * construction (same sets, same thresholds; StreamingSpec's
+    * batching-invariance law and FrameIndexSpec's appendSig law pin
+    * it). */
   def frameIndexIngest(batch: DataFrame, root: String, outDir: String,
                        batchId: Long): Unit = {
-    import graft.operators.{FrameIndex, PHash}
+    import graft.operators.{FrameIndex, Multimodal, PHash}
     val s = batch.sparkSession
     require(FrameIndex.exists(s, root),
       s"no frame index under $root — build the backfill first (may be empty)")
-    val within = PHash.frameContainment(batch)
-    val cross = PHash.screenAdmit(batch, FrameIndex.stored(s, root),
+    val sig = PHash.frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(batch), PHash.NPix, 2))
+      .localCheckpoint(true) // the ONE signature pass; feeds all three
+    val within = PHash.frameContainment(batch, precomputedSig = Some(sig),
+      ordered = false)
+    val cross = PHash.screenAdmitFused(sig, FrameIndex.stored(s, root),
       excludeStored = batch,
       hotHashes = Some(FrameIndex.hotHashes(s, root)))
     within.unionByName(cross)
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
     val ingestId = batchId + 1
     if (ingestId > FrameIndex.compactedThrough(s, root))
-      FrameIndex.append(batch, root, ingestId)
+      FrameIndex.appendSig(sig, root, ingestId)
   }
 
   /** Union of all directed containment pairs committed by

@@ -46,6 +46,36 @@ class FrameIndexSpec extends SparkSpec {
       "replaying a committed ingest changed the store")
   }
 
+  test("appendSig == append: the fused micro-batch admit stores " +
+      "identical rows (and one file per wave)") {
+    // the streaming ingest admits via appendSig (one precomputed
+    // signature pass, one sorted file); the law is row-identity with
+    // append on the same docs — n_fr re-derived from the same distinct
+    // (doc_id, fhash) set
+    import graft.operators.Multimodal
+    val m5 = pmod(col("doc_id"), lit(5))
+    val rootA = tmpRoot("sigap")
+    val rootB = tmpRoot("sigapB")
+    FrameIndex.build(docs.filter(m5 === 1), rootA)
+    FrameIndex.build(docs.filter(m5 === 1), rootB)
+    val wave = docs.filter(m5 === 2)
+    FrameIndex.append(wave, rootA, ingestId = 1)
+    val sig = PHash.frameSignatures(Multimodal.sampleFrames(
+      Multimodal.fromDocuments(wave), PHash.NPix, 2))
+    FrameIndex.appendSig(sig, rootB, ingestId = 1)
+    assert(storedRows(rootA) === storedRows(rootB),
+      "fused admit stored different rows than append")
+    val files = new java.io.File(s"$rootB/frames/ingest=1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"micro-batch admit wrote $files files, wanted 1")
+    // the fused admit honors the same high-water-mark refusal
+    FrameIndex.compact(spark, rootB)
+    val e = intercept[IllegalArgumentException] {
+      FrameIndex.appendSig(sig, rootB, ingestId = 1)
+    }
+    assert(e.getMessage.contains("folded"))
+  }
+
   test("compact: rows and screen answers preserved, ingests fold to one") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("cpt")
