@@ -471,6 +471,23 @@ object BenchStream {
           () => Streams.committedPairs(spark, pairs).count(),
           root, () => graft.operators.DedupIndex.compact(spark, root))
       }),
+      "s_phash_index_ingest" -> (() => {
+        val root = s"$tmpDir/graft_bench_phashindex"
+        val pairs = s"$tmpDir/graft_bench_phashindex_pairs"
+        clean(root, pairs)
+        // empty backfill: the stream IS the corpus (the s_dedup_index
+        // discipline at image grain — each batch screens against the
+        // signatures admitted SO FAR, corpus × batches total work,
+        // measured as-is)
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_PHASH_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.PHashIndex.build(
+          docsN.take(1).toDF("doc_id", "text").filter(lit(false)), root)
+        driveForeach(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.phashIndexIngest(b, root, pairs, id),
+          () => Streams.committedPairs(spark, pairs).count())
+      }),
       "s_dedup_index" -> (() => {
         val root = s"$tmpDir/graft_bench_dedupindex"
         val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"

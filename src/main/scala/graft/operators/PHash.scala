@@ -616,6 +616,25 @@ object PHash {
   /** The same pixel grid + dHash as DuckDB SQL over `$table` (oracle
     * twin of [[signatures]] — generated from the same geometry so the
     * two engines cannot drift). Yields a relation (doc_id, phash). */
+  /** The stored-phash-index screen as DuckDB SQL (oracle twin of
+    * [[PHashIndex.queryBatch]] over a documents split): the same dHash
+    * from the same bytes, brute-force hamming ≤ maxHamming join across
+    * the split — exact, because banding recall is exact by pigeonhole
+    * (maxHamming < b), so the index keys get a full SQL oracle. */
+  def oraclePhashScreenSql(batchPred: String, corpusPred: String,
+                           maxHamming: Int = 3): String = {
+    val sig = oracleSignatureSql()
+    s"""WITH sig AS ($sig),
+        b AS (SELECT s.doc_id, s.phash FROM sig s
+              JOIN documents d USING (doc_id) WHERE $batchPred),
+        c AS (SELECT s.doc_id, s.phash FROM sig s
+              JOIN documents d USING (doc_id) WHERE $corpusPred)
+        SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+               CAST(bit_count(xor(b.phash, c.phash)) AS BIGINT) AS hamming
+        FROM b JOIN c ON bit_count(xor(b.phash, c.phash)) <= $maxHamming
+        ORDER BY batch_doc, corpus_doc"""
+  }
+
   def oracleSignatureSql(table: String = "documents",
                          idCol: String = "doc_id",
                          textCol: String = "text"): String = {

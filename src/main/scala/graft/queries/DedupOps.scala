@@ -1108,6 +1108,62 @@ object DedupOps {
         .orderBy("batch_doc", "corpus_doc")
     }),
 
+    // ---- Perceptual-hash (dHash) index AT REST (operators/PHashIndex)
+    // — the FIFTH stored index, the image-modality serving twin of
+    // q_dedup_phash: the corpus is hashed once into an 8-byte-signature
+    // band table and every new batch screens against the stored rows
+    // (one broadcast band join + on-row hamming verify, zero corpus
+    // shuffle). Recall is EXACT by pigeonhole (hamming ≤ 3 < 4 bands),
+    // so unlike the ANN family these keys are SQL-oracled: DuckDB
+    // recomputes the same dHash from the same bytes and takes the
+    // brute-force hamming join over the same %5 split.
+    "q_phash_index_query" -> ((s, d) => {
+      import graft.operators.PHashIndex
+      val root = Scans.scratch("phashindex", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!PHashIndex.exists(s, root)) {
+        PHashIndex.build(docs.filter(m5 =!= 0 && m5 =!= 4), root)
+        PHashIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
+      }
+      PHashIndex.queryBatch(s, root, docs.filter(m5 === 0))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
+    // the backfill-wave flip (the q_dedup_index_backfill discipline):
+    // a corpus-scale batch (the 80% side — a re-crawl) against the
+    // stored 20% index; at replica tiers it crosses queryBatch's
+    // broadcast gate and AQE plans the band-keyed exchange instead
+    "q_phash_index_backfill" -> ((s, d) => {
+      import graft.operators.PHashIndex
+      val root = Scans.scratch("phashbackfill", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!PHashIndex.exists(s, root))
+        PHashIndex.build(docs.filter(m5 === 0), root)
+      PHashIndex.queryBatch(s, root, docs.filter(m5 =!= 0))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
+    // compaction of the phash index: backfill + admission wave folded
+    // into one band_idx-partitioned probe-key-sorted ingest-0 set; the
+    // screen answers identically (oracle equality IS the assertion),
+    // the high-water mark refuses folded replays, and the swap is the
+    // crash-safe util.AtomicSwap protocol
+    "q_phash_index_compact" -> ((s, d) => {
+      import graft.operators.PHashIndex
+      val root = Scans.scratch("phashindexcpt", s, d)
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      if (!PHashIndex.exists(s, root)) {
+        PHashIndex.build(docs.filter(m5 =!= 0 && m5 =!= 4), root)
+        PHashIndex.append(docs.filter(m5 === 4), root, ingestId = 1)
+        PHashIndex.compact(s, root)
+      }
+      PHashIndex.queryBatch(s, root, docs.filter(m5 === 0))
+        .orderBy("batch_doc", "corpus_doc")
+    }),
+
     "q_multimodal_binary" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -1391,6 +1447,18 @@ object DedupOps {
 
     "q_frame_index_compact" ->
       graft.operators.PHash.oracleScreenSql(
+        "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
+
+    "q_phash_index_query" ->
+      graft.operators.PHash.oraclePhashScreenSql(
+        "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
+
+    "q_phash_index_backfill" ->
+      graft.operators.PHash.oraclePhashScreenSql(
+        "d.doc_id % 5 <> 0", "d.doc_id % 5 = 0"),
+
+    "q_phash_index_compact" ->
+      graft.operators.PHash.oraclePhashScreenSql(
         "d.doc_id % 5 = 0", "d.doc_id % 5 <> 0"),
 
     "q_multimodal_binary" ->

@@ -578,6 +578,58 @@ object Streams {
       DedupIndex.writePrepared(bd, pf, root, ingestId)
   }
 
+  /** s_phash_index_ingest — continuous perceptual-hash dedup, the
+    * screen-then-admit loop at IMAGE grain (the dedupIndexIngest
+    * discipline on the fifth stored index): each micro-batch of
+    * payloads is
+    *   (1) paired WITHIN itself (banded self-join + exact hamming —
+    *       recall exact by pigeonhole),
+    *   (2) screened against the STORED signature table (one broadcast
+    *       band join, verify on the row — the corpus is never re-hashed
+    *       or shuffled), its own re-delivered rows anti-joined away,
+    *   (3) the union committed as an immutable batchId-named version,
+    *   (4) the batch ADMITTED under its own ingest partition (skipped
+    *       idempotently when a compaction already folded it).
+    * ONE banded-signature pass per batch (checkpointed), shared by all
+    * three consumers — the frameIndexIngest job-count discipline.
+    * Union-over-batches ≡ the corpus-wide hamming-pair set under any
+    * batch slicing (each undirected pair emitted exactly once, by
+    * whichever batch completes it — pinned in StreamingSpec). */
+  def phashIndexIngest(batch: DataFrame, root: String, pairsDir: String,
+                       batchId: Long): Unit = {
+    import graft.operators.PHashIndex
+    val s = batch.sparkSession
+    require(PHashIndex.exists(s, root),
+      s"no phash index under $root — build the backfill first (may be empty)")
+    val rows = PHashIndex.sigRows(batch).localCheckpoint(true)
+    val maxHamming = 3
+    val a = rows.select(col("doc_id").as("doc_a"),
+      col("phash").as("ph_a"), col("band_idx"), col("band_val"))
+    val within = a
+      .join(rows.select(col("doc_id").as("doc_b"),
+          col("phash").as("ph_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+    val cross = PHashIndex.queryPrepared(s, root, rows, maxHamming,
+        broadcastBatch = true)
+      // replay guard: a re-delivered batch is already IN the index; its
+      // own rows must not match themselves
+      .join(broadcast(batch.select(col("doc_id").as("corpus_doc"))),
+        Seq("corpus_doc"), "left_anti")
+      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+        greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"),
+        col("hamming"))
+    within.unionByName(cross)
+      .write.mode("overwrite").parquet(versionDir(pairsDir, batchId))
+    val ingestId = batchId + 1
+    if (ingestId > PHashIndex.compactedThrough(s, root))
+      PHashIndex.writePrepared(rows, root, ingestId)
+  }
+
   /** s_knn_index_ingest — continuous ANN index maintenance, the
     * streaming face of [[graft.operators.AnnIndex.append]]: each
     * micro-batch of (vec_id, v: array<double>, L2-normalized) is

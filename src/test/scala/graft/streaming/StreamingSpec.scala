@@ -1059,6 +1059,60 @@ class StreamingSpec extends SparkSpec {
       "replaying a committed batch changed the pair set — ingest not idempotent")
   }
 
+  test("s_phash_index_ingest: continuous screen-then-admit emits exactly " +
+      "the corpus hamming pairs, replay-idempotent") {
+    // the streaming face of the phash index at rest — the s_dedup_index
+    // invariant at image grain. Constructed corpus (the shared fixtures
+    // are all hamming-distant — PHashIndexSpec records why): replica
+    // groups + near variants, interleaved thirds so pairs form both
+    // within and across batches.
+    import graft.operators.{PHash, PHashIndex}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = s"$tmp/graft_sphashindex_root"
+    val pairsDir = s"$tmp/graft_sphashindex_pairs"
+    for (p <- Seq(root, pairsDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    def payload(seed: Int): String = {
+      val rnd = new scala.util.Random(seed * 7919 + 13)
+      (0 until 144).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs: Seq[(Long, String)] =
+      (0 until 100).map(i => (i.toLong, payload(i / 5))) ++
+      (0 until 20).map { b =>
+        val p = payload(b)
+        val c = if ((p(60) + p(61)) / 2 >= 'n') 'a' else 'z'
+        (100L + b, p.updated(60, c).updated(61, c))
+      }
+    // empty backfill: this stream IS the corpus from scratch
+    PHashIndex.build(docs.take(1).toDF("doc_id", "text")
+      .filter(lit(false)), root)
+    val groups = docs.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        Streams.phashIndexIngest(b, root, pairsDir, id))
+      .start()
+    try groups.foreach { g => mem.addData(g); q.processAllAvailable() }
+    finally q.stop()
+    // truth: brute-force undirected hamming-≤-3 pairs from the same sigs
+    val sigs = PHash.signatures(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (for {
+      (da, pa) <- sigs; (db, pb) <- sigs if da < db
+      h = java.lang.Long.bitCount(pa ^ pb).toLong if h <= 3
+    } yield s"$da|$db|$h").sorted
+    assert(want.nonEmpty, "constructed corpus produced no pairs")
+    def committed() = sortedRows(Streams.committedPairs(spark, pairsDir)
+      .select("doc_a", "doc_b", "hamming"))
+    assert(committed() === want,
+      "streamed ingest pair set diverges from the corpus-wide screen")
+    // replay the LAST batch verbatim: pair set and index must not change
+    Streams.phashIndexIngest(groups.last.toDF("doc_id", "text"), root,
+      pairsDir, (groups.size - 1).toLong)
+    assert(committed() === want,
+      "replaying a committed batch changed the pair set")
+  }
+
   test("s_knn_index_ingest: streamed vectors land as a batch append would, replay-idempotent") {
     // continuous ANN index maintenance: a backfilled IVF+PQ index at
     // rest, new vectors arriving in micro-batches, each encoded against
