@@ -488,6 +488,32 @@ object BenchStream {
           (b, id) => Streams.phashIndexIngest(b, root, pairs, id),
           () => Streams.committedPairs(spark, pairs).count())
       }),
+      // the SAME ingest under the RocksDB + changelog state provider —
+      // the comparative row the 100-TB state question needs on the path
+      // that carries the most per-batch commit weight. EXPECTED delta:
+      // ~zero, and that IS the finding — the index-ingest keys are
+      // foreachBatch pipelines whose state lives in the PARQUET ARTIFACT
+      // (ingest partitions + version dirs), not in Spark's state store
+      // (no stateful operator in the plan), so the store backend can't
+      // matter here; the backend-sensitive keys are the stateful ones
+      // (s_stateful_counter vs s_state_rocksdb measures that delta).
+      // Committing the measured near-zero delta turns "backend doesn't
+      // matter for artifact-backed ingest" from an argument into a row.
+      "s_dedup_index_rocksdb" -> (() => onRocksDb(spark) {
+        val root = s"$tmpDir/graft_bench_dedupindexr"
+        val pairs = s"$tmpDir/graft_bench_dedupindexr_pairs"
+        clean(root, pairs)
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_DEDUP_DOCS",
+          "40000").toInt
+        val docsN = ingestDocs.take(n)
+        graft.operators.DedupIndex.build(
+          graft.Graft.shingleRows(
+            docsN.take(1).toDF("doc_id", "text").filter(lit(false)),
+            "doc_id", "text", n = 3), root)
+        driveForeach(docsN, Seq("doc_id", "text"),
+          (b, id) => Streams.dedupIndexIngest(b, root, pairs, id),
+          () => Streams.committedPairs(spark, pairs).count())
+      }),
       "s_dedup_index" -> (() => {
         val root = s"$tmpDir/graft_bench_dedupindex"
         val pairs = s"$tmpDir/graft_bench_dedupindex_pairs"
