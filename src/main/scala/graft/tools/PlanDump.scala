@@ -1,20 +1,25 @@
-package graft
-object PlanDump100 {
+package graft.tools
+
+import graft.SparkEntry
+
+import org.apache.spark.sql.SparkSession
+object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/tmp/graft_scale100_sf01"
+    val d = "/root/testdata/sf0.1"
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, d)
       df.collect()
       println(s"########## $name")
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Scan parquet") || l.contains("PartitionFilters") ||
-          l.contains("PushedFilters")).take(20).mkString("\n"))
+          l.contains("Aggregate") || l.contains("Scan") || l.contains("Sort") ||
+          l.contains("Window") || l.contains("Expand")).mkString("\n"))
     }
     spark.stop()
   }

@@ -1,22 +1,23 @@
-package graft
-import org.apache.spark.sql.SparkSession
-object PlanDump {
+package graft.tools
+
+import graft.SparkEntry
+
+object PlanDump100 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.session.timeZone","UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "500000")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = "/tmp/graft_scale100_sf01"
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, d)
       df.collect()
       println(s"########## $name")
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Aggregate") || l.contains("Scan") || l.contains("Sort") ||
-          l.contains("Window") || l.contains("Expand")).mkString("\n"))
+          l.contains("Scan parquet") || l.contains("PartitionFilters") ||
+          l.contains("PushedFilters")).take(20).mkString("\n"))
     }
     spark.stop()
   }

@@ -1,4 +1,7 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
+
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._

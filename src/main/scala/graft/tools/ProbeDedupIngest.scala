@@ -1,4 +1,5 @@
-package graft
+package graft.tools
+
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -59,6 +60,42 @@ object ProbeDedupIngest {
         graft.queries.DedupOps
           .jaccardPairs(sh, Some(MinHashLSH.candidatePairsFromBands(bd)))
           .filter(col("jaccard_raw") >= 0.8).count()
+      }
+      // replicate queryPrepared's internals with per-phase timers.
+      // FINDING (r18): on THIS probe's corpus the cands materialization
+      // is the wall because the corpus is band-DEGENERATE — the texts
+      // share nearly all their 3-gram shingles (only $base and
+      // ${base%97} vary), so minhash bands collide corpus-wide and a
+      // 1000-doc batch yields 27.7M candidate pairs. That is precisely
+      // the fan-out hazard queryPrepared's PAIR-COUNT gate exists for
+      // (the round-10 OOM catch): the gate's checkpoint+count actions
+      // are load-bearing safety, not removable job-floor fat. The
+      // BENCH corpus (60013-token space) is non-degenerate and its
+      // per-batch cost is the ~1.2 s commit floor the trigger matrix
+      // quantifies.
+      locally {
+        import org.apache.spark.sql.functions.broadcast
+        val nBatch = t("  nBatch count") { pf.count() }
+        val batchBands = bd.withColumnRenamed("doc_id", "batch_doc")
+        val candsPlan = spark.read.parquet(s"$root/bands")
+          .join(broadcast(batchBands), Seq("band_idx", "band_hash"))
+          .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
+          .distinct()
+        val cands = t("  cands ckpt") { candsPlan.localCheckpoint(true) }
+        val nPairs = t("  nPairs count") { cands.count() }
+        println(s"[probe]   nBatch=$nBatch nPairs=$nPairs")
+        val verified = cands.join(pf
+          .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
+            col("n_sh").as("n_a")), Seq("batch_doc"))
+        val out = spark.read.parquet(s"$root/profiles")
+          .select(col("doc_id").as("corpus_doc"), col("ss").as("sb"),
+            col("n_sh").as("n_b"))
+          .join(broadcast(verified), Seq("corpus_doc"))
+          .withColumn("n_inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .filter(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.8)
+        t("  verify count") { out.count() }
       }
       val cross = t("queryPrepared plan+exec") {
         DedupIndex.queryPrepared(spark, root, bd, pf)

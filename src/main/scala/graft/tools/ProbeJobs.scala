@@ -1,4 +1,7 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
+
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession

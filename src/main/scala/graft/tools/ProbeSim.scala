@@ -1,4 +1,5 @@
-package graft
+package graft.tools
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -1,4 +1,7 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
+
 import org.apache.spark.sql.SparkSession
 
 /** Targeted 10x scale probe for the pair-generation queries: times each

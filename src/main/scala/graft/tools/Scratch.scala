@@ -1,4 +1,7 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
+
 import org.apache.spark.sql.SparkSession
 /** Ad-hoc harness: run named keys on SPARK_GRAFT_SCRATCH_SF (default the
   * smoke tier), print rows + min-of-SPARK_GRAFT_BENCH_RUNS timing each. */

@@ -1,4 +1,7 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
+
 object SmokeKey {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
