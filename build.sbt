@@ -32,4 +32,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the block scorers' SIMD prefilter kernel (functions/SimdDot.java);
+  // a JVM without the module falls back to the scalar kernel at runtime
+  // (BlockVec's availability probe), so this flag is an optimization,
+  // not a requirement
+  "--add-modules=jdk.incubator.vector",
 )
+// SimdDot.java imports jdk.incubator.vector (NOT in ct.sym, so no
+// --release here); JavaThenScala lets scalac read its .class signature
+// instead of parsing vector-typed internals from source
+javacOptions ++= Seq("--add-modules", "jdk.incubator.vector",
+  "-encoding", "UTF-8")
+compileOrder := CompileOrder.JavaThenScala
+// forked javac (in-process javax.tools inside sbt's module-less JVM
+// trips an IllegalAccessError on the incubator classes)
+javaHome := Some(file(sys.props("java.home")))
