@@ -82,11 +82,25 @@ object PHash {
            element_at(px, r * Cols + c + 2), lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** (doc_id, phash) — one pure map-side pass, no shuffle. Three
-    * stacked projections (bytes → pixels → hash) so each expensive
-    * array stage evaluates once per row. */
+  /** (doc_id, phash) — one pure map-side pass, no shuffle, via the
+    * codegen kernel (functions.PHashExprs.dhashString: one tight loop
+    * per row over the payload bytes). The [[byteValues]]/[[pixels]]/
+    * [[dhash]] column builders above remain the executable geometry
+    * SPEC — the kernel is pinned value-identical to their stacked
+    * projection in PHashSpec (which at ~3.5 KB/doc materialized an
+    * n-element string array per row and was the signature pass's
+    * actual cost, ~50 µs/doc at the 100× tier). */
   def signatures(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.PHashExprs.dhashString(col(textCol)).as("phash"))
+
+  /** The legacy stacked-projection form of [[signatures]] — the
+    * executable geometry spec the kernel is law-pinned against. */
+  private[graft] def signaturesViaColumns(docs: DataFrame,
+                                          idCol: String = "doc_id",
+                                          textCol: String = "text")
+      : DataFrame =
     docs.select(col(idCol).as("doc_id"), byteValues(textCol).as("pbytes"))
       .select(col("doc_id"), pixels("pbytes").as("px"))
       .select(col("doc_id"), dhash(col("px")).as("phash"))
@@ -139,6 +153,15 @@ object PHash {
     * shuffle. */
   def frameSignatures(frames: org.apache.spark.sql.Dataset[SampledFrame])
       : DataFrame =
+    frames.toDF()
+      .select(col("doc_id"),
+        graft.functions.PHashExprs.dhashBytes(col("frame")).as("fhash"))
+      .distinct()
+
+  /** The legacy hex-string form of [[frameSignatures]] — the executable
+    * geometry spec the byte kernel is law-pinned against. */
+  private[graft] def frameSignaturesViaColumns(
+      frames: org.apache.spark.sql.Dataset[SampledFrame]): DataFrame =
     frames.toDF()
       .select(col("doc_id"), hex(col("frame")).as("fhex"))
       .select(col("doc_id"), binaryByteValues("fhex").as("pbytes"))

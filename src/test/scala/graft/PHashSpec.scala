@@ -180,6 +180,40 @@ class PHashSpec extends SparkSpec {
     assert(sig(1L) === 0L, s"expected empty hash, got ${sig(1L)}")
   }
 
+  test("dhash kernel ≡ stacked-projection geometry spec (string + binary)") {
+    // the codegen kernel (functions.PHashKernel) must be value-identical
+    // to the legacy byteValues/pixels/dhash column chain on every payload
+    // shape: ascii of assorted lengths (incl. < 72 and empty-ish),
+    // non-ascii multi-byte (codepoint semantics — the split('')+ascii
+    // contract), and raw binary frames incl. invalid-UTF8 bytes
+    import spark.implicits._
+    val texts = Seq(
+      0L -> baseText(1), 1L -> baseText(2), 2L -> "tiny payload",
+      3L -> "x", 4L -> ("a" * 71), 5L -> ("b" * 72), 6L -> ("c" * 73),
+      7L -> (baseText(3) + "héllo wörld ünïcode"), // 2-byte codepoints
+      8L -> (baseText(4) + "日本語テキスト断片"),      // 3-byte codepoints
+      9L -> "😀🎥📼 emoji (supplementary plane) 😀")  // 4-byte codepoints
+    val df = texts.toDF("doc_id", "text")
+    val fast = PHash.signatures(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spec = PHash.signaturesViaColumns(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === spec, "string kernel drifted from the geometry spec")
+
+    import graft.operators.SampledFrame
+    val rnd = new scala.util.Random(7)
+    val frames = (0L until 12L).map { i =>
+      val n = Seq(72, 73, 144, 71, 1, 200)(i.toInt % 6)
+      val bytes = Array.fill[Byte](n)(rnd.nextInt(256).toByte) // full range
+      SampledFrame(i, 0, 0L, 0L, bytes)
+    }.toDS()
+    val fastF = PHash.frameSignatures(frames).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val specF = PHash.frameSignaturesViaColumns(frames).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastF === specF, "byte kernel drifted from the geometry spec")
+  }
+
   test("sf0.001: every doc labeled, hash non-negative (63-bit), keeper law") {
     val out = SparkEntry.queries("q_dedup_phash")(spark, sf0001).collect()
     val n = graft.sources.Tables.documents(spark, sf0001).count()
