@@ -261,9 +261,16 @@ object FrameIndex {
   def appendSig(sig: DataFrame, root: String, ingestId: Long): Unit = {
     val s = sig.sparkSession
     requireAppendable(s, root, ingestId)
-    sig.join(sig.groupBy("doc_id").agg(count(lit(1)).as("n_fr")),
-        Seq("doc_id"))
-      .coalesce(1).sortWithinPartitions("fhash")
+    // n_fr as a window over the single coalesced partition: the
+    // aggregate+self-join form paid a shuffle plus a broadcast build
+    // per micro-batch for a value the one-partition window computes in
+    // the write task itself (same rows — n_fr is the doc's distinct
+    // frame count either way; the one-file-per-wave layout already
+    // forced coalesce(1))
+    sig.coalesce(1)
+      .withColumn("n_fr", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .sortWithinPartitions("fhash")
       .write.mode("overwrite")
       .parquet(s"${framesDir(root)}/ingest=$ingestId")
   }

@@ -601,6 +601,149 @@ object PHash {
           6).as("containment"))
   }
 
+  /** The ENTIRE per-batch screen of the screen-then-admit loop —
+    * within-batch containment (content grain, [[frameContainment]]
+    * semantics) AND the both-direction stored screen
+    * ([[screenAdmitFused]] semantics) — as ONE candidate pass over one
+    * join: the batch's rep-grain signature set probes a single unioned
+    * candidate side (stored rows tagged `s` ∪ the rep set itself tagged
+    * `b`), and every output branch (within-intra, within-inter, cross
+    * both directions) derives from the one grouped pair frame. The two
+    * branch filters that used to force separate joins become PER-ROW
+    * FLAGS on the rep signatures — `over_cap` (the within family's
+    * rep-grain df cap) and `is_hot` (the stored corpus's boilerplate
+    * guard; the cross screen's filter) — enforced in the join residual
+    * per candidate tag, so the one join serves both semantics exactly.
+    * The cross branch also inherits the content-grain saving: identical
+    * payloads probe the stored corpus ONCE and their hits expand
+    * through the membership list (identical signature sets ⇒ identical
+    * n_inter/n_b for every member, the frameContainment argument).
+    * Output is row-identical to
+    * `frameContainment(ordered=false) ∪ screenAdmitFused` on the same
+    * batch — pinned against the unfused pair in FrameIndexSpec on a
+    * corpus where BOTH the df cap and the hot set fire — but the plan
+    * runs ~half the exchanges: one pair groupBy instead of two, one
+    * size aggregation carrying both denominators, one membership
+    * expansion frame shared by all branches. At a trigger-bounded
+    * micro-batch the wall is AQE stage-job count, not rows
+    * (ProbeFrameIngest), so exchange count IS the throughput. */
+  def ingestScreenFused(batch: DataFrame, sig: DataFrame,
+                        stored: DataFrame, hotHashes: DataFrame,
+                        num: Int = 4, den: Int = 5,
+                        dfCap: Long = DefaultFrameDfCap): DataFrame = {
+    // content grain: identical payloads share one signature set. ALL
+    // batch-grain derived state — the flagged rep signatures AND the
+    // group membership — materializes in ONE localCheckpoint action
+    // (two kinds unioned into one frame): every broadcast below roots
+    // in it, and un-materialized each broadcast re-ran the groupBy +
+    // window chain (measured as MORE stage jobs than the unfused
+    // screen, inverting the fusion's point), while one checkpoint per
+    // derived frame still paid a per-action floor the union amortizes.
+    // Flags on the sig rows carry both branch filters (each branch's
+    // n_inter AND denominator see the same population as the unfused
+    // forms: within drops over-cap rows on both sides, cross drops hot
+    // rows on the batch side — the stored side of a hot hash can't
+    // join once the probe row is gone); w_b / x_b are the two per-rep
+    // denominators (surviving-the-cap count = within n_fr,
+    // surviving-the-hot-filter count = cross n_fr) as window columns —
+    // a separate sizes aggregation re-ran per broadcast consumer
+    // (different projections defeat ReuseExchange).
+    // (a one-action union of the two frames was probed and is NOT
+    // better: AQE materializes the same stage count either way, and
+    // the membership-as-rows form costs one more broadcast downstream)
+    val g = batch.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"),
+           collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true)
+    val rsig = sig
+      .join(g.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("rdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fhash")))
+      .withColumn("over_cap", col("rdf") > dfCap).drop("rdf")
+      .join(broadcast(hotHashes.select(col("fhash"),
+        lit(true).as("is_hot"))), Seq("fhash"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+      .withColumn("w_b", sum(when(!col("over_cap"), 1L).otherwise(0L))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")))
+      .withColumn("x_b", sum(when(!col("is_hot"), 1L).otherwise(0L))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")))
+      .localCheckpoint(true)
+    val m = g.select(col("rep"), explode(col("members")).as("doc_id"))
+    val candS = stored
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti") // the replay guard: a re-delivered batch is
+                     // already IN the index and must not match itself
+      .select(col("doc_id").as("cid"), col("fhash"),
+        col("n_fr").as("n_c"), lit(false).as("c_over_cap"),
+        lit("s").as("tag"))
+    val candB = rsig.select(col("doc_id").as("cid"), col("fhash"),
+      lit(null).cast("long").as("n_c"), col("over_cap").as("c_over_cap"),
+      col("w_b").as("w_c"), lit("b").as("tag"))
+    val probe = broadcast(rsig.select(col("doc_id").as("bd"),
+      col("fhash"), col("over_cap"), col("is_hot"),
+      col("w_b"), col("x_b")))
+    val inter = candS
+      .withColumn("w_c", lit(null).cast("long"))
+      .unionByName(candB)
+      .join(probe, Seq("fhash"))
+      .filter(!(col("tag") === "s" && col("is_hot")) &&
+              !(col("tag") === "b" && (col("over_cap") ||
+                col("c_over_cap") || col("cid") === col("bd"))))
+      .groupBy(col("bd"), col("cid"), col("tag"))
+      .agg(count(lit(1)).as("n_inter"), max(col("n_c")).as("n_c"),
+           max(col("w_c")).as("w_c"), max(col("w_b")).as("w_b"),
+           max(col("x_b")).as("x_b"))
+    // inter is consumed ONCE — the tag decides each row's direction
+    // set inside the explode (a per-tag filter split would re-run the
+    // stored-scan join per branch, the cost the fusion exists to kill):
+    // tag `b` rows are within-batch rep pairs (one directed pair per
+    // row — the symmetric join already produced both orders) expanded
+    // through BOTH memberships; tag `s` rows are stored hits expanded
+    // through the batch membership, emitting both directions
+    // (screenAdmitFused's explode). Size/membership joins attach to
+    // the single stream; the cid-side joins are LEFT (stored ids have
+    // no batch group) and unused fields ride as nulls.
+    val attached = inter
+      .join(broadcast(m.select(col("rep").as("bd"),
+        col("doc_id").as("da"))), Seq("bd"))
+      .join(broadcast(m.select(col("rep").as("cid"),
+        col("doc_id").as("db"))), Seq("cid"), "left")
+    val interPairs = attached
+      .select(col("n_inter"), explode(when(col("tag") === "b",
+          array(struct(col("da").as("doc_a"), col("db").as("doc_b"),
+                       col("w_b").as("n_a"), col("w_c").as("n_b"))))
+        .otherwise(
+          array(struct(col("da").as("doc_a"), col("cid").as("doc_b"),
+                       col("x_b").as("n_a"), col("n_c").as("n_b")),
+                struct(col("cid").as("doc_a"), col("da").as("doc_b"),
+                       col("n_c").as("n_a"), col("x_b").as("n_b")))))
+        .as("p"))
+      .filter(col("n_inter") * den >= col("p.n_a") * num)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("p.n_a").cast("double"),
+          6).as("containment"))
+    // within-intra: identical payloads with ≥1 surviving frame contain
+    // each other exactly — a double explode off the group row replaces
+    // the m ⋈ sizes ⋈ m join chain (same pairs, two fewer exchanges)
+    val withinIntra = g
+      .join(broadcast(rsig.select(col("doc_id").as("rep"),
+          col("w_b").as("n_fr")).distinct()
+        .filter(col("n_fr") >= 1)),
+        Seq("rep"))
+      .select(col("n_fr"), explode(col("members")).as("doc_a"),
+        col("members"))
+      .select(col("n_fr"), col("doc_a"),
+        explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_fr").as("n_a"),
+        col("n_fr").as("n_b"), col("n_fr").as("n_inter"),
+        lit(1.0).as("containment"))
+    withinIntra.unionByName(interPairs)
+  }
+
   /** The same frame sampling + per-frame dHash + DIRECTED batch→corpus
     * screen as DuckDB SQL (oracle twin of [[screenFrames]] over a
     * documents split, generated from the same geometry/threshold

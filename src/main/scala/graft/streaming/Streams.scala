@@ -812,14 +812,14 @@ object Streams {
     * form paid ~36 actions/batch (three separate signature passes +
     * checkpoint actions guarding recomputes that cost nothing at
     * 1000-doc grain). So the batch's (doc_id, fhash) signature set is
-    * computed and checkpointed ONCE here, and all three consumers —
-    * within-batch containment, both-direction stored screen, and the
-    * admit — derive from it lazily: the screen+containment union
-    * executes as one write job (ReuseExchange dedups shared subtrees),
-    * the admit as one more. Row-identical to the unfused operators by
-    * construction (same sets, same thresholds; StreamingSpec's
-    * batching-invariance law and FrameIndexSpec's appendSig law pin
-    * it). */
+    * computed and checkpointed ONCE here, and the whole screen —
+    * within-batch containment AND both-direction stored screen — runs
+    * as ONE candidate pass (PHash.ingestScreenFused: one pair groupBy,
+    * one size aggregation, branch filters as per-row flags) inside the
+    * single output-write job; the admit is one more. Row-identical to
+    * the unfused operators by construction (same sets, same
+    * thresholds; StreamingSpec's batching-invariance law,
+    * FrameIndexSpec's fused-screen and appendSig laws pin it). */
   def frameIndexIngest(batch: DataFrame, root: String, outDir: String,
                        batchId: Long): Unit = {
     import graft.operators.{FrameIndex, Multimodal, PHash}
@@ -828,13 +828,9 @@ object Streams {
       s"no frame index under $root — build the backfill first (may be empty)")
     val sig = PHash.frameSignatures(Multimodal.sampleFrames(
         Multimodal.fromDocuments(batch), PHash.NPix, 2))
-      .localCheckpoint(true) // the ONE signature pass; feeds all three
-    val within = PHash.frameContainment(batch, precomputedSig = Some(sig),
-      ordered = false)
-    val cross = PHash.screenAdmitFused(sig, FrameIndex.stored(s, root),
-      excludeStored = batch,
-      hotHashes = Some(FrameIndex.hotHashes(s, root)))
-    within.unionByName(cross)
+      .localCheckpoint(true) // the ONE signature pass; feeds screen + admit
+    PHash.ingestScreenFused(batch, sig, FrameIndex.stored(s, root),
+        FrameIndex.hotHashes(s, root))
       .write.mode("overwrite").parquet(versionDir(outDir, batchId))
     val ingestId = batchId + 1
     if (ingestId > FrameIndex.compactedThrough(s, root))

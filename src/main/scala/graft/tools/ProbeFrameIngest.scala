@@ -67,18 +67,28 @@ object ProbeFrameIngest {
             graft.operators.Multimodal.fromDocuments(batch), PHash.NPix, 2))
           .localCheckpoint(true)
       }
-      val within = PHash.frameContainment(batch,
-        precomputedSig = Some(sig), ordered = false)
-      val cross = t("stored+screen define") {
-        PHash.screenAdmitFused(sig, FrameIndex.stored(spark, root),
-          excludeStored = batch,
-          hotHashes = Some(FrameIndex.hotHashes(spark, root)))
+      val fused = t("fused screen define") {
+        PHash.ingestScreenFused(batch, sig, FrameIndex.stored(spark, root),
+          FrameIndex.hotHashes(spark, root))
       }
-      t("union write") {
-        within.unionByName(cross).write.mode("overwrite")
-          .parquet(s"$out/v$batchId")
+      t("fused write") {
+        fused.write.mode("overwrite").parquet(s"$out/v$batchId")
       }
       t("appendSig") { FrameIndex.appendSig(sig, root, batchId + 1) }
+      // (an AQE-off control was probed here: same wall at fewer jobs —
+      // the per-batch floor is broadcast materializations + per-stage
+      // task scheduling, which static execution pays too, NOT AQE's
+      // stage-job bookkeeping; so the fusion attacks exchange count)
+      // the pre-fusion form for comparison (same batch, separate out dir)
+      val within = PHash.frameContainment(batch,
+        precomputedSig = Some(sig), ordered = false)
+      val cross = PHash.screenAdmitFused(sig, FrameIndex.stored(spark, root),
+        excludeStored = batch,
+        hotHashes = Some(FrameIndex.hotHashes(spark, root)))
+      t("unfused union write") {
+        within.unionByName(cross).write.mode("overwrite")
+          .parquet(s"$out/v${batchId}_unfused")
+      }
     }
     // and the undecomposed real entry for reference
     bs.slice(24, 36).zipWithIndex.foreach { case (b, i) =>

@@ -248,6 +248,77 @@ class FrameIndexSpec extends SparkSpec {
       "compaction must re-materialize the folded df delta")
   }
 
+  test("ingestScreenFused == frameContainment ∪ screenAdmitFused, with " +
+      "both the df cap and the hot set firing") {
+    // the one-candidate-pass screen must reproduce the unfused pair
+    // EXACTLY on a corpus engineered so every branch semantic is
+    // load-bearing: duplicate payloads (within-intra + content-grain
+    // expansion), shared frames across distinct payloads (within-inter),
+    // true clips of stored docs (cross, both directions), a stored-hot
+    // boilerplate frame in a batch doc (the cross-only hot filter), a
+    // frame shared by MORE payload groups than the within df cap (the
+    // within-only cap filter), and a redelivered doc_id (the replay
+    // anti-join)
+    def block(seed: Long): String = {
+      val rnd = new scala.util.Random(seed * 2654435761L + 29)
+      (0 until 72).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val hotB = block(-1L)
+    val storedDocs = (0 until 10)
+      .map(i => i.toLong -> (hotB + block(i))).toDF("doc_id", "text")
+    val root = tmpRoot("fused")
+    FrameIndex.build(storedDocs, root, stride = 1, dfCap = 5)
+    val hot = FrameIndex.hotHashes(spark, root)
+    assert(hot.count() === 1L, "test shape: the boilerplate hash is hot")
+    val capped = block(999L)
+    val batch = (
+      // two identical payloads clipping stored doc 3 (intra + cross)
+      Seq(100L -> (block(3L) + block(777L)),
+          101L -> (block(3L) + block(777L)),
+          // shares block(777) with the group above (within-inter)
+          102L -> (block(777L) + block(778L)),
+          // carries the stored-hot frame: cross must DROP that frame
+          // from both n_inter and the denominator, within must KEEP it
+          103L -> (hotB + block(4L)),
+          // a redelivered id: present in stored, must not match itself
+          5L -> (hotB + block(5L))) ++
+      // seven distinct payloads sharing one frame — over the within df
+      // cap of 5, so the within branch drops it while cross keeps it
+      (0 until 7).map(i => (200L + i) -> (capped + block(300L + i)))
+    ).toDF("doc_id", "text")
+    val sig = PHash.frameSignatures(Multimodal.sampleFrames(
+      Multimodal.fromDocuments(batch), PHash.NPix, 1))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val within = PHash.frameContainment(batch, stride = 1, num = 1,
+      den = 2, dfCap = 5, precomputedSig = Some(sig), ordered = false)
+    val cross = PHash.screenAdmitFused(sig, FrameIndex.stored(spark, root),
+      excludeStored = batch, num = 1, den = 2, hotHashes = Some(hot))
+    val unfused = rows(within.unionByName(cross))
+    val fused = rows(PHash.ingestScreenFused(batch, sig,
+      FrameIndex.stored(spark, root), hot, num = 1, den = 2, dfCap = 5))
+    assert(fused === unfused,
+      "one-candidate-pass screen diverges from the unfused operators")
+    // teeth: every engineered branch actually contributed pairs
+    assert(rows(within).nonEmpty && rows(cross).nonEmpty)
+    assert(within.filter(col("containment") === 1.0).count() >= 2,
+      "intra pairs missing")
+    assert(cross.filter(col("doc_a") === 103L)
+        .select("doc_b").collect().map(_.getLong(0)).toSeq === Seq(4L),
+      "103 must cross-hit exactly stored 4 (its real frame) — the hot " +
+        "frame it shares with every stored doc is filtered")
+    assert(within.filter(col("doc_a") >= 200L && col("doc_b") >= 200L)
+        .count() === 0,
+      "the capped frame must not generate within pairs (df 7 > cap 5)")
+    assert(cross.filter(col("doc_a") === 5L || col("doc_b") === 5L)
+        .count() === 0,
+      "a redelivered doc matched its own stored rows (its only non-hot " +
+        "frame lives in the excluded stored doc)")
+  }
+
   test("a compaction swap torn mid-rename heals on the next exists()") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("torn")
