@@ -274,8 +274,46 @@ object BenchStream {
       s"w${(b.toLong * 131 + i * 31 + (b.toLong * i) % 17) % 60013}"
     def cleanText(b: Int): String =
       (0 until 12).map(i => tok(b, i)).mkString(" ")
-    val ingestDocs: Vector[(Long, String)] = (0 until nIngest).iterator
-      .map(k => (k.toLong, cleanText(k % nDistinct))).toVector
+    // SPARK_GRAFT_STREAM_CORPUS=zipf: the ZipfDocs `dups` corpus shape
+    // for the INGEST keys — Zipf(s≈1) 60k-term vocabulary (realistic
+    // head-term skew in the shingle/frame/posting distributions), ~15%
+    // exact replicas of a local base doc, ~10% one-token near-dups
+    // (3-gram J ≈ 0.87) — so the dedup/frame/phash ingest rows measure
+    // under the same realistic corpus the batch dedup tiers got
+    // (BENCH_ZIPF dedup_tiers). Driver-side deterministic twin of the
+    // ZipfDocs column formulas (splitmix64 in place of xxhash64 — the
+    // SHAPE is the contract, not bit-identity with the parquet tier).
+    // Separate artifact via SPARK_GRAFT_STREAM_OUT; the default corpus
+    // stays canonical.
+    val corpusMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_CORPUS", "sep")
+    def smix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def zipfDupText(id: Long): String = {
+      val lnV = math.log(60000.0)
+      val cls = java.lang.Long.remainderUnsigned(smix(id * 17 + 3), 20L)
+      val src = if (cls < 5) id - id % 16 else id
+      val n = 40 + java.lang.Long.remainderUnsigned(
+        smix(src * 31 + 7), 20L).toInt
+      val toks = (1 to n).map { i =>
+        val u = (smix(src * 1000003L + i) >>> 11).toDouble / (1L << 53).toDouble
+        "t" + math.ceil(math.exp(u * lnV)).toLong
+      }.toArray
+      if (cls >= 3 && cls < 5) // near-dup: one token swapped for a
+        toks(4) = "t" +        // tail term derived from THIS id
+          (java.lang.Long.remainderUnsigned(smix(id * 13 + 11), 20000L)
+            + 60001L)
+      toks.mkString(" ")
+    }
+    val ingestDocs: Vector[(Long, String)] = corpusMode match {
+      case "zipf" => (0 until nIngest).iterator
+        .map(k => (k.toLong, zipfDupText(k.toLong))).toVector
+      case _ => (0 until nIngest).iterator
+        .map(k => (k.toLong, cleanText(k % nDistinct))).toVector
+    }
     val langDocs: Vector[(Long, String, String)] =
       ingestDocs.map { case (id, t) => (id, s"l${id % 5}", t) }
     // boilerplate corpus: same separated texts, plus a SHARED 7-token

@@ -319,6 +319,63 @@ class FrameIndexSpec extends SparkSpec {
         "frame lives in the excluded stored doc)")
   }
 
+  test("ingestScreenFused == unfused on RANDOM batches (generated " +
+      "duplicates, shared frames, redeliveries)") {
+    // the constructed-corpus law above pins each engineered branch;
+    // this one drives the same identity over generated batches where
+    // duplicate payloads, frame sharing, hot overlaps, cap crossings,
+    // and redelivered ids arise in arbitrary combinations — the
+    // PropertySpec seeded-generator discipline (scalatestplus-
+    // scalacheck isn't in the offline cache)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def block(seed: Long): String = {
+      val rnd = new scala.util.Random(seed * 2654435761L + 29)
+      (0 until 72).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val hotB = block(-1L)
+    val storedDocs = (0 until 8)
+      .map(i => i.toLong -> (hotB + block(i))).toDF("doc_id", "text")
+    val root = tmpRoot("rand")
+    FrameIndex.build(storedDocs, root, stride = 1, dfCap = 5)
+    val hot = FrameIndex.hotHashes(spark, root)
+    val stored = FrameIndex.stored(spark, root)
+    // a doc = 1..3 blocks from a 14-block pool (ids 0..7 overlap the
+    // stored corpus's evidence frames; 100..105 are batch-only; -1 is
+    // the hot frame); doc ids draw from a range overlapping stored ids
+    val genDoc: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 40L)
+      n <- Gen.choose(1, 3)
+      bs <- Gen.listOfN(n, Gen.oneOf(
+        (0L until 8L) ++ (100L to 105L) :+ (-1L)))
+    } yield (id, bs.map(block).mkString)
+    val genBatch: Gen[List[(Long, String)]] =
+      Gen.choose(4, 12).flatMap(sz => Gen.listOfN(sz, genDoc))
+        // one doc_id = one payload (the ingest contract): keep the
+        // first draw per id
+        .map(_.groupBy(_._1).map(_._2.head).toList)
+    (1 to 5).foreach { i =>
+      val docs = genBatch(Gen.Parameters.default, Seed(i.toLong)).get
+      val batch = docs.toDF("doc_id", "text")
+      val sig = PHash.frameSignatures(Multimodal.sampleFrames(
+        Multimodal.fromDocuments(batch), PHash.NPix, 1))
+        .localCheckpoint(true)
+      val unfused = PHash.frameContainment(batch, stride = 1, num = 1,
+          den = 2, dfCap = 3, precomputedSig = Some(sig),
+          ordered = false)
+        .unionByName(PHash.screenAdmitFused(sig, stored,
+          excludeStored = batch, num = 1, den = 2,
+          hotHashes = Some(hot)))
+        .collect().map(_.toString).sorted.toSeq
+      val fused = PHash.ingestScreenFused(batch, sig, stored, hot,
+          num = 1, den = 2, dfCap = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fused === unfused, s"fused != unfused on random batch $i")
+    }
+  }
+
   test("a compaction swap torn mid-rename heals on the next exists()") {
     val m5 = pmod(col("doc_id"), lit(5))
     val root = tmpRoot("torn")
