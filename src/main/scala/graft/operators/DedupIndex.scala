@@ -211,6 +211,36 @@ object DedupIndex {
       profiles(batchSh), threshold, docBroadcastLimit, pairBroadcastLimit)
   }
 
+  /** The stored band rows across every COMMITTED ingest — `_SUCCESS`
+    * in BOTH table dirs (the [[committedIngests]] intersection: bands
+    * are written before profiles, so a crash between the two leaves
+    * committed bands whose candidates would verify against NO profile
+    * row and silently drop real pairs until the replay). Restricting
+    * here is a static partition filter (pruned at listing, no data
+    * read) — the FrameIndex.stored discipline; before it, a crashed
+    * append's partial band/profile rows answered queries wrongly until
+    * redelivery. Static schema: footer inference is a Spark job the
+    * streaming ingest would pay per micro-batch. */
+  private[graft] def storedBands(s: SparkSession, root: String): DataFrame = {
+    val inSet = committedIngests(s, root).map(java.lang.Long.valueOf)
+    s.read.schema("doc_id BIGINT, band_idx INT, band_hash BIGINT, ingest BIGINT")
+      .parquet(bandsDir(root))
+      .filter(col("ingest").isin(inSet: _*))
+      .select("doc_id", "band_idx", "band_hash")
+  }
+
+  /** The stored profile rows across every committed ingest — see
+    * [[storedBands]]. */
+  private[graft] def storedProfiles(s: SparkSession, root: String)
+      : DataFrame = {
+    val inSet = committedIngests(s, root).map(java.lang.Long.valueOf)
+    s.read.schema(
+        "doc_id BIGINT, ss ARRAY<BIGINT>, n_sh BIGINT, ingest BIGINT")
+      .parquet(profilesDir(root))
+      .filter(col("ingest").isin(inSet: _*))
+      .select("doc_id", "ss", "n_sh")
+  }
+
   /** [[queryBatch]] from PRECOMPUTED (bands, profiles) frames — pass
     * checkpointed frames (the ingest path shares one band/profile pass
     * across three consumers; an unmaterialized plan here would re-run
@@ -229,7 +259,7 @@ object DedupIndex {
     val batchBands = batchBandsRaw.withColumnRenamed("doc_id", "batch_doc")
     // candidate generation: batch bands broadcast (increment) or
     // shuffled (backfill), stored bands stream either way
-    val cands = s.read.parquet(bandsDir(root))
+    val cands = storedBands(s, root)
       .join(docSized(batchBands), Seq("band_idx", "band_hash"))
       .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
       .distinct()
@@ -243,7 +273,7 @@ object DedupIndex {
       .join(batchProfiles
               .select(col("doc_id").as("batch_doc"), col("ss").as("sa"),
                       col("n_sh").as("n_a")), Seq("batch_doc"))
-    s.read.parquet(profilesDir(root))
+    storedProfiles(s, root)
       .select(col("doc_id").as("corpus_doc"), col("ss").as("sb"),
               col("n_sh").as("n_b"))
       .join(pairSized(verified), Seq("corpus_doc"))
@@ -254,6 +284,83 @@ object DedupIndex {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"),
+              round(col("jaccard_raw"), 6).as("jaccard"))
+  }
+
+  /** The ENTIRE per-batch pair pass of the screen-then-admit loop —
+    * within-batch near-dup pairs AND the batch×stored index query — as
+    * ONE candidate pass (the PHash.ingestScreenFused discipline on the
+    * dedup index): the batch's band rows probe a single unioned
+    * candidate side (stored bands with the batch's own redelivered ids
+    * excluded ∪ the batch bands themselves), one distinct + one
+    * pair-count gate cover both populations, and ONE verify join runs
+    * the exact-Jaccard screen with the stored profiles scanned once
+    * and never shuffled (the batch-side p_a profile always comes from
+    * the broadcast batch frame; the p_b profile from stored ∪ batch —
+    * disjoint id sets once redeliveries are excluded, so each pair
+    * verifies against exactly one profile row per side). Output is
+    * row-identical to
+    * `jaccardPairs(within) ∪ (queryPrepared minus redelivered)` in the
+    * canonical (least, greatest) orientation — pinned against the
+    * unfused pair in DedupIndexSpec, both gate branches. The unfused
+    * form paid the candidate machinery twice (self-join + distinct for
+    * within, band join + distinct + gates for cross) and re-aggregated
+    * the batch shingle sets for the within verify; at micro-batch
+    * grain those duplicated exchanges are wall, not work
+    * (ProbeDedupIngest). */
+  private[graft] def ingestQueryFused(s: SparkSession, root: String,
+                                      bd: DataFrame, pf: DataFrame,
+                                      excludeIds: DataFrame,
+                                      threshold: Double = 0.8,
+                                      docBroadcastLimit: Long = 20000L,
+                                      pairBroadcastLimit: Long = 100000L)
+      : DataFrame = {
+    val nBatch = pf.count()
+    def docSized(df: DataFrame): DataFrame =
+      if (nBatch <= docBroadcastLimit) broadcast(df) else df
+    val batchBands = bd.withColumnRenamed("doc_id", "batch_doc")
+    val candS = storedBands(s, root)
+      .join(docSized(excludeIds.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti") // replay guard: a re-delivered batch is already
+                     // IN the index and must not match itself
+      .select(col("doc_id").as("other_doc"), col("band_idx"),
+        col("band_hash"), lit(true).as("is_stored"))
+    val candB = bd.select(col("doc_id").as("other_doc"), col("band_idx"),
+      col("band_hash"), lit(false).as("is_stored"))
+    val cands = candS.unionByName(candB)
+      .join(docSized(batchBands), Seq("band_idx", "band_hash"))
+      // within pairs canonicalize here (batch < other keeps each
+      // unordered batch pair exactly once — candidatePairsFromBands'
+      // doc_a < doc_b); cross pairs keep every (batch, stored) hit
+      .filter(col("is_stored") || col("batch_doc") < col("other_doc"))
+      .select(col("batch_doc").as("p_a"), col("other_doc").as("p_b"))
+      .distinct()
+      .localCheckpoint(true) // two-long rows; reused by count + join
+    val nPairs = cands.count()
+    def pairSized(df: DataFrame): DataFrame =
+      if (nPairs <= pairBroadcastLimit) broadcast(df) else df
+    // p_a is ALWAYS a batch doc; p_b is batch (within) or stored
+    // (cross) — the profile union serves both sides with the stored
+    // table scanned once (its redelivered rows excluded so a batch
+    // doc's profile resolves uniquely to the batch frame)
+    val withA = cands.join(
+      pf.select(col("doc_id").as("p_a"), col("ss").as("sa"),
+        col("n_sh").as("n_a")), Seq("p_a"))
+    storedProfiles(s, root)
+      .join(docSized(excludeIds.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .unionByName(pf)
+      .select(col("doc_id").as("p_b"), col("ss").as("sb"),
+              col("n_sh").as("n_b"))
+      .join(pairSized(withA), Seq("p_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard_raw",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(least(col("p_a"), col("p_b")).as("doc_a"),
+              greatest(col("p_a"), col("p_b")).as("doc_b"),
               round(col("jaccard_raw"), 6).as("jaccard"))
   }
 

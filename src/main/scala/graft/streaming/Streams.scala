@@ -542,29 +542,18 @@ object Streams {
       s"no dedup index under $root — build the backfill first (may be empty)")
     val sh = graft.Graft.shingleRows(batch, "doc_id", "text", n = 3)
       .localCheckpoint(true)
-    // ONE band pass + ONE profile pass per batch, shared by all three
-    // consumers (within-batch candidates, the stored-index query, and
-    // the append below). Before this the signature aggregation — the
-    // most expensive per-batch stage — ran three times and the profile
-    // groupBy twice; sharing them cut the s_dedup_index bench batch
-    // cost by the two redundant passes.
+    // ONE band pass + ONE profile pass per batch, shared by the fused
+    // pair screen AND the append below (re-deriving signatures per
+    // consumer tripled the most expensive per-batch stage); the screen
+    // itself — within-batch pairs + the stored-index query with the
+    // batch's own re-delivered rows excluded — runs as ONE candidate
+    // pass with one gate and one verify (DedupIndex.ingestQueryFused,
+    // row-identical to the unfused within ∪ cross — pinned in
+    // DedupIndexSpec).
     val bd = MinHashLSH.bands(MinHashLSH.signatures(sh, 16), b = 8, r = 2)
       .localCheckpoint(true)
     val pf = DedupIndex.profiles(sh).localCheckpoint(true)
-    val within = graft.queries.DedupOps
-      .jaccardPairs(sh, Some(MinHashLSH.candidatePairsFromBands(bd)))
-      .filter(col("jaccard_raw") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val cross = DedupIndex.queryPrepared(s, root, bd, pf)
-      // replay guard: a re-delivered batch is already IN the index; its
-      // own rows must not match themselves (batch ids are batch-bounded
-      // — the broadcast is the same size class as queryBatch's own)
-      .join(broadcast(batch.select(col("doc_id").as("corpus_doc"))),
-            Seq("corpus_doc"), "left_anti")
-      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
-              greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"),
-              col("jaccard"))
-    within.unionByName(cross)
+    DedupIndex.ingestQueryFused(s, root, bd, pf, excludeIds = batch)
       .write.mode("overwrite").parquet(versionDir(pairsDir, batchId))
     // ingest ids start at 1: 0 is the backfill's partition. An
     // at-least-once RE-DELIVERY of a batch a compaction has since

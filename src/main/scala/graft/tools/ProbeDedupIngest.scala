@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   * the wall). Not part of the declared surface. */
 object ProbeDedupIngest {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    // arg "sep": the BENCH corpus shape (separated 60k-vocab texts, 4
+    // exact copies per distinct — band-collision-free) on local[32]/8
+    // like BenchStream; default: the band-DEGENERATE corpus that
+    // documents the pair-count-gate finding below.
+    val sep = args.headOption.contains("sep")
+    val spark = SparkSession.builder()
+      .master(if (sep) "local[32]" else "local[4]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -19,19 +25,28 @@ object ProbeDedupIngest {
     import spark.implicits._
     import graft.operators.{DedupIndex, MinHashLSH}
 
-    def docAt(k: Int): (Long, String) = {
-      val base = k % 10000
-      (k.toLong, s"crawl snapshot body $base with stable filler tokens " +
-        s"for realistic width ${base % 97}")
-    }
+    def sepTok(b: Int, i: Int): String =
+      s"w${(b.toLong * 131 + i * 31 + (b.toLong * i) % 17) % 60013}"
+    def docAt(k: Int): (Long, String) =
+      if (sep) (k.toLong,
+        (0 until 12).map(i => sepTok(k % 10000, i)).mkString(" "))
+      else {
+        val base = k % 10000
+        (k.toLong, s"crawl snapshot body $base with stable filler tokens " +
+          s"for realistic width ${base % 97}")
+      }
     val tmp = System.getProperty("java.io.tmpdir")
     val root = s"$tmp/graft_probe_dedupindex"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 
+    val sc = spark.sparkContext
     def t[A](label: String)(body: => A): A = {
+      val j0 = sc.statusTracker.getJobIdsForGroup(null).length
       val t0 = System.nanoTime()
       val r = body
-      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val jobs = sc.statusTracker.getJobIdsForGroup(null).length - j0
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  ($jobs%3d jobs)")
       r
     }
 
@@ -101,6 +116,13 @@ object ProbeDedupIngest {
         DedupIndex.queryPrepared(spark, root, bd, pf)
       }
       t("cross count") { cross.count() }
+      // the one-candidate-pass form (the streaming face since r18):
+      // same pair set, one gate, one verify
+      val fused = t("ingestQueryFused plan+exec") {
+        DedupIndex.ingestQueryFused(spark, root, bd, pf,
+          excludeIds = batch.select(col("doc_id")))
+      }
+      t("fused count") { fused.count() }
       t("append write") { DedupIndex.writePrepared(bd, pf, root, round.toLong) }
     }
     spark.stop()

@@ -241,4 +241,93 @@ class DedupIndexSpec extends SparkSpec {
       shingles(sf001, col("doc_id") >= 150 && col("doc_id") < 180), root,
       ingestId = 2)
   }
+
+  test("an uncommitted (crashed) append is invisible to queries — " +
+      "bands-only commits too — and redeliverable") {
+    // writePrepared lands bands BEFORE profiles, so two crash windows
+    // exist: no marker at all, and committed bands with uncommitted
+    // profiles. Both must read as 'ingest absent' (the committedIngests
+    // both-dirs intersection) — trusting bands alone would generate
+    // candidates that verify against NO profile row and silently drop
+    // real pairs; trusting partial rows would answer wrongly until the
+    // replay. The FrameIndexSpec crashed-append law, on this index.
+    val root = tmpRoot("crash")
+    DedupIndex.build(shingles(sf001, col("doc_id") < 200), root)
+    def q(): Seq[String] =
+      DedupIndex.queryBatch(spark, root,
+          shingles(sf001, pmod(col("doc_id"), lit(5)) === 0))
+        .collect().map(_.toString).sorted.toSeq
+    val before = q()
+    assert(before.nonEmpty, "fixture produced no stored hits")
+    val inc = shingles(sf001,
+      col("doc_id") >= 200 && col("doc_id") < 260).localCheckpoint(true)
+    DedupIndex.append(inc, root, ingestId = 1)
+    val committed = q()
+    assert(committed.size > before.size,
+      "test shape: the appended docs must add query hits")
+    // window 1: profiles marker torn (bands committed) — the ingest
+    // must vanish ENTIRELY, not leave verify-less band candidates
+    val profMarker = new java.io.File(s"$root/profiles/ingest=1/_SUCCESS")
+    assert(profMarker.exists && profMarker.delete())
+    assert(q() === before,
+      "bands-only ingest visible: candidates without profiles")
+    // window 2: both markers torn
+    val bandMarker = new java.io.File(s"$root/bands/ingest=1/_SUCCESS")
+    assert(bandMarker.exists && bandMarker.delete())
+    assert(q() === before, "uncommitted ingest rows visible to queries")
+    // the at-least-once redelivery lands normally
+    DedupIndex.append(inc, root, ingestId = 1)
+    assert(q() === committed, "redelivered ingest must restore the answer")
+  }
+
+  test("ingestQueryFused == within-pairs ∪ stored-query, redeliveries " +
+      "excluded, both gate branches") {
+    // the one-candidate-pass screen must reproduce the unfused pair
+    // set exactly on a split where every population is non-trivial:
+    // within-batch near-dups, batch×stored hits, and a redelivered doc
+    // (in both batch and store — must match nothing of itself). The
+    // sf0.01 fixture carries natural near-dups in all groups.
+    import graft.operators.MinHashLSH
+    val root = tmpRoot("fused")
+    val m5 = pmod(col("doc_id"), lit(5))
+    DedupIndex.build(shingles(sf001, m5 =!= 0 && m5 =!= 1), root)
+    // batch = splits 0+1, with split-1 docs ALSO re-appended to the
+    // store first (the redelivery population)
+    DedupIndex.append(shingles(sf001, m5 === 1), root, ingestId = 1)
+    val batchDocs = Tables.documents(spark, sf001)
+      .filter(m5 === 0 || m5 === 1).select("doc_id", "text")
+    val sh = graft.Graft.shingleRows(batchDocs, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    val bd = MinHashLSH.bands(MinHashLSH.signatures(sh, 16), 8, 2)
+      .localCheckpoint(true)
+    val pf = DedupIndex.profiles(sh).localCheckpoint(true)
+    val within = graft.queries.DedupOps
+      .jaccardPairs(sh, Some(MinHashLSH.candidatePairsFromBands(bd)))
+      .filter(col("jaccard_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cross = DedupIndex.queryPrepared(spark, root, bd, pf)
+      .join(broadcast(batchDocs.select(col("doc_id").as("corpus_doc"))),
+            Seq("corpus_doc"), "left_anti")
+      .select(least(col("batch_doc"), col("corpus_doc")).as("doc_a"),
+              greatest(col("batch_doc"), col("corpus_doc")).as("doc_b"),
+              col("jaccard"))
+    val unfused = within.unionByName(cross)
+      .collect().map(_.toString).sorted.toSeq
+    def fused(docLimit: Long, pairLimit: Long): Seq[String] =
+      DedupIndex.ingestQueryFused(spark, root, bd, pf,
+          excludeIds = batchDocs, docBroadcastLimit = docLimit,
+          pairBroadcastLimit = pairLimit)
+        .collect().map(_.toString).sorted.toSeq
+    val bcast = fused(20000L, 100000L)
+    assert(bcast === unfused,
+      "one-candidate-pass screen diverges from the unfused operators")
+    assert(fused(0L, 0L) === unfused,
+      "fused shuffle branch diverges from the broadcast branch")
+    // teeth: every population contributed
+    assert(within.count() > 0, "no within-batch pairs in the fixture")
+    assert(cross.count() > 0, "no batch×stored pairs in the fixture")
+    val redelivered = Tables.documents(spark, sf001).filter(m5 === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(redelivered.nonEmpty)
+  }
 }
