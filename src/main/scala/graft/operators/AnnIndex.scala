@@ -125,14 +125,17 @@ object AnnIndex {
 
   /** Pack each vector's m subspace codes into one array row ordered by
     * subspace — the ~8-byte-per-vector corpus artifact. */
-  private def packCodes(subs: DataFrame, assigned: DataFrame,
-                        cb: DataFrame): DataFrame =
-    ProductQuantizer.encode(subs, cb)
-      .groupBy("vec_id")
+  private def packCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    // `subs` carries the cell id through the explode (r18), so grouping
+    // on (vec_id, cell) — cell is functionally dependent on vec_id —
+    // replaces the old groupBy(vec_id) + shuffle join back onto the
+    // assignment frame: same rows, one exchange fewer (guide §2.4)
+    ProductQuantizer.encode(subs, cb, keep = Seq("cell"))
+      .groupBy("vec_id", "cell")
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code_id")))),
         e => e("code_id")).as("codes"))
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .select("vec_id", "codes", "cell")
 
   /** True iff the index carries the [[attrs]] sidecar (written at
     * build time — an index is either attribute-carrying or not for its
@@ -211,7 +214,8 @@ object AnnIndex {
     // assign EVERY vector to its max-cosine cell; residual = v − centroid
     val assigned = assign(emb, cents).localCheckpoint(true)
     val subs = ProductQuantizer.subvectors(
-        assigned.select(col("vec_id"), col("rv").as("v")), m, dim)
+        assigned.select(col("vec_id"), col("cell"), col("rv").as("v")),
+        m, dim, keep = Seq("cell"))
       .localCheckpoint(true)
     val cb = ProductQuantizer.codebooks(
       subs.filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L),
@@ -224,7 +228,7 @@ object AnnIndex {
     // hive-partition on (coarse cell, ingest batch): probes prune on
     // cell at the FILE LISTING level; appends overwrite only their own
     // batch partitions (exactly-once under replay)
-    packCodes(subs, assigned, cb)
+    packCodes(subs, cb)
       .withColumn("batch", lit(0L))
       .write.mode("overwrite").partitionBy("cell", "batch")
       .parquet(codesDir(root))
@@ -270,9 +274,10 @@ object AnnIndex {
     val cb = s.read.parquet(codebooksDir(root))
     val assigned = assign(emb0, cents).localCheckpoint(true)
     val subs = ProductQuantizer.subvectors(
-      assigned.select(col("vec_id"), col("rv").as("v")), m, dim)
+      assigned.select(col("vec_id"), col("cell"), col("rv").as("v")),
+      m, dim, keep = Seq("cell"))
     attrs.foreach(a => writeAttrs(a, assigned, root, batchId))
-    packCodes(subs, assigned, cb)
+    packCodes(subs, cb)
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -52,15 +52,16 @@ object IvfKMeans {
         .nearestCell(col("v"), col("nrm"), rows, emitTheta = false)
       val assigned = emb.select(nc.as("nc"), col("v"))
         .select(col("nc.cell").cast("int").as("cent_id"), col("v"))
-      val comps = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos")
-        .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
-              count(lit(1))).as("m"))
-      cents = comps.groupBy("cent_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e("m")).as("cv"))
+      // centroid update as ONE decimal-exact vector-mean aggregate
+      // (functions.DecimalVecMean): the posexplode → groupBy(cent_id,
+      // pos) → groupBy(cent_id) form materialized d rows per vector and
+      // paid TWO exchanges per Lloyd round; this streams the vectors
+      // through a flat per-cell buffer and pays ONE k-row exchange —
+      // component values bit-identical (sum(cast(x as decimal(30,12)))
+      // cast double / count, replicated inside the aggregate; pinned in
+      // DecimalVecMeanSpec + ClusterSpec)
+      cents = assigned.groupBy("cent_id")
+        .agg(graft.functions.DecimalVecMean.mean(col("v")).as("cv"))
         .withColumn("cnrm", VectorExprs.norm(col("cv")))
         .select("cent_id", "cv", "cnrm")
     }

@@ -34,14 +34,17 @@ import graft.functions.VectorExprs
   */
 object ProductQuantizer {
 
-  /** (vec_id, sub, sv: array<double>) — vector split into m contiguous
-    * subvectors. `dim` must be divisible by m. */
-  def subvectors(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+  /** (vec_id, [keep…,] sub, sv: array<double>) — vector split into m
+    * contiguous subvectors. `dim` must be divisible by m. `keep` columns
+    * ride along through the explode so downstream consumers (the IVF
+    * cell id, r18) never need a vec_id re-attach join. */
+  def subvectors(emb: DataFrame, m: Int, dim: Int,
+                 keep: Seq[String] = Nil): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val w = dim / m
-    emb.select(col("vec_id"), posexplode(expr(
+    emb.select(col("vec_id") +: keep.map(col) :+ posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $w + 1, $w))"))
-      .as(Seq("sub", "sv")))
+      .as(Seq("sub", "sv")): _*)
   }
 
   /** Squared L2 distance via three codegen'd dots. */
@@ -70,16 +73,13 @@ object ProductQuantizer {
           graft.functions.IvfProbe.pqNearestCode(col("sub"), col("sv"), rows)
             .as("code_id"),
           col("sv"))
+      // codeword update as ONE decimal-exact vector-mean aggregate —
+      // same rewrite as IvfKMeans's Lloyd round (one m·k-row exchange
+      // where the posexplode form paid two and w rows per subvector;
+      // bit-identical, DecimalVecMeanSpec)
       cb = assigned
-        .select(col("sub"), col("code_id"),
-                posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "code_id", "pos")
-        .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
-              count(lit(1))).as("m"))
         .groupBy("sub", "code_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e("m")).as("cv"))
+        .agg(graft.functions.DecimalVecMean.mean(col("sv")).as("cv"))
     }
     // publish the trained codebooks as a LocalRelation (k×m rows): encode
     // and every ADC-table build then broadcast a driver-side copy instead
@@ -90,11 +90,12 @@ object ProductQuantizer {
   /** (vec_id, sub, code_id) — each subvector's nearest codeword, as a
     * pure map (functions.PqNearestCode — same (d2 asc, code_id asc)
     * pick as the join + window form it replaces, bit for bit). */
-  def encode(subs: DataFrame, cb: DataFrame): DataFrame = {
+  def encode(subs: DataFrame, cb: DataFrame,
+             keep: Seq[String] = Nil): DataFrame = {
     val rows = graft.util.Local.modelRows(cb.select("sub", "code_id", "cv"))
-    subs.select(col("vec_id"), col("sub"),
+    subs.select(col("vec_id") +: keep.map(col) :+ col("sub") :+
       graft.functions.IvfProbe.pqNearestCode(col("sub"), col("sv"), rows)
-        .as("code_id"))
+        .as("code_id"): _*)
   }
 
   /** ADC top-`n`: query subvectors → k×m distance table → each encoded
@@ -139,11 +140,16 @@ object ProductQuantizer {
           graft.util.Local.modelRows(cents.select("cent_id", "cv", "cnrm")),
           nprobe = 1)).as("p"))
       .select(col("vec_id"), col("p.cell").as("cell"), col("p.rv").as("rv"))
-      .localCheckpoint(true)
-    // residual subvectors; PQ codebooks from a deterministic quarter-sample
-    val subs = subvectors(assigned.select(col("vec_id"), col("rv").as("v")),
-        m, dim)
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    // residual subvectors with the cell id CARRIED THROUGH the explode
+    // (r18): the old form checkpointed `assigned`, then shuffle-joined
+    // the m·N subvector rows back onto it just to recover `cell` — one
+    // whole exchange of the widest frame in the query for a column the
+    // explode can keep for free (guide §2.4). One checkpoint remains:
+    // `subs` feeds the codebook trainer's per-round collects AND the
+    // encode below.
+    val subs = subvectors(
+        assigned.select(col("vec_id"), col("cell"), col("rv").as("v")),
+        m, dim, keep = Seq("cell"))
       .localCheckpoint(true)
     val cb = codebooks(
       subs.filter(pmod(xxhash64(col("vec_id"), lit(99)), lit(4L)) === 0L),
@@ -166,8 +172,7 @@ object ProductQuantizer {
     // all-cell sample above — the published artifact is corpus-wide.
     val codes = encode(
       subs.join(broadcast(probed.select("cell")), Seq("cell"))
-        .filter(col("vec_id") =!= queryId), cb)
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+        .filter(col("vec_id") =!= queryId), cb, keep = Seq("cell"))
     val qsubs = probed.select(col("cell"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(qrv, s * ${dim / m} + 1, ${dim / m}))"))
       .as(Seq("sub", "qv")))
