@@ -39,7 +39,8 @@ import org.apache.spark.sql.functions._
   * per-iteration work is shuffle-partitioned joins and aggregates over
   * the PAIR-GRAPH edges only (documents touched by at least one pair —
   * vastly smaller than the corpus); the untouched corpus joins back in
-  * once, at the end, as singleton clusters via a single anti-join.
+  * once, at the end, via a single left join (unmatched ids coalesce to
+  * themselves — singleton clusters).
   *
   * HYBRID finish (round 15): distributed rounds run only while the
   * edge set exceeds `spark.graft.cc.localEdgeThreshold` (default 2M
@@ -177,13 +178,6 @@ object DedupCluster {
     // cost at the replica stress tier before this)
     val p = graft.util.Fixpoint.materialize(
       pairs.select("doc_a", "doc_b"))
-    // the pair-graph node set, BEFORE contraction: intermediate rounds
-    // legitimately drop nodes from the edge set as stars fold, so
-    // membership is remembered here and labels re-attach at the end
-    val verts = graft.util.Fixpoint.materialize(
-      p.select(col("doc_a").as("doc_id"))
-        .unionByName(p.select(col("doc_b").as("doc_id")))
-        .distinct())
     var e = graft.util.Fixpoint.materialize(
       p.filter(col("doc_a") =!= col("doc_b"))
         .select(least(col("doc_a"), col("doc_b")).as("a"),
@@ -247,11 +241,23 @@ object DedupCluster {
           .as[(Long, Long)].collect()
         localLabels(collected).toDF("doc_id", "cluster_id")
       }
-    val orphans = verts.join(labels, Seq("doc_id"), "left_anti")
-      .withColumn("cluster_id", col("doc_id"))
-    val singletons = allIds.select("doc_id")
-      .join(verts, Seq("doc_id"), "left_anti")
-      .withColumn("cluster_id", col("doc_id"))
-    labels.unionByName(orphans).unionByName(singletons)
+    // final assembly (r18): ONE left join + coalesce. The old form
+    // materialized the pair-graph node set (one more checkpoint job) and
+    // re-attached labels through TWO anti-joins + a three-way union —
+    // but every id the output owes a row to is in `allIds` by the
+    // operator's contract, and both "orphan" classes (nodes seen only in
+    // self-pairs, ids with no pairs at all) take cluster_id = doc_id,
+    // which is exactly what coalesce gives an unmatched left row. Same
+    // labels, ~3 fewer jobs / 2 fewer exchanges per call — and this
+    // operator backs five declared keys (guide §2.4).
+    // Contract (now explicit): pair endpoints must be drawn from
+    // `allIds` — an endpoint outside it never surfaced meaningfully
+    // before (it labeled a row the caller never asked about) and is
+    // dropped now.
+    allIds.select("doc_id")
+      .join(labels.withColumnRenamed("cluster_id", "lbl"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -53,11 +53,16 @@ object DedupOps {
       .filter(col("jaccard_raw") >= t)
       .select("doc_a", "doc_b", "jaccard")
       .localCheckpoint(true) // consumed by expansion AND cluster CC
-    val gf = g.join(
-        sh.select(col("doc_id").as("rep")).distinct()
-          .withColumn("has_sh", lit(true)),
-        Seq("rep"), "left")
-      .withColumn("has_sh", coalesce(col("has_sh"), lit(false)))
+    // has_sh decided from the TEXT, not the shingle frame (r18): a doc
+    // has >= 1 shingle iff it has >= 3 words — exactly shingleRows'
+    // `size(toks) >= n` gate (n = 3 here; array_distinct never empties
+    // a non-empty transform). The old form re-aggregated the shingle
+    // frame (distinct) and left-joined it back — two exchanges for a
+    // predicate the group row already carries (guide §2.4). Bit-equal
+    // by the gate identity; the SQL oracle re-verifies both cluster
+    // keys end-to-end.
+    val gf = g.withColumn("has_sh",
+      size(split(col("text"), " ")) >= 3)
     // narrow (rep, doc_id) membership — a SINGLE explode per row is
     // memory-safe; the expansions below are equi-joins on it, never a
     // double-explode whose intermediate rows each carry the whole

@@ -35,7 +35,7 @@ object LlmOps {
     * cross-string collision odds at this vocabulary are ~1e-11). Spark
     * arrays are 0-based (DuckDB's are 1-based — oracle indexes differ by
     * one, same shingles). */
-  private[queries] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     // every caller (near/minhash/containment/cluster) feeds the shingle
     // frame to MULTIPLE consumers — candidate generation AND exact
     // verification — and Catalyst replans the explode for each;
