@@ -92,27 +92,28 @@ object NbClassifier {
     * of silently vanishing through the token inner-join. */
   def score(docs: DataFrame, grid: DataFrame, priors: DataFrame,
             classes: Seq[String]): DataFrame = {
-    val sumAggs = classes.map(c => sum(col(s"llk_$c")).as(s"s_$c"))
-    // one null ANCHOR row per doc rides the union into the groupBy, so
-    // every input doc reaches the aggregate even when the token
-    // inner-join yields nothing for it (all-OOV or empty text) — sum
-    // ignores nulls, an all-null group sums to NULL → coalesce 0 →
-    // prior argmax. This keeps the scoring plan at ONE doc_id shuffle
-    // with the grid broadcast (a docs-side left join here regressed to
-    // a corpus SortMergeJoin — caught by PlanShapeSpec).
-    val tokRows = toks(docs).join(broadcast(grid), Seq("term"))
-      .select(col("doc_id") +: col("lang") +:
-        classes.map(c => col(s"llk_$c")): _*)
-    val anchors = docs.select(col("doc_id") +: col("lang") +:
-      classes.map(c => lit(null).cast("long").as(s"llk_$c")): _*)
-    val sums = tokRows.unionByName(anchors)
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sumAggs.head, sumAggs.tail: _*)
+    // scoring as a PURE MAP (functions.NbGridSums, r18): the model-sized
+    // grid is pulled once (util.Local discipline — it IS the artifact a
+    // deployment ships) and baked into one expression that folds each
+    // doc's token array to per-class INT64 sums. The old plan exploded
+    // the corpus to token rows, broadcast-joined the grid, unioned a
+    // per-doc anchor row (so all-OOV docs survived the inner join) and
+    // paid a doc_id exchange to sum it back — all machinery around
+    // integer adds the map does in place. Zero exchanges, row volume
+    // stays at doc grain; sums are order-free INT64 so every total (and
+    // the argmax) is bit-identical, OOV docs included (zero sums ≡ the
+    // anchor row's NULL → coalesce 0). PlanShapeSpec pins the new
+    // no-join, no-exchange shape; the SQL oracle re-verifies results.
+    val gridRows = graft.util.Local.modelRows(
+      grid.select(col("term") +: classes.map(c => col(s"llk_$c")): _*))
+    val sums = docs.select(col("doc_id"), col("lang"),
+      graft.functions.NbGridSums.sums(
+        InvertedIndex.tokens(col("text")), gridRows, classes.length).as("s"))
     val scored = sums
       .crossJoin(broadcast(priors))
       .select(col("doc_id") +: col("lang").as("actual") +:
-        classes.map(c =>
-          (coalesce(col(s"s_$c"), lit(0L)) + col(s"p_$c")).as(s"t_$c")): _*)
+        classes.zipWithIndex.map { case (c, i) =>
+          (col("s").getItem(i) + col(s"p_$c")).as(s"t_$c") }: _*)
     def pick(i: Int): Column =
       if (i == classes.length - 1) lit(classes(i))
       else {

@@ -655,20 +655,25 @@ object PipelineOps {
       val grid = NbClassifier.storedGrid(s, root)
       val classes = grid.schema.fieldNames.filter(_.startsWith("llk_"))
         .map(_.stripPrefix("llk_")).sorted.toSeq
-      val ownLlk = classes.tail.foldLeft(
-          when(col("lang") === classes.head, col(s"llk_${classes.head}"))) {
-        (acc, c) => acc.when(col("lang") === c, col(s"llk_$c")) }
-      val tokRows = docs.select(col("doc_id"), col("lang"),
-          explode(InvertedIndex.tokens(col("text"))).as("term"))
-        .join(broadcast(grid), Seq("term"))
-        .select(col("doc_id"), ownLlk.as("llk"),
-                lit(null).cast("long").as("n_tok"))
-      val anchors = docs.select(col("doc_id"),
-        lit(null).cast("long").as("llk"),
-        size(InvertedIndex.tokens(col("text"))).cast("long").as("n_tok"))
-      val base = tokRows.unionByName(anchors)
-        .groupBy("doc_id")
-        .agg(sum("llk").as("ssum"), max("n_tok").as("n_tok"))
+      // scoring as a PURE MAP (functions.NbGridSums, r18 — the
+      // NbClassifier.score rewrite applied to the perplexity rank): the
+      // stored model-sized grid bakes into one expression, each doc's
+      // token array folds to per-class INT64 sums in place, and the
+      // own-language sum is picked by the same lang when-chain. The old
+      // plan exploded the corpus to token rows, broadcast-joined the
+      // grid, unioned per-doc anchors and re-aggregated on doc_id —
+      // zero exchanges now, bit-identical totals (order-free INT64;
+      // all-OOV docs sum to 0 ≡ the old NULL → coalesce 0).
+      val gridRows = graft.util.Local.modelRows(
+        grid.select(col("term") +: classes.map(c => col(s"llk_$c")): _*))
+      val sums = graft.functions.NbGridSums.sums(
+        InvertedIndex.tokens(col("text")), gridRows, classes.length)
+      val ownSum = classes.zipWithIndex.tail.foldLeft(
+          when(col("lang") === classes.head, col("s").getItem(0))) {
+        case (acc, (c, i)) => acc.when(col("lang") === c, col("s").getItem(i)) }
+      val base = docs.select(col("doc_id"), col("lang"), sums.as("s"),
+          size(InvertedIndex.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("ssum", ownSum)
         .withColumn("q_bucket", expr(
           "((coalesce(ssum, 0) + 40000000 * n_tok)" +
             " div greatest(n_tok, 1)) div 1000"))

@@ -275,16 +275,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_sample_weighted").contains("TakeOrderedAndProject"))
   }
 
-  test("q_text_classify_nb scores through a BROADCAST of the model grid") {
-    // the non-negotiable scale property: the corpus token stream joins
-    // the vocab-sized log-likelihood grid via BroadcastHashJoin — a
-    // sort-merge join here would shuffle the corpus against its own
-    // model, turning the score pass from one doc_id exchange into two
-    // corpus-wide ones
+  test("q_text_classify_nb scores as a pure map (baked grid, no corpus join)") {
+    // the non-negotiable scale property, tightened in r18: scoring must
+    // never shuffle the corpus against its own model. The r18 form bakes
+    // the model-sized grid into ONE expression (functions.NbGridSums) —
+    // no token explode, no grid join of any kind, no doc_id exchange;
+    // the only remaining operators between scan and the ordered output
+    // are projections and the one-row priors broadcast.
     val p = plan("q_text_classify_nb")
-    assert(p.contains("BroadcastHashJoin [term"),
-      s"model grid not broadcast to the token stream:\n${p.take(2000)}")
+    assert(p.contains("nb_grid_sums"),
+      s"baked-grid scoring expression missing:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin [term"),
+      s"token-grain grid join crept back in:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus exchange crept into the score pass:\n${p.take(2000)}")
   }
 
   test("q_dedup_soft is one shuffle on the content hash (window, no join-back)") {
